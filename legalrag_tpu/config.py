@@ -1,0 +1,252 @@
+"""Configuration tree.
+
+Capability parity with the reference's ``legalrag/config.py`` (AppConfig with
+Paths/LLM/Retrieval/PDF/Server/Routing sub-configs, ``load()`` with optional
+YAML/JSON file, per-language path + model swapping via ``with_lang()``,
+index-version resolution through the registry — reference
+``config.py:158-274``), extended with an ``EngineConfig`` describing the
+TPU-resident query engine (dtypes, capacities, kernel and mesh choices) that
+replaces the reference's FAISS/ColBERT knobs.
+
+Deliberate divergences from the reference (documented per SURVEY.md §2.13):
+- one fusion blend knob ``rrf_alpha`` (default 0.5). The reference declares
+  ``rrf_blend_alpha=0.6`` but actually reads ``rrf_alpha=0.5``
+  (``hybrid_retriever.py:400``); we keep the *effective* behavior.
+- ``oversample_factor`` is honored (the reference intended ``top_k*8`` but
+  effectively oversampled to ``top_k`` only, ``hybrid_retriever.py:289``).
+- no HNSW parameters: dense search is exact on device, which strictly
+  dominates HNSW recall at equal semantics (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+from pydantic import BaseModel, Field
+
+DEFAULT_ROOT = Path(os.environ.get("LEGALRAG_ROOT", Path(__file__).resolve().parent.parent))
+
+
+class PathsConfig(BaseModel):
+    root: Path = DEFAULT_ROOT
+    data_dir: Path = DEFAULT_ROOT / "data"
+    raw_dir: Path = DEFAULT_ROOT / "data" / "raw"
+    processed_dir: Path = DEFAULT_ROOT / "data" / "processed"
+    index_dir: Path = DEFAULT_ROOT / "data" / "index"
+    graph_dir: Path = DEFAULT_ROOT / "data" / "graph"
+    eval_dir: Path = DEFAULT_ROOT / "data" / "eval"
+    upload_dir: Path = DEFAULT_ROOT / "data" / "uploads"
+    # per-language (resolved by AppConfig.with_lang / _apply_lang_paths)
+    corpus_file: Path = DEFAULT_ROOT / "data" / "processed" / "law_zh.jsonl"
+    lang_index_dir: Path = DEFAULT_ROOT / "data" / "index" / "zh"
+    graph_file: Path = DEFAULT_ROOT / "data" / "graph" / "law_graph_zh.jsonl"
+
+    def ensure_tree(self) -> None:
+        for p in (self.data_dir, self.raw_dir, self.processed_dir, self.index_dir,
+                  self.graph_dir, self.eval_dir, self.upload_dir):
+            Path(p).mkdir(parents=True, exist_ok=True)
+
+
+class EngineConfig(BaseModel):
+    """TPU query-engine knobs (no reference analogue; replaces FAISS/PLAID)."""
+
+    # storage dtype of the dense / token embedding matrices in HBM
+    dtype: str = "bfloat16"
+    # index capacity is rounded up to a multiple of this (static shapes under jit;
+    # incremental adds fill pre-allocated rows — SURVEY.md §7.2 step 4)
+    capacity_round: int = 1024
+    # growth factor when an incremental add exceeds capacity (recompile event)
+    capacity_growth: float = 1.5
+    # kernel backend: "pallas" | "xla" | "auto" (pallas on TPU, xla elsewhere)
+    kernel_backend: str = "auto"
+    # dense score+topk kernel tile over corpus rows
+    dense_tile_n: int = 512
+    # BM25 device scoring: max padded postings gathered per query
+    bm25_max_query_postings: int = 16384
+    # late interaction
+    late_doc_maxlen: int = 220  # token budget per doc (reference config.py:108)
+    late_dim: int = 128
+    late_candidates: int = 128  # dense-prefiltered candidate count for MaxSim
+    # query batching for the serving engine
+    max_query_batch: int = 64
+    max_query_tokens: int = 64
+    # device mesh: axis names are fixed; shape chosen at engine init
+    mesh_data_axis: str = "data"
+    mesh_model_axis: str = "model"
+
+
+class RetrievalConfig(BaseModel):
+    # embedding backends: "hash" (self-contained, deterministic) or an HF
+    # model name resolvable to local safetensors (BGE semantics: query
+    # instruction for queries only, L2-normalized — reference vector_store.py:131-155)
+    embedding_backend: str = "hash"
+    embedding_model_zh: str = "BAAI/bge-base-zh-v1.5"
+    embedding_model_en: str = "BAAI/bge-base-en-v1.5"
+    embedding_dim: int = 768
+    query_instruction_zh: str = "为这个法律问题生成表示以用于检索相关条文："
+    query_instruction_en: str = "Represent this legal question for retrieving relevant provisions: "
+
+    top_k: int = 10
+    oversample_factor: int = 4  # per-channel candidate depth = top_k * factor
+    dense_weight: float = 0.6
+    bm25_weight: float = 0.4
+    colbert_weight: float = 0.35
+    min_final_score: float = 0.2
+
+    # fusion (reference hybrid_retriever.py:389-551)
+    fusion_method: str = "rrf_norm_blend"  # rrf | wrrf | weighted_sum | rrf_norm_blend
+    rrf_k: int = 60
+    rrf_alpha: float = 0.5
+
+    # BM25 (must match rank_bm25.BM25Okapi math — SURVEY.md §2.9)
+    bm25_k1: float = 1.5
+    bm25_b: float = 0.75
+    bm25_epsilon: float = 0.25
+
+    # graph channel (reference config.py:75-88)
+    enable_graph: bool = True
+    graph_seed_k: int = 30
+    graph_limit: int = 800
+    graph_weight: float = 0.2
+    graph_min_conf: float = 0.5
+    graph_relation_max_depth: Dict[str, int] = Field(default_factory=lambda: {
+        "defined_by": 4, "defines_term": 3, "cite": 1, "cited_by": 1,
+        "prev": 2, "next": 2, "default": 2,
+    })
+    graph_depth_decay: float = 0.7
+    graph_relation_weights: Dict[str, float] = Field(default_factory=lambda: {
+        "defined_by": 1.20, "cite": 1.15, "defines_term": 1.10,
+        "prev": 0.95, "next": 0.95, "default": 1.0,
+    })
+
+    # late interaction channel (replaces ColBERT/PLAID)
+    enable_colbert: bool = True
+    colbert_model: str = "jinaai/jina-colbert-v2"
+
+    # rerank (reference config.py:119-124)
+    enable_rerank: bool = True
+    rerank_top_n: int = 30
+    rerank_beta: float = 0.35
+    reranker_model: str = "BAAI/bge-reranker-v2-m3"
+    rerank_use_llm: bool = False
+    rerank_llm_top_k_threshold: int = 30
+    rerank_norm: str = "minmax"  # minmax | sigmoid | none
+
+
+class LLMConfig(BaseModel):
+    provider: str = "disabled"  # openai | local | disabled
+    model: str = "gpt-4o-mini"
+    api_key: Optional[str] = Field(default_factory=lambda: os.environ.get("OPENAI_API_KEY"))
+    base_url: Optional[str] = Field(default_factory=lambda: os.environ.get("OPENAI_BASE_URL"))
+    temperature: float = 0.3
+    top_p: float = 0.9
+    max_new_tokens: int = 1024
+    max_context_tokens: int = 4096
+    request_timeout: float = 30.0
+    max_retries: int = 2
+    retry_backoff: float = 0.6
+
+
+class RoutingConfig(BaseModel):
+    llm_based: bool = False
+    issue_llm_refine: bool = False
+
+
+class PDFConfig(BaseModel):
+    enable_docling: bool = False
+    enable_ocr: bool = False
+    chunk_chars: int = 650
+    chunk_overlap: int = 90
+    min_statute_records: int = 20
+    statute_coverage_min: float = 0.3
+    statute_gap_ratio_max: float = 0.5
+    statute_avg_len_ratio_max: float = 0.12
+    ingest_rebuild_colbert: bool = True
+    ingest_rebuild_graph: bool = True
+
+
+class ServerConfig(BaseModel):
+    host: str = "0.0.0.0"
+    port: int = int(os.environ.get("PORT", "8000"))
+    retrieve_cache_ttl: float = 900.0  # 15 min (reference server.py:270-281)
+    cors_allow_all: bool = True
+
+
+class AppConfig(BaseModel):
+    lang: str = "zh"
+    paths: PathsConfig = Field(default_factory=PathsConfig)
+    engine: EngineConfig = Field(default_factory=EngineConfig)
+    retrieval: RetrievalConfig = Field(default_factory=RetrievalConfig)
+    llm: LLMConfig = Field(default_factory=LLMConfig)
+    routing: RoutingConfig = Field(default_factory=RoutingConfig)
+    pdf: PDFConfig = Field(default_factory=PDFConfig)
+    server: ServerConfig = Field(default_factory=ServerConfig)
+    index_version: Optional[str] = None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def load(cls, path: Optional[str | Path] = None, *, mkdirs: bool = True) -> "AppConfig":
+        """Build config from defaults, optionally overlaid with a JSON/YAML file.
+
+        Mirrors reference ``AppConfig.load`` (``config.py:217-225``): file values
+        override defaults field-wise; the data tree is created on load; the
+        active index version comes from ``LEGALRAG_INDEX_VERSION`` or the
+        registry ACTIVE file (``config.py:168-177,231``).
+        """
+        data: Dict[str, Any] = {}
+        if path is not None:
+            text = Path(path).read_text(encoding="utf-8")
+            if str(path).endswith((".yaml", ".yml")):
+                try:
+                    import yaml  # type: ignore
+
+                    data = yaml.safe_load(text) or {}
+                except ImportError as e:
+                    raise RuntimeError("YAML config requires pyyaml; use JSON instead") from e
+            else:
+                data = json.loads(text)
+        cfg = cls.model_validate(data)
+        cfg.index_version = os.environ.get("LEGALRAG_INDEX_VERSION", cfg.index_version)
+        cfg._apply_lang_paths(cfg.lang)
+        if mkdirs:
+            cfg.paths.ensure_tree()
+        return cfg
+
+    def with_lang(self, lang: str) -> "AppConfig":
+        """Deep-copy with corpus/index/graph paths + models swapped per language.
+
+        Mirrors reference ``AppConfig.with_lang`` (``config.py:248-274``).
+        """
+        cfg = copy.deepcopy(self)
+        cfg.lang = lang
+        cfg._apply_lang_paths(lang)
+        return cfg
+
+    def _apply_lang_paths(self, lang: str) -> None:
+        p = self.paths
+        p.corpus_file = Path(p.processed_dir) / f"law_{lang}.jsonl"
+        base = Path(p.index_dir) / lang
+        if self.index_version:
+            base = base / "versions" / self.index_version
+        else:
+            # honor the registry ACTIVE file if present
+            from legalrag_tpu.index.registry import IndexRegistry
+
+            base = IndexRegistry(Path(p.index_dir) / lang).active_index_dir()
+        p.lang_index_dir = base
+        p.graph_file = Path(p.graph_dir) / f"law_graph_{lang}.jsonl"
+
+    # convenience accessors -------------------------------------------------
+    @property
+    def embedding_model(self) -> str:
+        r = self.retrieval
+        return r.embedding_model_zh if self.lang == "zh" else r.embedding_model_en
+
+    @property
+    def query_instruction(self) -> str:
+        r = self.retrieval
+        return r.query_instruction_zh if self.lang == "zh" else r.query_instruction_en
