@@ -1,0 +1,183 @@
+"""IndexBundle: the per-language index artifact set.
+
+Replaces the reference's artifact trio — ``faiss.index`` + ``faiss_meta.jsonl``,
+``bm25.pkl``, ``colbert/`` (SURVEY.md §1 L3) — with one directory holding:
+
+- ``manifest.json`` — schema version, counts, dims, generation counter
+- ``chunks.jsonl``  — row-ordered LawChunk records (row id = line number,
+  shared by every channel; same convention as faiss_meta.jsonl)
+- ``dense.npz`` / ``bm25.npz`` / ``tokens.npz`` — channel payloads
+- ``encoder.npz``  — encoder state (hash sketch df table) so queries embed
+  identically at serve time
+
+The generation counter replaces the reference's file-mtime hot-reload
+(``vector_store.py:95-129``): a serving engine reloads when the manifest
+generation advances.
+
+Incremental semantics mirror the reference (SURVEY.md §2.3): dense/token
+channels append in place (meta written before activation); BM25 rebuilds its
+global statistics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from legalrag_tpu.config import AppConfig
+from legalrag_tpu.corpus.loader import iter_chunks_from_file, write_chunks_jsonl
+from legalrag_tpu.index.bm25_index import BM25Index
+from legalrag_tpu.index.dense_index import DenseIndex
+from legalrag_tpu.index.token_index import TokenIndex
+from legalrag_tpu.models.hash_encoder import HashEncoder
+from legalrag_tpu.schemas import LawChunk
+from legalrag_tpu.utils import get_logger
+
+log = get_logger("index.bundle")
+
+SCHEMA_VERSION = 1
+
+
+class IndexBundle:
+    def __init__(self, lang: str, cfg: AppConfig, device=None):
+        self.lang = lang
+        self.cfg = cfg
+        self.device = device
+        self.chunks: List[LawChunk] = []
+        self.id2row: Dict[str, int] = {}
+        r, e = cfg.retrieval, cfg.engine
+        self.encoder: HashEncoder | object = None  # set in build/load
+        self.dense = DenseIndex(r.embedding_dim, e.dtype, e.capacity_round, device)
+        self.bm25 = BM25Index(lang, r.bm25_k1, r.bm25_b, r.bm25_epsilon, device)
+        self.tokens = TokenIndex(e.late_dim, e.late_doc_maxlen, e.dtype,
+                                 e.capacity_round, device)
+        self.generation = 0
+
+    # ----------------------------------------------------------------- build
+    @classmethod
+    def build_from_chunks(cls, chunks: Sequence[LawChunk], cfg: AppConfig,
+                          lang: str, device=None,
+                          encoder: Optional[object] = None) -> "IndexBundle":
+        from legalrag_tpu.models.encoder import get_encoder
+
+        b = cls(lang, cfg, device)
+        b.encoder = encoder or get_encoder(cfg, lang, device)
+        texts = [c.text for c in chunks]
+        if hasattr(b.encoder, "fit_idf"):
+            b.encoder.fit_idf(texts)
+        b._append(list(chunks))
+        return b
+
+    def _append(self, chunks: List[LawChunk]) -> int:
+        """Append chunks new to this bundle; returns number added."""
+        fresh = [c for c in chunks if c.id not in self.id2row]
+        if not fresh:
+            return 0
+        texts = [c.text for c in fresh]
+        t0 = time.time()
+        vecs = self.encoder.encode_passages(texts)
+        if self.cfg.retrieval.enable_colbert:
+            tok, mask = self.encoder.encode_tokens(texts, self.tokens.doc_maxlen)
+        t_enc = time.time() - t0
+        for c in fresh:
+            self.id2row[c.id] = len(self.chunks)
+            self.chunks.append(c)
+        self.dense.add(np.asarray(vecs))
+        if self.cfg.retrieval.enable_colbert:
+            self.tokens.add(tok, mask)
+        t0 = time.time()
+        self.bm25.add_texts(texts) if self.bm25.n else self.bm25.build_from_texts(
+            [c.text for c in self.chunks])
+        log.info("[%s] appended %d chunks (encode %.2fs, bm25 %.2fs) -> n=%d",
+                 self.lang, len(fresh), t_enc, time.time() - t0, len(self.chunks))
+        self.generation += 1
+        return len(fresh)
+
+    def add_chunks(self, chunks: Sequence[LawChunk]) -> int:
+        """Incremental add (online ingest path). Dedup by chunk id, mirroring
+        ``IncrementalDenseBuilder.add_jsonl`` (reference
+        ``incremental_dense_builder.py:45-76``)."""
+        if hasattr(self.encoder, "fit_idf"):
+            fresh = [c for c in chunks if c.id not in self.id2row]
+            self.encoder.fit_idf([c.text for c in fresh])
+        return self._append(list(chunks))
+
+    # ----------------------------------------------------------------- query
+    def row_chunks(self, rows: Sequence[int]) -> List[LawChunk]:
+        return [self.chunks[r] for r in rows]
+
+    @property
+    def n_docs(self) -> int:
+        return len(self.chunks)
+
+    # --------------------------------------------------------------- persist
+    def save(self, index_dir: str | Path) -> None:
+        d = Path(index_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        # meta before payloads: a crash can leave extra meta but never a
+        # payload row without meta (ordering per incremental_dense_builder.py:64)
+        write_chunks_jsonl(self.chunks, d / "chunks.jsonl")
+        self.dense.save(d / "dense.npz")
+        self.bm25.save(d / "bm25.npz")
+        if self.cfg.retrieval.enable_colbert:
+            self.tokens.save(d / "tokens.npz")
+        if hasattr(self.encoder, "state"):
+            np.savez_compressed(d / "encoder.npz", **self.encoder.state())
+        manifest = {
+            "schema_version": SCHEMA_VERSION,
+            "lang": self.lang,
+            "n_docs": self.n_docs,
+            "dim": self.dense.dim,
+            "token_dim": self.tokens.token_dim,
+            "doc_maxlen": self.tokens.doc_maxlen,
+            "generation": self.generation,
+            "embedding_backend": self.cfg.retrieval.embedding_backend,
+            "created_unix": time.time(),
+        }
+        tmp = d / "manifest.json.tmp"
+        tmp.write_text(json.dumps(manifest, indent=2), encoding="utf-8")
+        os.replace(tmp, d / "manifest.json")
+        log.info("[%s] saved index (n=%d) -> %s", self.lang, self.n_docs, d)
+
+    @classmethod
+    def load(cls, index_dir: str | Path, cfg: AppConfig, lang: str,
+             device=None) -> "IndexBundle":
+        d = Path(index_dir)
+        manifest = json.loads((d / "manifest.json").read_text(encoding="utf-8"))
+        b = cls(lang, cfg, device)
+        b.generation = int(manifest.get("generation", 0))
+        b.chunks = list(iter_chunks_from_file(d / "chunks.jsonl"))
+        b.id2row = {c.id: i for i, c in enumerate(b.chunks)}
+        enc_path = d / "encoder.npz"
+        if manifest.get("embedding_backend", "hash") == "hash" and enc_path.exists():
+            z = np.load(enc_path, allow_pickle=False)
+            b.encoder = HashEncoder.from_state({k: z[k] for k in z.files},
+                                               device=device)
+        else:
+            from legalrag_tpu.models.encoder import get_encoder
+
+            b.encoder = get_encoder(cfg, lang, device)
+        e = cfg.engine
+        b.dense = DenseIndex.load(d / "dense.npz", e.dtype, e.capacity_round, device)
+        b.bm25 = BM25Index.load(d / "bm25.npz", device)
+        tok_path = d / "tokens.npz"
+        if cfg.retrieval.enable_colbert and tok_path.exists():
+            b.tokens = TokenIndex.load(tok_path, e.dtype, e.capacity_round, device)
+        # chunks.jsonl may lead payload rows after a crash (meta-first write
+        # ordering); trim the view to the payload row count
+        n = min(b.n_docs, b.dense.n)
+        if n < b.n_docs:
+            log.warning("[%s] trimming %d meta rows without payload",
+                        lang, b.n_docs - n)
+            b.chunks = b.chunks[:n]
+            b.id2row = {c.id: i for i, c in enumerate(b.chunks)}
+        return b
+
+    @staticmethod
+    def exists(index_dir: str | Path) -> bool:
+        return (Path(index_dir) / "manifest.json").exists()

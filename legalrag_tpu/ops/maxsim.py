@@ -1,0 +1,80 @@
+"""Late-interaction MaxSim scoring (the ColBERT-channel analogue).
+
+Replaces the Stanford ColBERT/PLAID native search (reference
+``colbert_retriever.py:139-183``) with device-resident token embeddings
+[N, L, dt] (bf16, padded + masked) and a batched MaxSim:
+
+    score(q, d) = Σ_{i ∈ q tokens} max_{j ∈ d tokens} (q_i · d_j)
+
+Two modes (SURVEY.md §7.2 step 7):
+- candidate mode: score only [B, C] pre-filtered candidates (gathered from
+  HBM) — the default two-phase flow, dense-prefilter → exact MaxSim;
+- full-corpus mode: score all N docs (exact late-interaction retrieval),
+  tiled so the [B, N, Lq] intermediate never materializes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=())
+def maxsim_candidates(doc_tok: jax.Array, doc_mask: jax.Array,
+                      q_tok: jax.Array, q_mask: jax.Array,
+                      cand: jax.Array) -> jax.Array:
+    """MaxSim scores for per-query candidate lists.
+
+    doc_tok [N, L, dt], doc_mask [N, L] bool, q_tok [B, Lq, dt],
+    q_mask [B, Lq] bool, cand [B, C] int32 → [B, C] f32.
+    """
+
+    def per_query(qt, qm, cd):
+        dt = doc_tok[cd]            # [C, L, d]
+        dm = doc_mask[cd]           # [C, L]
+        sim = jnp.einsum("qd,cld->cql", qt, dt,
+                         preferred_element_type=jnp.float32)
+        sim = jnp.where(dm[:, None, :], sim, -jnp.inf)
+        best = jnp.max(sim, axis=-1)            # [C, Lq]
+        best = jnp.where(qm[None, :], best, 0.0)
+        best = jnp.where(jnp.isfinite(best), best, 0.0)  # empty doc guard
+        return jnp.sum(best, axis=-1)           # [C]
+
+    return jax.lax.map(lambda args: per_query(*args), (q_tok, q_mask, cand))
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n",))
+def maxsim_full(doc_tok: jax.Array, doc_mask: jax.Array,
+                q_tok: jax.Array, q_mask: jax.Array,
+                tile_n: int = 256) -> jax.Array:
+    """Exact full-corpus MaxSim → [B, N] f32, tiled over the doc axis."""
+    n = doc_tok.shape[0]
+    assert n % tile_n == 0, "pad N to tile_n"
+    num_tiles = n // tile_n
+
+    def tile_body(i, acc):
+        dt = jax.lax.dynamic_slice_in_dim(doc_tok, i * tile_n, tile_n, 0)
+        dm = jax.lax.dynamic_slice_in_dim(doc_mask, i * tile_n, tile_n, 0)
+        sim = jnp.einsum("bqd,cld->bcql", q_tok, dt,
+                         preferred_element_type=jnp.float32)
+        sim = jnp.where(dm[None, :, None, :], sim, -jnp.inf)
+        best = jnp.max(sim, axis=-1)                        # [B, C, Lq]
+        best = jnp.where(q_mask[:, None, :], best, 0.0)
+        best = jnp.where(jnp.isfinite(best), best, 0.0)
+        scores = jnp.sum(best, axis=-1)                     # [B, C]
+        return jax.lax.dynamic_update_slice_in_dim(acc, scores, i * tile_n, 1)
+
+    b = q_tok.shape[0]
+    init = jnp.zeros((b, n), jnp.float32)
+    return jax.lax.fori_loop(0, num_tiles, tile_body, init)
+
+
+def maxsim_topk(doc_tok, doc_mask, q_tok, q_mask, valid_n, k: int,
+                tile_n: int = 256) -> Tuple[jax.Array, jax.Array]:
+    scores = maxsim_full(doc_tok, doc_mask, q_tok, q_mask, tile_n=tile_n)
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(col < jnp.asarray(valid_n, jnp.int32), scores, -1e30)
+    return jax.lax.top_k(scores, min(k, scores.shape[1]))

@@ -1,0 +1,65 @@
+"""Device discovery and mesh construction.
+
+The engine scales over a 2-D ``(data, model)`` mesh: query batches shard over
+``data`` (DP), corpus rows shard over ``model`` (the TP analogue for an
+index — each chip owns a slice of the document axis and merges partial
+top-k over ICI). This replaces the reference's HTTP-microservice scale-out
+(SURVEY.md §2.11).
+
+``local_devices`` honors ``LEGALRAG_FORCE_CPU`` because the axon TPU plugin
+in the build image force-registers itself even when ``JAX_PLATFORMS=cpu``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def local_devices(platform: Optional[str] = None) -> List[jax.Device]:
+    if platform is None and os.environ.get("LEGALRAG_FORCE_CPU"):
+        platform = "cpu"
+    if platform is not None:
+        return list(jax.devices(platform))
+    return list(jax.devices())
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              data: Optional[int] = None, model: Optional[int] = None) -> Mesh:
+    """Build a ``(data, model)`` mesh.
+
+    Defaults: all local devices on the ``model`` (corpus) axis — corpus
+    sharding is the capacity axis; DP is added when the query stream needs it.
+    """
+    devs = list(devices) if devices is not None else local_devices()
+    n = len(devs)
+    if data is None and model is None:
+        data, model = 1, n
+    elif data is None:
+        data = n // model  # type: ignore[operator]
+    elif model is None:
+        model = n // data
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devs).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def row_sharded(mesh: Mesh) -> NamedSharding:
+    """Shard dim 0 (corpus rows) over the model axis."""
+    return NamedSharding(mesh, P(MODEL_AXIS))
+
+
+def batch_sharded(mesh: Mesh) -> NamedSharding:
+    """Shard dim 0 (query batch) over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))

@@ -1,0 +1,87 @@
+"""Host-side tokenization (BM25 + hash-feature extraction).
+
+Parity notes:
+- en BM25 tokens: ``[A-Za-z0-9]+('...)?`` lowercased, matching the reference
+  builder regex (``bm25_builder.py:18-19``).
+- zh BM25 tokens: ``jieba.cut`` (``bm25_builder.py:43``). jieba is imported
+  lazily; a char-bigram fallback keeps the stack importable without it.
+
+Feature hashing uses 64-bit FNV-1a (stable across processes — Python's
+``hash()`` is salted and must never reach an index artifact).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+from typing import Iterable, List
+
+_EN_TOKEN = re.compile(r"[A-Za-z0-9]+(?:'[A-Za-z0-9]+)?")
+_ZH_CHAR = re.compile(r"[一-鿿]")
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = (1 << 64) - 1
+
+
+def fnv1a(data: str, seed: int = 0) -> int:
+    """Stable 64-bit FNV-1a hash of a UTF-8 string."""
+    h = (_FNV_OFFSET ^ seed) & _MASK64
+    for b in data.encode("utf-8"):
+        h ^= b
+        h = (h * _FNV_PRIME) & _MASK64
+    return h
+
+
+@lru_cache(maxsize=1)
+def _jieba():
+    try:
+        import jieba  # type: ignore
+
+        jieba.setLogLevel(60)
+        jieba.initialize()
+        return jieba
+    except ImportError:
+        return None
+
+
+def tokenize_en(text: str) -> List[str]:
+    return [t.lower() for t in _EN_TOKEN.findall(text)]
+
+
+def tokenize_zh(text: str) -> List[str]:
+    j = _jieba()
+    if j is not None:
+        return [t for t in j.cut(text) if t.strip()]
+    # fallback: CJK unigrams+bigrams + latin word tokens
+    chars = _ZH_CHAR.findall(text)
+    toks = chars + [a + b for a, b in zip(chars, chars[1:])]
+    toks.extend(tokenize_en(text))
+    return toks
+
+
+def tokenize(text: str, lang: str) -> List[str]:
+    return tokenize_zh(text) if lang == "zh" else tokenize_en(text)
+
+
+def char_ngrams(token: str, n_min: int = 3, n_max: int = 4) -> Iterable[str]:
+    t = f"#{token}#"
+    for n in range(n_min, n_max + 1):
+        for i in range(len(t) - n + 1):
+            yield t[i:i + n]
+
+
+def hash_features(text: str, lang: str, *, with_ngrams: bool = True) -> List[str]:
+    """Feature strings for the hashed encoder: word tokens plus subword /
+    char-level context features for fuzzy matching."""
+    toks = tokenize(text, lang)
+    feats: List[str] = list(toks)
+    if lang == "zh":
+        # char bigrams across the raw CJK stream add cross-word context
+        chars = _ZH_CHAR.findall(text)
+        feats.extend(a + b for a, b in zip(chars, chars[1:]))
+    if with_ngrams:
+        for t in toks:
+            if lang != "zh" and len(t) > 3:
+                feats.extend(char_ngrams(t))
+    return feats

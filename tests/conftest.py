@@ -16,7 +16,13 @@ os.environ["LEGALRAG_FORCE_CPU"] = "1"
 import sys
 from pathlib import Path
 
+import jax
 import pytest
+
+# The axon TPU plugin force-registers itself and wins the default-backend
+# race even with JAX_PLATFORMS=cpu; pin the default device so all jitted
+# code in tests runs on (8 virtual) CPU devices with f32 exactness.
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
