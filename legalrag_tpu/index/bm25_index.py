@@ -24,6 +24,7 @@ from legalrag_tpu.ops.bm25 import (
     query_term_counts,
 )
 from legalrag_tpu.tokenize import tokenize
+from legalrag_tpu.utils.device import on_device
 
 
 def _round_up(x: int, m: int) -> int:
@@ -86,9 +87,10 @@ class BM25Index:
         n_pad = _round_up(self.n, 128) if self.n else 128
         padded = np.zeros((v_pad, n_pad), np.float32)
         padded[:v, : self.n] = impact
-        arr = jnp.asarray(padded)
-        self.impact = (jax.device_put(arr, self.device)
-                       if self.device is not None else arr)
+        with on_device(self.device):
+            arr = jnp.asarray(padded)
+            self.impact = (jax.device_put(arr, self.device)
+                           if self.device is not None else arr)
 
     # ---------------------------------------------------------------- query
     def query_vectors(self, queries: Sequence[str]) -> np.ndarray:
@@ -100,20 +102,22 @@ class BM25Index:
         return query_term_counts(ids_batch, v_pad)
 
     def scores(self, queries: Sequence[str]) -> np.ndarray:
-        qtf = jnp.asarray(self.query_vectors(queries))
-        if self.device is not None:
-            qtf = jax.device_put(qtf, self.device)
-        s = bm25_scores_matmul(self.impact, qtf)
+        with on_device(self.device):
+            qtf = jnp.asarray(self.query_vectors(queries))
+            if self.device is not None:
+                qtf = jax.device_put(qtf, self.device)
+            s = bm25_scores_matmul(self.impact, qtf)
         return np.asarray(s)[:, : self.n]
 
     def topk(self, queries: Sequence[str], k: int) -> Tuple[np.ndarray, np.ndarray]:
         if self.n == 0:
             b = len(queries)
             return np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32)
-        qtf = jnp.asarray(self.query_vectors(queries))
-        if self.device is not None:
-            qtf = jax.device_put(qtf, self.device)
-        s, i = bm25_topk(self.impact, qtf, jnp.int32(self.n), min(k, self.n))
+        with on_device(self.device):
+            qtf = jnp.asarray(self.query_vectors(queries))
+            if self.device is not None:
+                qtf = jax.device_put(qtf, self.device)
+            s, i = bm25_topk(self.impact, qtf, jnp.int32(self.n), min(k, self.n))
         return np.asarray(s), np.asarray(i)
 
     # -------------------------------------------------------------- persist

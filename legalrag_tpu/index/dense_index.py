@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from legalrag_tpu.ops.topk import dense_topk
+from legalrag_tpu.utils.device import on_device
 
 
 def _round_up(x: int, m: int) -> int:
@@ -43,11 +44,12 @@ class DenseIndex:
     def _ensure_capacity(self, need: int) -> None:
         if need <= self.capacity:
             return
-        cap = _round_up(need, self.capacity_round)
-        new = jnp.zeros((cap, self.dim), self.dtype)
-        if self.emb is not None and self.n:
-            new = jax.lax.dynamic_update_slice(new, self.emb[: self.n], (0, 0))
-        self.emb = self._put(new)
+        with on_device(self.device):
+            cap = _round_up(need, self.capacity_round)
+            new = jnp.zeros((cap, self.dim), self.dtype)
+            if self.emb is not None and self.n:
+                new = jax.lax.dynamic_update_slice(new, self.emb[: self.n], (0, 0))
+            self.emb = self._put(new)
 
     def add(self, vectors: np.ndarray) -> None:
         """Append [m, dim] float vectors (L2-normalized by the encoder)."""
@@ -56,8 +58,9 @@ class DenseIndex:
             return
         assert vectors.shape[1] == self.dim
         self._ensure_capacity(self.n + m)
-        vec = self._put(jnp.asarray(vectors, self.dtype))
-        self.emb = jax.lax.dynamic_update_slice(self.emb, vec, (self.n, 0))
+        with on_device(self.device):
+            vec = self._put(jnp.asarray(vectors, self.dtype))
+            self.emb = jax.lax.dynamic_update_slice(self.emb, vec, (self.n, 0))
         self.n += m
 
     def topk(self, q: np.ndarray, k: int, backend: str = "auto",
@@ -67,8 +70,9 @@ class DenseIndex:
             b = q.shape[0]
             return np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32)
         k = min(k, self.n)
-        s, i = dense_topk(self.emb, self._put(jnp.asarray(q, self.emb.dtype)),
-                          self.n, k, backend=backend, tile_n=tile_n)
+        with on_device(self.device):
+            s, i = dense_topk(self.emb, self._put(jnp.asarray(q, self.emb.dtype)),
+                              self.n, k, backend=backend, tile_n=tile_n)
         return np.asarray(s), np.asarray(i)
 
     # ------------------------------------------------------------- persist

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from legalrag_tpu.ops.maxsim import maxsim_candidates, maxsim_topk
+from legalrag_tpu.utils.device import on_device
 
 
 def _round_up(x: int, m: int) -> int:
@@ -46,13 +47,14 @@ class TokenIndex:
     def _ensure_capacity(self, need: int) -> None:
         if need <= self.capacity:
             return
-        cap = _round_up(need, self.capacity_round)
-        tok = jnp.zeros((cap, self.doc_maxlen, self.token_dim), self.dtype)
-        mask = jnp.zeros((cap, self.doc_maxlen), bool)
-        if self.tok is not None and self.n:
-            tok = jax.lax.dynamic_update_slice(tok, self.tok[: self.n], (0, 0, 0))
-            mask = jax.lax.dynamic_update_slice(mask, self.mask[: self.n], (0, 0))
-        self.tok, self.mask = self._put(tok), self._put(mask)
+        with on_device(self.device):
+            cap = _round_up(need, self.capacity_round)
+            tok = jnp.zeros((cap, self.doc_maxlen, self.token_dim), self.dtype)
+            mask = jnp.zeros((cap, self.doc_maxlen), bool)
+            if self.tok is not None and self.n:
+                tok = jax.lax.dynamic_update_slice(tok, self.tok[: self.n], (0, 0, 0))
+                mask = jax.lax.dynamic_update_slice(mask, self.mask[: self.n], (0, 0))
+            self.tok, self.mask = self._put(tok), self._put(mask)
 
     def add(self, token_emb: np.ndarray, token_mask: np.ndarray) -> None:
         """Append [m, L, dt] per-token embeddings with [m, L] validity mask."""
@@ -61,20 +63,22 @@ class TokenIndex:
             return
         assert token_emb.shape[1:] == (self.doc_maxlen, self.token_dim)
         self._ensure_capacity(self.n + m)
-        self.tok = jax.lax.dynamic_update_slice(
-            self.tok, self._put(jnp.asarray(token_emb, self.dtype)), (self.n, 0, 0))
-        self.mask = jax.lax.dynamic_update_slice(
-            self.mask, self._put(jnp.asarray(token_mask, bool)), (self.n, 0))
+        with on_device(self.device):
+            self.tok = jax.lax.dynamic_update_slice(
+                self.tok, self._put(jnp.asarray(token_emb, self.dtype)), (self.n, 0, 0))
+            self.mask = jax.lax.dynamic_update_slice(
+                self.mask, self._put(jnp.asarray(token_mask, bool)), (self.n, 0))
         self.n += m
 
     # ---------------------------------------------------------------- score
     def score_candidates(self, q_tok: np.ndarray, q_mask: np.ndarray,
                          cand: np.ndarray) -> np.ndarray:
         """[B, Lq, dt] query tokens × [B, C] candidate rows → [B, C] scores."""
-        s = maxsim_candidates(self.tok, self.mask,
-                              self._put(jnp.asarray(q_tok, self.dtype)),
-                              self._put(jnp.asarray(q_mask, bool)),
-                              self._put(jnp.asarray(cand, jnp.int32)))
+        with on_device(self.device):
+            s = maxsim_candidates(self.tok, self.mask,
+                                  self._put(jnp.asarray(q_tok, self.dtype)),
+                                  self._put(jnp.asarray(q_mask, bool)),
+                                  self._put(jnp.asarray(cand, jnp.int32)))
         return np.asarray(s)
 
     def topk(self, q_tok: np.ndarray, q_mask: np.ndarray, k: int,
@@ -82,10 +86,12 @@ class TokenIndex:
         if self.n == 0:
             b = q_tok.shape[0]
             return np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32)
-        s, i = maxsim_topk(self.tok, self.mask,
-                           self._put(jnp.asarray(q_tok, self.dtype)),
-                           self._put(jnp.asarray(q_mask, bool)),
-                           self.n, min(k, self.n), tile_n=min(tile_n, self.capacity))
+        with on_device(self.device):
+            s, i = maxsim_topk(self.tok, self.mask,
+                               self._put(jnp.asarray(q_tok, self.dtype)),
+                               self._put(jnp.asarray(q_mask, bool)),
+                               self.n, min(k, self.n),
+                               tile_n=min(tile_n, self.capacity))
         return np.asarray(s), np.asarray(i)
 
     # -------------------------------------------------------------- persist

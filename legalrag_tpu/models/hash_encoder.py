@@ -28,6 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from legalrag_tpu.tokenize import char_ngrams, fnv1a, hash_features, tokenize
+from legalrag_tpu.tokenize.tokenizers import fnv1a_batch
+from legalrag_tpu.utils.device import on_device
 
 
 class HashEncoder:
@@ -47,13 +49,19 @@ class HashEncoder:
         self._tok_cache: Dict[str, np.ndarray] = {}
 
     # ------------------------------------------------------------------ idf
+    def _buckets_signs(self, text: str):
+        feats = hash_features(text, self.lang)
+        h = fnv1a_batch(feats, self.seed)
+        buckets = (h % np.uint64(self.sketch_dim)).astype(np.int64)
+        signs = np.where((h >> np.uint64(62)) & np.uint64(1), 1.0, -1.0
+                         ).astype(np.float32)
+        return buckets, signs
+
     def fit_idf(self, texts: List[str]) -> None:
         """Accumulate document frequencies per sketch bucket (build time)."""
         for t in texts:
-            buckets = {fnv1a(f, self.seed) % self.sketch_dim
-                       for f in hash_features(t, self.lang)}
-            for b in buckets:
-                self.df[b] += 1
+            b, _ = self._buckets_signs(t)
+            self.df[np.unique(b)] += 1
         self.n_docs += len(texts)
 
     def _idf(self) -> np.ndarray:
@@ -62,40 +70,41 @@ class HashEncoder:
 
     # ---------------------------------------------------------------- sketch
     def _sketch(self, texts: List[str]) -> np.ndarray:
+        """Signed-count sketch with sublinear tf and bucket idf:
+        ``s[b] = Σ_occurrences sign(feature)`` then
+        ``out[b] = sign(s) · (1 + ln|s|) · idf[b]``."""
         idf = self._idf() if self.n_docs else None
         out = np.zeros((len(texts), self.sketch_dim), np.float32)
         for i, text in enumerate(texts):
-            counts: Dict[int, float] = {}
-            signs: Dict[int, int] = {}
-            for f in hash_features(text, self.lang):
-                h = fnv1a(f, self.seed)
-                b = h % self.sketch_dim
-                counts[b] = counts.get(b, 0.0) + 1.0
-                signs[b] = 1 if (h >> 62) & 1 else -1
-            for b, tf in counts.items():
-                w = (1.0 + math.log(tf)) * signs[b]
-                if idf is not None:
-                    w *= idf[b]
-                out[i, b] = w
+            b, s = self._buckets_signs(text)
+            row = np.zeros(self.sketch_dim, np.float32)
+            np.add.at(row, b, s)
+            nz = row != 0
+            row[nz] = np.sign(row[nz]) * (1.0 + np.log(np.abs(row[nz])))
+            if idf is not None:
+                row *= idf
+            out[i] = row
         return out
 
     # ------------------------------------------------------------ projection
     def _projection(self) -> jax.Array:
         if self._proj is None:
-            key = jax.random.PRNGKey(self.seed)
-            proj = jax.random.normal(key, (self.sketch_dim, self.dim),
-                                     dtype=jnp.float32) / np.sqrt(self.dim)
-            if self.device is not None:
-                proj = jax.device_put(proj, self.device)
-            self._proj = proj
+            with on_device(self.device):
+                key = jax.random.PRNGKey(self.seed)
+                proj = jax.random.normal(key, (self.sketch_dim, self.dim),
+                                         dtype=jnp.float32) / np.sqrt(self.dim)
+                if self.device is not None:
+                    proj = jax.device_put(proj, self.device)
+                self._proj = proj
         return self._proj
 
     def _project(self, sketch: np.ndarray) -> np.ndarray:
         proj = self._projection()
-        x = jnp.asarray(sketch)
-        if self.device is not None:
-            x = jax.device_put(x, self.device)
-        y = _project_norm(x, proj)
+        with on_device(self.device):
+            x = jnp.asarray(sketch)
+            if self.device is not None:
+                x = jax.device_put(x, self.device)
+            y = _project_norm(x, proj)
         return np.asarray(y)
 
     # ---------------------------------------------------------------- public
@@ -126,9 +135,9 @@ class HashEncoder:
         elif self.lang == "zh" and len(token) > 1:
             feats.extend(token)  # component chars
         v = np.zeros(self.token_dim, np.float32)
-        for f in feats:
-            h = fnv1a(f, self.seed + 1)
-            v[h % self.token_dim] += 1 if (h >> 62) & 1 else -1
+        h = fnv1a_batch(feats, self.seed + 1)
+        np.add.at(v, (h % np.uint64(self.token_dim)).astype(np.int64),
+                  np.where((h >> np.uint64(62)) & np.uint64(1), 1.0, -1.0))
         norm = np.linalg.norm(v)
         v = (v / norm if norm > 0 else v).astype(np.float32)
         if len(self._tok_cache) < 1_000_000:

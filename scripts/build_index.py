@@ -35,6 +35,14 @@ def main() -> None:
     if args.no_colbert:
         cfg.retrieval.enable_colbert = False
 
+    # Index building is host-prep plus small one-shot matmuls; running those
+    # on the accelerator costs a fresh XLA compile per shape (tens of seconds
+    # on remote-compile TPU setups) for zero benefit. Build on CPU; the
+    # serving engine loads the artifacts onto the TPU.
+    import jax
+
+    build_device = jax.devices("cpu")[0]
+
     chunks = load_chunks_from_dir(cfg.paths.processed_dir)
     by_lang = defaultdict(list)
     for c in chunks:
@@ -49,7 +57,8 @@ def main() -> None:
             continue
         t0 = time.time()
         log.info("[%s] building index over %d chunks", lang, len(lang_chunks))
-        bundle = IndexBundle.build_from_chunks(lang_chunks, cfg, lang)
+        bundle = IndexBundle.build_from_chunks(lang_chunks, cfg, lang,
+                                               device=build_device)
         root = Path(cfg.paths.index_dir) / lang
         if args.index_version:
             out = IndexRegistry(root).versions_root() / args.index_version

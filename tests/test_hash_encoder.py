@@ -54,3 +54,13 @@ def test_state_roundtrip():
     texts = ["alpha delta"]
     np.testing.assert_array_equal(enc.encode_queries(texts),
                                   clone.encode_queries(texts))
+
+
+def test_fnv1a_batch_matches_scalar():
+    from legalrag_tpu.tokenize import fnv1a
+    from legalrag_tpu.tokenize.tokenizers import fnv1a_batch
+
+    feats = ["", "a", "hello", "世界", "买卖合同", "#tok#", "x" * 40]
+    got = fnv1a_batch(feats, seed=7)
+    for f, h in zip(feats, got):
+        assert int(h) == fnv1a(f, seed=7), f
