@@ -75,6 +75,17 @@ class DenseIndex:
                               self.n, k, backend=backend, tile_n=tile_n)
         return np.asarray(s), np.asarray(i)
 
+    def score_rows(self, q: np.ndarray, rows: np.ndarray) -> np.ndarray:
+        """Inner products of one query [dim] against specific rows [m] —
+        the graph-channel scorer (batched gather + dot on device)."""
+        if len(rows) == 0:
+            return np.zeros(0, np.float32)
+        with on_device(self.device):
+            emb_rows = jnp.take(self.emb, jnp.asarray(rows, jnp.int32), axis=0)
+            s = jnp.dot(emb_rows, jnp.asarray(q, self.emb.dtype),
+                        preferred_element_type=jnp.float32)
+        return np.asarray(s)
+
     # ------------------------------------------------------------- persist
     def save(self, path: str | Path) -> None:
         emb = np.asarray(self.emb[: self.n], np.float32) if self.n else \

@@ -1,0 +1,98 @@
+"""Language routing + serving-side bundle cache.
+
+``ByLangRetriever`` detects the query language and lazily owns one
+``HybridRetriever`` per language over ``cfg.with_lang(lang)`` (parity:
+reference ``by_lang_retriever.py:16-29``).
+
+``BundleCache`` replaces the reference's per-file mtime polling
+(``vector_store.py:95-129``) with one manifest-generation check per lookup:
+the live server picks up incremental ingests / newly activated index
+versions without restart (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+from legalrag_tpu.config import AppConfig
+from legalrag_tpu.graph.store import LawGraphStore
+from legalrag_tpu.index.bundle import IndexBundle
+from legalrag_tpu.retrieval.hybrid import HybridRetriever
+from legalrag_tpu.schemas import RetrievalHit, RoutingDecision
+from legalrag_tpu.utils import detect_lang, get_logger
+
+log = get_logger("by_lang")
+
+
+class BundleCache:
+    """Loads bundles per language; reloads when the on-disk manifest
+    generation moves past the in-memory one. Checks are throttled."""
+
+    def __init__(self, cfg: AppConfig, device=None, check_interval: float = 2.0):
+        self.cfg = cfg
+        self.device = device
+        self.check_interval = check_interval
+        self._bundles: Dict[str, IndexBundle] = {}
+        self._last_check: Dict[str, float] = {}
+
+    def index_dir(self, lang: str) -> Path:
+        return Path(self.cfg.with_lang(lang).paths.lang_index_dir)
+
+    def get(self, lang: str) -> IndexBundle:
+        now = time.monotonic()
+        bundle = self._bundles.get(lang)
+        if bundle is not None and now - self._last_check.get(lang, 0) < self.check_interval:
+            return bundle
+        d = self.index_dir(lang)
+        manifest = d / "manifest.json"
+        if not manifest.exists():
+            raise FileNotFoundError(
+                f"no index for lang={lang} at {d}; run scripts.build_index")
+        self._last_check[lang] = now
+        gen = json.loads(manifest.read_text(encoding="utf-8")).get("generation", 0)
+        if bundle is None or gen > bundle.generation:
+            lang_cfg = self.cfg.with_lang(lang)
+            log.info("[%s] (re)loading index generation=%s from %s", lang, gen, d)
+            bundle = IndexBundle.load(d, lang_cfg, lang, device=self.device)
+            self._bundles[lang] = bundle
+        return bundle
+
+    def put(self, lang: str, bundle: IndexBundle) -> None:
+        """Install a live bundle (in-process ingest path)."""
+        self._bundles[lang] = bundle
+        self._last_check[lang] = time.monotonic()
+
+
+class ByLangRetriever:
+    def __init__(self, cfg: AppConfig, device=None, llm=None,
+                 cache: Optional[BundleCache] = None):
+        self.cfg = cfg
+        self.llm = llm
+        self.cache = cache or BundleCache(cfg, device=device)
+        self._retrievers: Dict[str, HybridRetriever] = {}
+        self._graphs: Dict[str, LawGraphStore] = {}
+
+    def graph_store(self, lang: str) -> LawGraphStore:
+        if lang not in self._graphs:
+            lang_cfg = self.cfg.with_lang(lang)
+            self._graphs[lang] = LawGraphStore(lang_cfg.paths.graph_file)
+        return self._graphs[lang]
+
+    def retriever(self, lang: str) -> HybridRetriever:
+        bundle = self.cache.get(lang)
+        hr = self._retrievers.get(lang)
+        if hr is None or hr.bundle is not bundle:
+            hr = HybridRetriever(bundle, self.cfg.with_lang(lang),
+                                 graph_store=self.graph_store(lang),
+                                 llm=self.llm)
+            self._retrievers[lang] = hr
+        return hr
+
+    def search(self, question: str, top_k: Optional[int] = None,
+               decision: Optional[RoutingDecision] = None) -> List[RetrievalHit]:
+        lang = detect_lang(question)
+        return self.retriever(lang).search(question, top_k=top_k,
+                                           decision=decision)

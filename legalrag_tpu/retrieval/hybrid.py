@@ -1,0 +1,172 @@
+"""HybridRetriever — the retrieval hot path.
+
+Orchestration parity with the reference ``HybridRetriever.search``
+(``hybrid_retriever.py:282-384``): oversampled per-channel search → fusion →
+min-score filter → optional graph expansion (GRAPH_AUGMENTED) → optional
+rerank of the top-N with β-blend → dedup-keep-best with provenance union →
+per-stage ms timing log (the de-facto perf interface, SURVEY.md §5.1) →
+top-k. Channels share corpus rows on device, so everything between encode
+and hit hydration is device work.
+
+Deliberate divergence (documented): ``eff_top_k = top_k × oversample_factor``
+honors the reference's *intent*; the shipped code oversampled to ``top_k``
+only by accident (SURVEY.md §2.13.8).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from legalrag_tpu.config import AppConfig
+from legalrag_tpu.graph.store import LawGraphStore
+from legalrag_tpu.index.bundle import IndexBundle
+from legalrag_tpu.retrieval.channels import (
+    BM25Retriever,
+    DenseRetriever,
+    GraphRetriever,
+    LateInteractionRetriever,
+    make_hits,
+)
+from legalrag_tpu.retrieval.fusion import ChannelResult, fuse
+from legalrag_tpu.retrieval.rerankers import RerankerFactory, rerank_candidates
+from legalrag_tpu.schemas import RetrievalHit, RoutingDecision, RoutingMode
+from legalrag_tpu.utils import get_logger
+
+log = get_logger("hybrid")
+
+
+class HybridRetriever:
+    def __init__(self, bundle: IndexBundle, cfg: AppConfig,
+                 graph_store: Optional[LawGraphStore] = None, llm=None):
+        self.bundle = bundle
+        self.cfg = cfg
+        self.llm = llm
+        self.dense = DenseRetriever(bundle)
+        self.bm25 = BM25Retriever(bundle)
+        self.late = (LateInteractionRetriever(bundle, cfg.engine.late_candidates)
+                     if cfg.retrieval.enable_colbert else None)
+        self.graph: Optional[GraphRetriever] = None
+        if cfg.retrieval.enable_graph and graph_store is not None:
+            self.graph = GraphRetriever(bundle, graph_store, cfg)
+
+    # ------------------------------------------------------ channel APIs
+    def search_dense(self, question: str, top_k: int = 10) -> List[RetrievalHit]:
+        return self.dense.search(question, top_k)
+
+    def search_bm25(self, question: str, top_k: int = 10) -> List[RetrievalHit]:
+        return self.bm25.search(question, top_k)
+
+    def search_colbert(self, question: str, top_k: int = 10) -> List[RetrievalHit]:
+        if self.late is None:
+            return []
+        return self.late.search(question, top_k)
+
+    def search_graph(self, question: str, seeds: Sequence[str],
+                     top_k: int = 0) -> List[RetrievalHit]:
+        if self.graph is None:
+            return []
+        return self.graph.search(question, seeds, top_k)
+
+    # ------------------------------------------------------------- search
+    def search(self, question: str, top_k: Optional[int] = None,
+               decision: Optional[RoutingDecision] = None) -> List[RetrievalHit]:
+        r = self.cfg.retrieval
+        top_k = top_k or r.top_k
+        eff_k = max(top_k, top_k * r.oversample_factor)
+        t: Dict[str, float] = {}
+        t0 = time.perf_counter()
+
+        def clock(name: str, start: float) -> float:
+            now = time.perf_counter()
+            t[name] = (now - start) * 1000
+            return now
+
+        # channel searches (each one jitted device program)
+        mark = t0
+        dense_s, dense_rows = self.dense.search_rows([question], eff_k)
+        mark = clock("dense", mark)
+        bm25_s, bm25_rows = self.bm25.search_rows([question], eff_k)
+        mark = clock("bm25", mark)
+        channels = [
+            ChannelResult("dense", r.dense_weight, dense_rows[0], dense_s[0]),
+            ChannelResult("bm25", r.bm25_weight, bm25_rows[0], bm25_s[0]),
+        ]
+        if self.late is not None:
+            late_s, late_rows = self.late.search_rows([question], eff_k)
+            channels.append(ChannelResult("colbert", r.colbert_weight,
+                                          late_rows[0], late_s[0]))
+            mark = clock("colbert", mark)
+
+        fused = fuse(channels, method=r.fusion_method, rrf_k=r.rrf_k,
+                     alpha=r.rrf_alpha)
+        hits: List[RetrievalHit] = []
+        for cand in fused:
+            chunk = self.bundle.chunks[cand.row]
+            sem = cand.breakdown.get("per_channel", {}).get("dense", {}).get("score")
+            hits.append(RetrievalHit(chunk=chunk, score=cand.score,
+                                     source="retriever", semantic_score=sem,
+                                     score_breakdown=cand.breakdown))
+        mark = clock("fuse", mark)
+
+        hits = [h for h in hits if h.score >= r.min_final_score]
+
+        if (decision is not None and decision.mode == RoutingMode.GRAPH_AUGMENTED
+                and self.graph is not None):
+            seeds = [h.chunk.article_id for h in hits[: r.graph_seed_k]]
+            hits.extend(self.graph.search(question, seeds, top_k=0))
+            mark = clock("graph", mark)
+
+        if r.enable_rerank and hits:
+            head = hits[: r.rerank_top_n]
+            tail = hits[r.rerank_top_n:]
+            reranker = RerankerFactory.create(self.cfg, self.bundle,
+                                              llm=self.llm, top_k=r.rerank_top_n)
+            head = rerank_candidates(question, head, reranker,
+                                     beta=r.rerank_beta, norm=r.rerank_norm)
+            hits = head + tail
+            mark = clock("rerank", mark)
+
+        hits = dedup_keep_best(hits)
+        t["total"] = (time.perf_counter() - t0) * 1000
+        log.info("[retrieval] %s",
+                 " ".join(f"{k}={v:.1f}ms" for k, v in t.items()))
+        for rank, h in enumerate(hits[:top_k], start=1):
+            h.rank = rank
+        return hits[:top_k]
+
+
+def dedup_keep_best(hits: List[RetrievalHit]) -> List[RetrievalHit]:
+    """Keep the best-scoring hit per chunk id; union channel provenance and
+    sum channel contributions (reference ``_dedup_keep_best``,
+    ``hybrid_retriever.py:71-130``)."""
+    best: Dict[str, RetrievalHit] = {}
+    order: List[str] = []
+    for h in hits:
+        cid = h.chunk.id
+        cur = best.get(cid)
+        if cur is None:
+            best[cid] = h
+            order.append(cid)
+            continue
+        keep, drop = (h, cur) if h.score > cur.score else (cur, h)
+        kb = dict(keep.score_breakdown or {})
+        db = drop.score_breakdown or {}
+        merged_channels = list(dict.fromkeys(
+            (kb.get("channels") or ([kb["channel"]] if "channel" in kb else []))
+            + (db.get("channels") or ([db["channel"]] if "channel" in db else []))))
+        if merged_channels:
+            kb["channels"] = merged_channels
+        contrib = dict(kb.get("channel_contrib") or {})
+        for k, v in (db.get("channel_contrib") or {}).items():
+            contrib[k] = contrib.get(k, 0.0) + v
+        if contrib:
+            kb["channel_contrib"] = contrib
+        keep.score_breakdown = kb
+        if keep.graph_depth is None:
+            keep.graph_depth = drop.graph_depth
+        best[cid] = keep
+    out = sorted((best[c] for c in order), key=lambda h: -h.score)
+    return out

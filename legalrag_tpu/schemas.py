@@ -166,7 +166,9 @@ class LawNode(BaseModel):
     neighbors: List[Neighbor] = Field(default_factory=list)
     meta: Dict[str, Any] = Field(default_factory=dict)
 
-    # query-time fields
+    # query-time fields (the reference declares ``relations: str`` but always
+    # assigns a one-element list, ``graph_store.py:155-156``; we type it as
+    # the effective list)
     graph_depth: Optional[int] = None
     graph_parent: Optional[str] = None
-    relations: Optional[str] = None
+    relations: Optional[List[str]] = None

@@ -1,0 +1,103 @@
+"""HybridRetriever end-to-end over a real-corpus bundle + graph."""
+
+import numpy as np
+import pytest
+
+from legalrag_tpu.config import AppConfig
+from legalrag_tpu.graph import GraphBuilder, LawGraphStore
+from legalrag_tpu.index.bundle import IndexBundle
+from legalrag_tpu.retrieval.hybrid import HybridRetriever, dedup_keep_best
+from legalrag_tpu.schemas import (
+    IssueType,
+    RetrievalHit,
+    RoutingDecision,
+    RoutingMode,
+    TaskType,
+)
+
+
+@pytest.fixture(scope="module")
+def hybrid(en_chunks, tmp_path_factory):
+    cfg = AppConfig()
+    cfg.engine.capacity_round = 256
+    cfg.engine.late_doc_maxlen = 64
+    chunks = en_chunks[:150]
+    bundle = IndexBundle.build_from_chunks(chunks, cfg, "en")
+    gpath = tmp_path_factory.mktemp("graph") / "g.jsonl"
+    GraphBuilder().build_to_file(chunks, gpath)
+    return HybridRetriever(bundle, cfg, graph_store=LawGraphStore(gpath))
+
+
+def _decision(mode=RoutingMode.RAG):
+    return RoutingDecision(task_type=TaskType.JUDGE_STYLE,
+                           issue_type=IssueType.OTHER, mode=mode)
+
+
+def test_search_returns_ranked_hits(hybrid):
+    hits = hybrid.search("buyer in ordinary course of business security interest",
+                         top_k=5, decision=_decision())
+    assert hits and len(hits) <= 5
+    # both §1-201 and §2A-103 define "buyer in ordinary course of business"
+    assert "buyer in ordinary course" in hits[0].chunk.text.lower()
+    assert [h.rank for h in hits] == list(range(1, len(hits) + 1))
+    scores = [h.score for h in hits]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_breakdown_explainability(hybrid):
+    hits = hybrid.search("negotiable instrument payable to bearer", top_k=5,
+                         decision=_decision())
+    bd = hits[0].score_breakdown
+    assert bd and "per_channel" in bd
+    assert set(bd["per_channel"]) & {"dense", "bm25", "colbert"}
+    assert "rerank_norm" in bd  # rerank ran
+
+
+def test_graph_augmented_adds_graph_hits(hybrid):
+    plain = hybrid.search("scope of article general provisions", top_k=10,
+                          decision=_decision())
+    aug = hybrid.search("scope of article general provisions", top_k=10,
+                        decision=_decision(RoutingMode.GRAPH_AUGMENTED))
+    assert len(aug) >= len(plain) - 2  # graph hits may displace others
+    # at least the search ran the graph stage without error; graph-source
+    # hits carry depth metadata when they appear
+    for h in aug:
+        if h.source == "graph":
+            assert h.graph_depth is not None
+
+
+def test_channel_apis(hybrid):
+    assert hybrid.search_dense("security interest", 3)
+    assert hybrid.search_bm25("security interest", 3)
+    assert hybrid.search_colbert("security interest", 3)
+    g = hybrid.search_graph("security interest", ["1-201"], 5)
+    assert all(h.source == "graph" for h in g)
+
+
+def test_dedup_keep_best_unions_provenance():
+    from legalrag_tpu.schemas import LawChunk
+
+    c = LawChunk(id="x", law_name="L", article_no="§ 1", article_id="1",
+                 text="t", lang="en")
+    h1 = RetrievalHit(chunk=c, score=0.9,
+                      score_breakdown={"channel": "dense",
+                                       "channel_contrib": {"dense": 0.5}})
+    h2 = RetrievalHit(chunk=c, score=0.7,
+                      score_breakdown={"channel": "graph",
+                                       "channel_contrib": {"graph": 0.2}})
+    out = dedup_keep_best([h1, h2])
+    assert len(out) == 1
+    assert out[0].score == 0.9
+    assert set(out[0].score_breakdown["channels"]) == {"dense", "graph"}
+    assert out[0].score_breakdown["channel_contrib"] == {"dense": 0.5,
+                                                         "graph": 0.2}
+
+
+def test_min_score_filter(hybrid):
+    hybrid.cfg.retrieval.min_final_score = 0.99
+    try:
+        hits = hybrid.search("completely unrelated zebra astronomy query",
+                             top_k=5, decision=_decision())
+        assert all(h.score >= 0.99 for h in hits) or hits == []
+    finally:
+        hybrid.cfg.retrieval.min_final_score = 0.2
