@@ -1,0 +1,362 @@
+"""HTTP serving layer.
+
+Endpoint-contract parity with the reference FastAPI app
+(``legalrag/api/server.py``, SURVEY.md §1 L8):
+
+- ``POST /rag/retrieve``  — route + hybrid search; caches
+  {question, decision, hits} under a ``retrieval_id`` with a 15-minute TTL
+- ``POST /rag/answer``    — JSON, or SSE when ``stream`` is true: ``meta``,
+  per-chunk ``token`` (with dt), incremental ``section``/``item``/
+  ``sentence`` structure events, keep-alive pings, ``done``/``error``
+- ``POST /rag/query``     — composed retrieve + answer
+- ``POST /ingest/pdf``    — multipart upload → background incremental index
+- ``GET /ingest/status/{doc_id}``, ``GET /health``, ``GET /ready``,
+  ``GET /ui``, ``GET /``, ``GET /debug/ingest/preview`` (functional here;
+  the reference's is broken — SURVEY.md §2.13.3)
+
+Server behaviors preserved: non-blocking startup build with warmup flipping
+``/ready``; per-request ids through the contextvar; per-request LLM override
+via the ``X-OpenAI-Api-Key`` header when the provider is keyless; optional
+remote retrieval microservice via env ``RETRIEVAL_URL``.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import os
+import threading
+import time
+import urllib.request
+import uuid
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+from legalrag_tpu.api.answer_scanner import StructuredAnswerScanner
+from legalrag_tpu.api.webcore import (
+    App,
+    HTTPError,
+    Request,
+    Response,
+    StreamingResponse,
+    sse_event,
+)
+from legalrag_tpu.config import AppConfig
+from legalrag_tpu.llm.client import LLMClient
+from legalrag_tpu.llm.context import set_request_id
+from legalrag_tpu.llm.gateway import LLMGateway
+from legalrag_tpu.utils import get_logger
+
+log = get_logger("api.server")
+
+UI_PATH = Path(__file__).resolve().parent.parent.parent / "ui" / "index.html"
+
+
+class RetrieveCache:
+    """retrieval_id → {question, decision, hits}; TTL purge on access
+    (reference ``server.py:270-281``)."""
+
+    def __init__(self, ttl: float = 900.0):
+        self.ttl = ttl
+        self._data: Dict[str, tuple] = {}
+        self._lock = threading.Lock()
+
+    def put(self, payload: Dict[str, Any]) -> str:
+        rid = uuid.uuid4().hex
+        with self._lock:
+            self._purge()
+            self._data[rid] = (time.monotonic(), payload)
+        return rid
+
+    def get(self, rid: str) -> Optional[Dict[str, Any]]:
+        with self._lock:
+            self._purge()
+            entry = self._data.get(rid)
+            return entry[1] if entry else None
+
+    def _purge(self) -> None:
+        cutoff = time.monotonic() - self.ttl
+        for k in [k for k, (t, _) in self._data.items() if t < cutoff]:
+            del self._data[k]
+
+
+class ServerState:
+    def __init__(self, cfg: AppConfig):
+        self.cfg = cfg
+        self.pipeline = None
+        self.ingest = None
+        self.ready = False
+        self.warmup_done = False
+        self.error: Optional[str] = None
+        self.cache = RetrieveCache(cfg.server.retrieve_cache_ttl)
+        self.retrieval_url = os.environ.get("RETRIEVAL_URL")
+
+    # ----------------------------------------------------------- lifecycle
+    def build(self) -> None:
+        try:
+            from legalrag_tpu.ingest.service import IngestService
+            from legalrag_tpu.pipeline.rag_pipeline import RagPipeline
+            from legalrag_tpu.retrieval.by_lang import BundleCache, ByLangRetriever
+
+            client = LLMClient.from_config(self.cfg)
+            gateway = LLMGateway(client)
+            cache = BundleCache(self.cfg)
+            retriever = ByLangRetriever(self.cfg, llm=gateway, cache=cache)
+            self.pipeline = RagPipeline(self.cfg, llm=gateway,
+                                        retriever=retriever)
+            self.ingest = IngestService(self.cfg, cache)
+            self.ready = True
+            self._warmup()
+        except Exception as e:
+            self.error = str(e)
+            log.error("pipeline build failed: %s", e, exc_info=True)
+
+    def _warmup(self) -> None:
+        try:
+            self.pipeline.retriever.search("法律条文", top_k=3)
+        except Exception as e:
+            log.warning("zh warmup skipped: %s", e)
+        try:
+            self.pipeline.retriever.search("legal provision", top_k=3)
+        except Exception as e:
+            log.warning("en warmup skipped: %s", e)
+        self.warmup_done = True
+        log.info("warmup complete; /ready now true")
+
+    def require_ready(self) -> None:
+        if not self.ready or self.pipeline is None:
+            raise HTTPError(503, self.error or "pipeline is still building")
+
+    # ------------------------------------------------------------- helpers
+    def llm_for_request(self, req: Request):
+        """Per-request key override (reference ``server.py:312-343``)."""
+        user_key = req.headers.get("x-openai-api-key")
+        if user_key and (self.cfg.llm.provider == "disabled"
+                         or not self.cfg.llm.api_key):
+            return LLMGateway(LLMClient.from_config_with_key(self.cfg, user_key))
+        return None
+
+    def retrieve(self, question: str, top_k: Optional[int]):
+        if self.retrieval_url:
+            body = json.dumps({"question": question, "top_k": top_k}).encode()
+            r = urllib.request.Request(
+                self.retrieval_url.rstrip("/") + "/retrieve", data=body,
+                headers={"Content-Type": "application/json"}, method="POST")
+            with urllib.request.urlopen(r, timeout=30) as resp:
+                obj = json.loads(resp.read().decode("utf-8"))
+            from legalrag_tpu.schemas import RetrievalHit, RoutingDecision
+
+            hits = [RetrievalHit.model_validate(h) for h in obj["hits"]]
+            decision = RoutingDecision.model_validate(obj["decision"])
+            return hits, decision
+        return self.pipeline.retrieve(question, top_k=top_k)
+
+
+def _hit_payload(h) -> Dict[str, Any]:
+    return h.model_dump(exclude_none=True)
+
+
+def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
+               state: Optional[ServerState] = None) -> App:
+    cfg = cfg or AppConfig.load()
+    st = state or ServerState(cfg)
+    app = App(cors_allow_all=cfg.server.cors_allow_all)
+    app.state = st
+
+    if build_async:
+        threading.Thread(target=st.build, daemon=True,
+                         name="pipeline-build").start()
+    else:
+        st.build()
+
+    # ------------------------------------------------------------- basics
+    @app.get("/")
+    def root(req: Request) -> Response:
+        return Response({"name": "legalrag-tpu", "ready": st.ready,
+                         "endpoints": ["/rag/retrieve", "/rag/answer",
+                                       "/rag/query", "/ingest/pdf",
+                                       "/ingest/status/{doc_id}", "/health",
+                                       "/ready", "/ui"]})
+
+    @app.get("/health")
+    def health(req: Request) -> Response:
+        return Response({"status": "ok"})
+
+    @app.get("/ready")
+    def ready(req: Request) -> Response:
+        import jax
+
+        return Response({
+            "ready": st.ready and st.warmup_done,
+            "pipeline_ready": st.ready,
+            "warmup_done": st.warmup_done,
+            "error": st.error,
+            "provider": cfg.llm.provider,
+            "backend": jax.default_backend(),
+            "devices": [str(d) for d in jax.devices()],
+        })
+
+    @app.get("/ui")
+    def ui(req: Request) -> Response:
+        if UI_PATH.exists():
+            return Response(UI_PATH.read_text(encoding="utf-8"),
+                            media_type="text/html; charset=utf-8")
+        return Response({"detail": "ui not bundled"}, status=404)
+
+    # ------------------------------------------------------------ retrieve
+    @app.post("/rag/retrieve")
+    def rag_retrieve(req: Request) -> Response:
+        st.require_ready()
+        set_request_id(uuid.uuid4().hex[:12])
+        body = req.json()
+        question = (body.get("question") or "").strip()
+        if not question:
+            raise HTTPError(422, "question is required")
+        top_k = body.get("top_k")
+        hits, decision = st.retrieve(question, top_k)
+        rid = st.cache.put({"question": question, "decision": decision,
+                            "hits": hits})
+        return Response({
+            "retrieval_id": rid,
+            "question": question,
+            "decision": decision.model_dump(),
+            "hits": [_hit_payload(h) for h in hits],
+        })
+
+    # -------------------------------------------------------------- answer
+    def _resolve_answer_inputs(body: Dict[str, Any]):
+        rid = body.get("retrieval_id")
+        if rid:
+            entry = st.cache.get(rid)
+            if entry is None:
+                raise HTTPError(404, "retrieval_id not found or expired")
+            return entry["question"], entry["hits"], entry["decision"]
+        question = (body.get("question") or "").strip()
+        if not question:
+            raise HTTPError(422, "retrieval_id or question is required")
+        hits, decision = st.retrieve(question, body.get("top_k"))
+        return question, hits, decision
+
+    def _sse_stream(question, hits, decision, llm):
+        loop = asyncio.new_event_loop()
+        t0 = time.time()
+        try:
+            yield b":" + b" " * 2048 + b"\n\n"  # anti-buffering padding
+            yield sse_event("meta", {
+                "question": question,
+                "decision": decision.model_dump() if decision else None,
+                "hits": [_hit_payload(h) for h in hits],
+            })
+            agen = st.pipeline.answer_stream_from_hits(
+                question, hits, decision, llm=llm)
+            scanner = StructuredAnswerScanner()
+            last_ping = time.time()
+            gen = agen.__aiter__()
+            while True:
+                try:
+                    chunk = loop.run_until_complete(gen.__anext__())
+                except StopAsyncIteration:
+                    break
+                now = time.time()
+                if now - last_ping > 1.0:
+                    yield b": ping\n\n"
+                    last_ping = now
+                if not chunk:
+                    continue
+                yield sse_event("token", {"text": chunk,
+                                          "dt": round(now - t0, 3)})
+                for ev, payload in scanner.feed(chunk):
+                    yield sse_event(ev, payload)
+            yield sse_event("done", {"ok": True,
+                                     "dt": round(time.time() - t0, 3)})
+        except Exception as e:
+            log.error("SSE stream failed: %s", e, exc_info=True)
+            yield sse_event("error", {"detail": str(e)})
+        finally:
+            loop.close()
+
+    @app.post("/rag/answer")
+    def rag_answer(req: Request):
+        st.require_ready()
+        set_request_id(uuid.uuid4().hex[:12])
+        body = req.json()
+        question, hits, decision = _resolve_answer_inputs(body)
+        llm = st.llm_for_request(req)
+        if body.get("stream"):
+            return StreamingResponse(_sse_stream(question, hits, decision, llm))
+        ans = st.pipeline.answer_from_hits(question, hits, decision, llm=llm)
+        return Response({"question": question, "answer": ans.answer,
+                         "decision": decision.model_dump() if decision else None,
+                         "hits": [_hit_payload(h) for h in hits]})
+
+    @app.post("/rag/query")
+    def rag_query(req: Request):
+        st.require_ready()
+        set_request_id(uuid.uuid4().hex[:12])
+        body = req.json()
+        question = (body.get("question") or "").strip()
+        if not question:
+            raise HTTPError(422, "question is required")
+        hits, decision = st.retrieve(question, body.get("top_k"))
+        llm = st.llm_for_request(req)
+        if body.get("stream"):
+            return StreamingResponse(_sse_stream(question, hits, decision, llm))
+        ans = st.pipeline.answer_from_hits(question, hits, decision, llm=llm)
+        return Response({"question": question, "answer": ans.answer,
+                         "decision": decision.model_dump(),
+                         "hits": [_hit_payload(h) for h in hits]})
+
+    # -------------------------------------------------------------- ingest
+    @app.post("/ingest/pdf")
+    def ingest_pdf(req: Request) -> Response:
+        st.require_ready()
+        form = req.form()
+        f = form.get("file")
+        if not isinstance(f, dict) or not f.get("content"):
+            raise HTTPError(422, "multipart field 'file' is required")
+        try:
+            doc_id, n = st.ingest.ingest_upload_and_schedule(
+                f.get("filename") or "upload.bin", f["content"])
+        except (ValueError, RuntimeError) as e:
+            raise HTTPError(400, str(e))
+        return Response({"doc_id": doc_id, "chunks": n,
+                         "status_url": f"/ingest/status/{doc_id}"})
+
+    @app.get("/ingest/status/{doc_id}")
+    def ingest_status(req: Request) -> Response:
+        st.require_ready()
+        status = st.ingest.get_status(req.params["doc_id"])
+        if not status:
+            raise HTTPError(404, "unknown doc_id")
+        return Response({"doc_id": req.params["doc_id"], "status": status})
+
+    @app.get("/debug/ingest/preview")
+    def ingest_preview(req: Request) -> Response:
+        """Preview extraction+chunking for an already-ingested doc (the
+        reference's version NameErrors on a missing import; functional here)."""
+        st.require_ready()
+        doc_id = req.query.get("doc_id", "")
+        path = Path(cfg.paths.processed_dir) / f"ingested_{doc_id}.jsonl"
+        if not doc_id or not path.exists():
+            raise HTTPError(404, "unknown doc_id")
+        chunks = [json.loads(l) for l in
+                  path.read_text(encoding="utf-8").splitlines() if l.strip()]
+        return Response({"doc_id": doc_id, "n_chunks": len(chunks),
+                         "chunks": chunks[:5]})
+
+    return app
+
+
+def main() -> None:
+    cfg = AppConfig.load()
+    app = create_app(cfg)
+    server = app.serve(cfg.server.host, cfg.server.port)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

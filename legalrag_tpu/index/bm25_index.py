@@ -113,12 +113,16 @@ class BM25Index:
         if self.n == 0:
             b = len(queries)
             return np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32)
+        from legalrag_tpu.ops.topk import bucket_k
+
+        k = min(k, self.n)
+        kb = bucket_k(k, self.impact.shape[1])
         with on_device(self.device):
             qtf = jnp.asarray(self.query_vectors(queries))
             if self.device is not None:
                 qtf = jax.device_put(qtf, self.device)
-            s, i = bm25_topk(self.impact, qtf, jnp.int32(self.n), min(k, self.n))
-        return np.asarray(s), np.asarray(i)
+            s, i = bm25_topk(self.impact, qtf, jnp.int32(self.n), kb)
+        return np.asarray(s)[:, :k], np.asarray(i)[:, :k]
 
     # -------------------------------------------------------------- persist
     def save(self, path: str | Path) -> None:

@@ -69,11 +69,14 @@ class DenseIndex:
         if self.n == 0:
             b = q.shape[0]
             return np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32)
+        from legalrag_tpu.ops.topk import bucket_k
+
         k = min(k, self.n)
+        kb = bucket_k(k, self.capacity)
         with on_device(self.device):
             s, i = dense_topk(self.emb, self._put(jnp.asarray(q, self.emb.dtype)),
-                              self.n, k, backend=backend, tile_n=tile_n)
-        return np.asarray(s), np.asarray(i)
+                              self.n, kb, backend=backend, tile_n=tile_n)
+        return np.asarray(s)[:, :k], np.asarray(i)[:, :k]
 
     def score_rows(self, q: np.ndarray, rows: np.ndarray) -> np.ndarray:
         """Inner products of one query [dim] against specific rows [m] —

@@ -86,13 +86,16 @@ class TokenIndex:
         if self.n == 0:
             b = q_tok.shape[0]
             return np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32)
+        from legalrag_tpu.ops.topk import bucket_k
+
+        k = min(k, self.n)
+        kb = bucket_k(k, self.capacity)
         with on_device(self.device):
             s, i = maxsim_topk(self.tok, self.mask,
                                self._put(jnp.asarray(q_tok, self.dtype)),
                                self._put(jnp.asarray(q_mask, bool)),
-                               self.n, min(k, self.n),
-                               tile_n=min(tile_n, self.capacity))
-        return np.asarray(s), np.asarray(i)
+                               self.n, kb, tile_n=min(tile_n, self.capacity))
+        return np.asarray(s)[:, :k], np.asarray(i)[:, :k]
 
     # -------------------------------------------------------------- persist
     def save(self, path: str | Path) -> None:

@@ -1,0 +1,238 @@
+"""Provider-agnostic LLM client.
+
+Capability parity with the reference ``LLMClient`` (``llm/client.py``):
+
+- providers: ``openai`` (chat-completions; no SDK — stdlib HTTP, because the
+  client must not drag heavyweight deps into the serving image), ``local``
+  (HF transformers causal LM on CPU/GPU, chat-template rendering), and
+  ``disabled`` (expects a per-request user key; degrades otherwise).
+- reasoning-model quirk preserved: temperature/top_p are omitted for
+  gpt-5/o1/o3/"thinking" model families (reference ``client.py:28-41``).
+- two attempts then *degraded mode*: a fixed "model unavailable, showing
+  retrieval only" answer instead of an exception (``client.py:541-551``) —
+  retrieval results must always reach the user.
+- streaming: ``chat_stream`` yields text chunks; OpenAI SSE frames are
+  parsed incrementally; the local model streams via an iterator thread.
+- singleton ``from_config`` + per-user-key cache ``from_config_with_key``
+  (a user key forces the openai provider, ``client.py:63-123``).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.error
+import urllib.request
+from typing import Dict, Generator, Iterable, List, Optional
+
+from legalrag_tpu.config import AppConfig, LLMConfig
+from legalrag_tpu.llm.context import get_request_id
+from legalrag_tpu.utils import get_logger
+
+log = get_logger("llm.client")
+
+Message = Dict[str, str]
+
+DEGRADED_ANSWER = {
+    "zh": "（当前未配置生成模型或模型暂不可用，以下仅展示检索到的相关条文，请结合原文自行判断。）",
+    "en": "(No generation model is configured or the model is temporarily "
+          "unavailable; showing retrieved provisions only.)",
+}
+
+_NO_SAMPLING_FAMILIES = ("gpt-5", "o1", "o3", "thinking")
+
+
+def _is_reasoning_model(model: str) -> bool:
+    m = (model or "").lower()
+    return any(f in m for f in _NO_SAMPLING_FAMILIES)
+
+
+class LLMUnavailable(RuntimeError):
+    pass
+
+
+class LLMClient:
+    _singleton: Optional["LLMClient"] = None
+    _keyed_cache: Dict[str, "LLMClient"] = {}
+    _cache_lock = threading.Lock()
+
+    def __init__(self, cfg: LLMConfig, api_key: Optional[str] = None):
+        self.cfg = cfg
+        self.api_key = api_key or cfg.api_key
+        self.provider = cfg.provider
+        if self.provider == "openai" and not self.api_key:
+            self.provider = "disabled"
+        self._local = None  # lazy transformers pipeline
+
+    # ------------------------------------------------------------ factories
+    @classmethod
+    def from_config(cls, cfg: AppConfig) -> "LLMClient":
+        if cls._singleton is None or cls._singleton.cfg is not cfg.llm:
+            cls._singleton = cls(cfg.llm)
+        return cls._singleton
+
+    @classmethod
+    def from_config_with_key(cls, cfg: AppConfig, user_key: str) -> "LLMClient":
+        with cls._cache_lock:
+            client = cls._keyed_cache.get(user_key)
+            if client is None:
+                llm_cfg = cfg.llm.model_copy()
+                llm_cfg.provider = "openai"
+                client = cls(llm_cfg, api_key=user_key)
+                if len(cls._keyed_cache) < 256:
+                    cls._keyed_cache[user_key] = client
+        return client
+
+    # ----------------------------------------------------------------- chat
+    def chat(self, messages: List[Message], tag: str = "chat",
+             max_new_tokens: Optional[int] = None) -> str:
+        rid = get_request_id()
+        last_err: Optional[Exception] = None
+        for attempt in range(2):
+            try:
+                if self.provider == "openai":
+                    return self._chat_openai(messages, max_new_tokens)
+                if self.provider == "local":
+                    return self._chat_local(messages, max_new_tokens)
+                raise LLMUnavailable("provider disabled")
+            except LLMUnavailable as e:
+                last_err = e
+                break
+            except Exception as e:
+                last_err = e
+                log.warning("[%s] llm %s attempt %d failed: %s",
+                            rid, tag, attempt + 1, e)
+        log.info("[%s] llm %s degraded (%s)", rid, tag, last_err)
+        return self.degraded_answer(messages)
+
+    def chat_stream(self, messages: List[Message], tag: str = "chat",
+                    max_new_tokens: Optional[int] = None
+                    ) -> Generator[str, None, None]:
+        try:
+            if self.provider == "openai":
+                yield from self._stream_openai(messages, max_new_tokens)
+                return
+            if self.provider == "local":
+                yield from self._stream_local(messages, max_new_tokens)
+                return
+        except Exception as e:
+            log.warning("[%s] llm stream %s failed: %s", get_request_id(), tag, e)
+        yield self.degraded_answer(messages)
+
+    def degraded_answer(self, messages: List[Message]) -> str:
+        text = " ".join(m.get("content", "") for m in messages)
+        from legalrag_tpu.utils import has_chinese
+
+        return DEGRADED_ANSWER["zh" if has_chinese(text) else "en"]
+
+    @property
+    def is_degraded(self) -> bool:
+        return self.provider == "disabled"
+
+    # --------------------------------------------------------------- openai
+    def _openai_payload(self, messages: List[Message],
+                        max_new_tokens: Optional[int], stream: bool) -> dict:
+        payload: dict = {
+            "model": self.cfg.model,
+            "messages": messages,
+            "max_completion_tokens": max_new_tokens or self.cfg.max_new_tokens,
+            "stream": stream,
+        }
+        if not _is_reasoning_model(self.cfg.model):
+            payload["temperature"] = self.cfg.temperature
+            payload["top_p"] = self.cfg.top_p
+        return payload
+
+    def _openai_request(self, payload: dict) -> urllib.request.Request:
+        base = (self.cfg.base_url or "https://api.openai.com/v1").rstrip("/")
+        return urllib.request.Request(
+            f"{base}/chat/completions",
+            data=json.dumps(payload).encode("utf-8"),
+            headers={"Content-Type": "application/json",
+                     "Authorization": f"Bearer {self.api_key}"},
+            method="POST")
+
+    def _chat_openai(self, messages: List[Message],
+                     max_new_tokens: Optional[int]) -> str:
+        req = self._openai_request(self._openai_payload(messages,
+                                                        max_new_tokens, False))
+        with urllib.request.urlopen(req, timeout=self.cfg.request_timeout) as r:
+            obj = json.loads(r.read().decode("utf-8"))
+        return obj["choices"][0]["message"]["content"] or ""
+
+    def _stream_openai(self, messages: List[Message],
+                       max_new_tokens: Optional[int]
+                       ) -> Generator[str, None, None]:
+        req = self._openai_request(self._openai_payload(messages,
+                                                        max_new_tokens, True))
+        with urllib.request.urlopen(req, timeout=self.cfg.request_timeout) as r:
+            for raw in r:
+                line = raw.decode("utf-8").strip()
+                if not line.startswith("data:"):
+                    continue
+                data = line[5:].strip()
+                if data == "[DONE]":
+                    break
+                try:
+                    delta = json.loads(data)["choices"][0]["delta"]
+                except (json.JSONDecodeError, KeyError, IndexError):
+                    continue
+                piece = delta.get("content")
+                if piece:
+                    yield piece
+
+    # ---------------------------------------------------------------- local
+    def _load_local(self):
+        if self._local is None:
+            try:
+                import torch
+                from transformers import AutoModelForCausalLM, AutoTokenizer
+            except ImportError as e:
+                raise LLMUnavailable(f"transformers unavailable: {e}") from e
+            try:
+                tok = AutoTokenizer.from_pretrained(self.cfg.model)
+                dtype = (torch.float16 if torch.cuda.is_available()
+                         else torch.float32)
+                model = AutoModelForCausalLM.from_pretrained(
+                    self.cfg.model, torch_dtype=dtype, device_map="auto")
+            except Exception as e:
+                raise LLMUnavailable(f"local model load failed: {e}") from e
+            self._local = (tok, model)
+        return self._local
+
+    def _local_inputs(self, tok, messages: List[Message]):
+        prompt = tok.apply_chat_template(messages, tokenize=False,
+                                         add_generation_prompt=True)
+        return tok(prompt, return_tensors="pt",
+                   truncation=True, max_length=self.cfg.max_context_tokens)
+
+    def _chat_local(self, messages: List[Message],
+                    max_new_tokens: Optional[int]) -> str:
+        tok, model = self._load_local()
+        inputs = self._local_inputs(tok, messages).to(model.device)
+        out = model.generate(
+            **inputs, max_new_tokens=max_new_tokens or self.cfg.max_new_tokens,
+            do_sample=self.cfg.temperature > 0,
+            temperature=max(self.cfg.temperature, 1e-5),
+            top_p=self.cfg.top_p, repetition_penalty=1.05)
+        gen = out[0][inputs["input_ids"].shape[1]:]
+        return tok.decode(gen, skip_special_tokens=True)
+
+    def _stream_local(self, messages: List[Message],
+                      max_new_tokens: Optional[int]
+                      ) -> Generator[str, None, None]:
+        from transformers import TextIteratorStreamer
+
+        tok, model = self._load_local()
+        inputs = self._local_inputs(tok, messages).to(model.device)
+        streamer = TextIteratorStreamer(tok, skip_prompt=True,
+                                        skip_special_tokens=True)
+        kwargs = dict(**inputs, streamer=streamer,
+                      max_new_tokens=max_new_tokens or self.cfg.max_new_tokens,
+                      do_sample=self.cfg.temperature > 0,
+                      temperature=max(self.cfg.temperature, 1e-5),
+                      top_p=self.cfg.top_p)
+        thread = threading.Thread(target=model.generate, kwargs=kwargs,
+                                  daemon=True)
+        thread.start()
+        yield from streamer

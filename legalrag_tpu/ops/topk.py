@@ -37,6 +37,17 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def bucket_k(k: int, n: int) -> int:
+    """Round k up to a small fixed set so varying top_k values reuse one
+    compiled program (k is a static shape under jit; without bucketing every
+    distinct eff_top_k costs a fresh XLA compile — observed ~2-6 s/query on
+    live serving). Callers slice [:k] host-side."""
+    for b in (8, 16, 32, 64, 128, 256, 512):
+        if k <= b:
+            return min(b, n) if n else b
+    return min(k, n) if n else k
+
+
 def default_backend(n: int = 0) -> str:
     """Measured on v5e: XLA's fused dot+top_k wins below ~10^5 rows (the
     [B, N] score tensor still fits comfortably in HBM bandwidth budget);

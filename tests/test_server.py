@@ -1,0 +1,138 @@
+"""API server end-to-end through the in-process TestClient."""
+
+import json
+import time
+
+import pytest
+
+from legalrag_tpu.api.server import create_app
+from legalrag_tpu.api.webcore import TestClient
+from legalrag_tpu.config import AppConfig
+from legalrag_tpu.index.bundle import IndexBundle
+
+
+@pytest.fixture(scope="module")
+def app(en_chunks, zh_chunks, tmp_path_factory):
+    root = tmp_path_factory.mktemp("srv")
+    cfg = AppConfig()
+    cfg.llm.provider = "disabled"
+    cfg.llm.api_key = None
+    cfg.engine.capacity_round = 256
+    cfg.engine.late_doc_maxlen = 64
+    for name in ("data_dir", "raw_dir", "processed_dir", "index_dir",
+                 "graph_dir", "eval_dir", "upload_dir"):
+        setattr(cfg.paths, name, root / name)
+    cfg.paths.ensure_tree()
+    for lang, chunks in (("en", en_chunks[:100]), ("zh", zh_chunks[:100])):
+        bundle = IndexBundle.build_from_chunks(chunks, cfg.with_lang(lang), lang)
+        bundle.save(root / "index_dir" / lang)
+    return create_app(cfg, build_async=False)
+
+
+@pytest.fixture(scope="module")
+def client(app):
+    return TestClient(app)
+
+
+def test_health_and_ready(client):
+    assert client.get("/health").json() == {"status": "ok"}
+    r = client.get("/ready").json()
+    assert r["ready"] is True and r["error"] is None
+
+
+def test_root_lists_endpoints(client):
+    j = client.get("/").json()
+    assert "/rag/retrieve" in j["endpoints"]
+
+
+def test_retrieve_and_answer(client):
+    r = client.post("/rag/retrieve",
+                    json_body={"question": "buyer in ordinary course of business"})
+    assert r.status == 200
+    body = r.json()
+    assert body["retrieval_id"] and body["hits"]
+    assert body["decision"]["task_type"]
+    top = body["hits"][0]
+    assert top["chunk"]["article_id"]
+    assert "per_channel" in top["score_breakdown"]
+
+    a = client.post("/rag/answer",
+                    json_body={"retrieval_id": body["retrieval_id"]})
+    assert a.status == 200
+    ans = a.json()
+    assert ans["hits"]
+    assert "unavailable" in ans["answer"] or "showing" in ans["answer"]
+
+
+def test_answer_sse_stream(client):
+    r = client.post("/rag/retrieve", json_body={"question": "security interest"})
+    rid = r.json()["retrieval_id"]
+    s = client.post("/rag/answer", json_body={"retrieval_id": rid,
+                                              "stream": True})
+    events = s.sse_events()
+    names = [e for e, _ in events]
+    assert names[0] == "meta"
+    assert "token" in names
+    assert names[-1] == "done"
+    meta = events[0][1]
+    assert meta["hits"]
+
+
+def test_query_composed(client):
+    r = client.post("/rag/query", json_body={"question": "合同解除的条件"})
+    body = r.json()
+    assert body["hits"] and body["answer"]
+    assert body["hits"][0]["chunk"]["lang"] == "zh"
+
+
+def test_validation_errors(client):
+    assert client.post("/rag/retrieve", json_body={}).status == 422
+    assert client.post("/rag/answer",
+                       json_body={"retrieval_id": "nope"}).status == 404
+    assert client.get("/nope").status == 404
+    assert client.get("/rag/retrieve").status == 405
+
+
+def test_ingest_txt_roundtrip(client, app):
+    text = ("Model Widget Act\n"
+            "§ 1-101. Definitions. In this act, \"widget\" means a purple "
+            "gadget used for testing ingestion pipelines.\n"
+            "§ 1-102. Widget Registration. Every widget must be registered "
+            "with the widget registry within thirty days.\n")
+    boundary = "testboundary42"
+    body = (f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="file"; '
+            'filename="widget_act.txt"\r\n'
+            "Content-Type: text/plain\r\n\r\n"
+            f"{text}\r\n--{boundary}--\r\n").encode()
+    r = client.post("/ingest/pdf", body=body,
+                    headers={"content-type":
+                             f"multipart/form-data; boundary={boundary}"})
+    assert r.status == 200, r.text
+    doc_id = r.json()["doc_id"]
+
+    assert app.state.ingest.queue.join(timeout=30)
+    status = client.get(f"/ingest/status/{doc_id}").json()["status"]
+    assert status["faiss"] == "added" and status["bm25"] == "added"
+    assert status["graph"] in ("added", "disabled")
+
+    # the live index picked the new doc up (generation-based reload)
+    r2 = client.post("/rag/retrieve",
+                     json_body={"question": "purple gadget widget registry"})
+    hits = r2.json()["hits"]
+    assert any("widget" in h["chunk"]["text"].lower() for h in hits[:3])
+
+    # preview endpoint (fixed vs reference defect §2.13.3)
+    p = client.get(f"/debug/ingest/preview?doc_id={doc_id}")
+    assert p.status == 200 and p.json()["n_chunks"] >= 1
+
+
+def test_ingest_rejects_garbage(client):
+    r = client.post("/ingest/pdf", body=b"not multipart",
+                    headers={"content-type": "text/plain"})
+    assert r.status == 422
+
+
+def test_ui_served(client):
+    r = client.get("/ui")
+    assert r.status == 200 and "LegalRAG-TPU" in r.text
