@@ -1,0 +1,200 @@
+"""Benchmark: hybrid retrieval throughput per chip vs a CPU reference-style
+baseline.
+
+Prints ONE JSON line:
+    {"metric": "hybrid_qps_per_chip", "value": <tpu qps>,
+     "unit": "queries/s", "vs_baseline": <tpu/cpu ratio>}
+
+Workload: the zh Civil Code index (1,260 articles — the reference's primary
+eval corpus, BASELINE.md). Queries are sentences sampled from articles
+(deterministic). The measured path is the full production query path: host
+query encode (hash features) → the fused device program (dense + BM25 +
+full-corpus MaxSim channels, RRF/min-max fusion, final top-k) → host
+id return.
+
+The CPU baseline mirrors the reference CPU hybrid's shape with *stronger*
+numerics than the reference actually has (BLAS matmuls everywhere instead
+of rank_bm25's pure-Python scoring loop; MaxSim over dense-prefiltered
+candidates like a PLAID-style reranker), so the reported speedup is a
+lower bound on the true gap. Diagnostics (incl. Recall@10 parity between
+the two paths) go to stderr; stdout carries exactly the one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+BATCH = 64
+N_QUERIES = 256
+TOP_K = 10
+
+
+def log(*a) -> None:
+    print(*a, file=sys.stderr, flush=True)
+
+
+def ensure_index(cfg, lang: str):
+    import jax
+
+    from legalrag_tpu.corpus import load_chunks_from_dir, parse_auto, write_chunks_jsonl
+    from legalrag_tpu.index.bundle import IndexBundle
+
+    lang_cfg = cfg.with_lang(lang)
+    index_dir = Path(lang_cfg.paths.lang_index_dir)
+    if IndexBundle.exists(index_dir):
+        return IndexBundle.load(index_dir, lang_cfg, lang)
+    processed = Path(cfg.paths.processed_dir)
+    chunks = [c for c in load_chunks_from_dir(processed) if c.lang == lang]
+    if not chunks:
+        raw = Path(cfg.paths.raw_dir)
+        for p in sorted(raw.rglob("*.txt")):
+            text = p.read_text(encoding="utf-8", errors="replace")
+            if text.strip():
+                recs = parse_auto(text, source=p.name)
+                chunks += [r.to_chunk() for r in recs if r.lang == lang]
+        write_chunks_jsonl(chunks, processed / f"law_{lang}.jsonl")
+    log(f"building {lang} index over {len(chunks)} chunks (cpu)")
+    bundle = IndexBundle.build_from_chunks(chunks, lang_cfg, lang,
+                                           device=jax.devices("cpu")[0])
+    bundle.save(index_dir)
+    return IndexBundle.load(index_dir, lang_cfg, lang)
+
+
+def make_queries(bundle, n: int, seed: int = 0):
+    """Sentence-sampled queries with gold rows (self-retrieval eval)."""
+    import re
+
+    rng = np.random.default_rng(seed)
+    rows = rng.permutation(bundle.n_docs)
+    queries, gold = [], []
+    for row in rows:
+        text = bundle.chunks[int(row)].text
+        sents = [s for s in re.split(r"[。；！? .;!?\n]", text)
+                 if 8 <= len(s) <= 80]
+        if not sents:
+            continue
+        queries.append(sents[rng.integers(len(sents))])
+        gold.append(int(row))
+        if len(queries) >= n:
+            break
+    return queries, np.asarray(gold)
+
+
+# ---------------------------------------------------------------- baseline
+class CpuBaseline:
+    """Reference-shaped CPU hybrid: exact dense (BLAS), BM25 impact (BLAS),
+    MaxSim over dense-prefiltered candidates, host RRF fusion."""
+
+    def __init__(self, bundle, cfg):
+        self.cfg = cfg
+        self.enc = bundle.encoder
+        self.emb = np.asarray(bundle.dense.emb[: bundle.dense.n], np.float32)
+        self.impact = np.asarray(bundle.bm25.impact, np.float32)[:, : bundle.bm25.n]
+        self.bm25 = bundle.bm25
+        self.tok = np.asarray(bundle.tokens.tok[: bundle.tokens.n], np.float32)
+        self.mask = np.asarray(bundle.tokens.mask[: bundle.tokens.n])
+        self.maxq = cfg.engine.max_query_tokens
+
+    def search(self, questions, top_k):
+        from legalrag_tpu.retrieval.fusion import ChannelResult, fuse
+
+        r = self.cfg.retrieval
+        eff = top_k * r.oversample_factor
+        qv = self.enc.encode_queries(questions)  # host encode (same cost)
+        qtf = self.bm25.query_vectors(questions)[:, : self.impact.shape[0]]
+        qt, qm = self.enc.encode_tokens(questions, self.maxq)
+        dense_s = qv @ self.emb.T
+        bm25_s = qtf @ self.impact
+        out_rows = np.empty((len(questions), top_k), np.int64)
+        for qi in range(len(questions)):
+            d_i = np.argpartition(-dense_s[qi], eff)[:eff]
+            d_i = d_i[np.argsort(-dense_s[qi][d_i])]
+            b_i = np.argpartition(-bm25_s[qi], eff)[:eff]
+            b_i = b_i[np.argsort(-bm25_s[qi][b_i])]
+            # late channel on dense-prefiltered candidates
+            cand = d_i[:128]
+            sim = np.einsum("qd,cld->cql", qt[qi], self.tok[cand])
+            sim = np.where(self.mask[cand][:, None, :], sim, -np.inf)
+            best = sim.max(axis=-1)
+            best = np.where(np.isfinite(best), best, 0.0)
+            best = np.where(qm[qi][None, :], best, 0.0)
+            l_s = best.sum(axis=-1)
+            order = np.argsort(-l_s)[:eff]
+            fused = fuse([
+                ChannelResult("dense", r.dense_weight, d_i, dense_s[qi][d_i]),
+                ChannelResult("bm25", r.bm25_weight, b_i, bm25_s[qi][b_i]),
+                ChannelResult("colbert", r.colbert_weight, cand[order],
+                              l_s[order]),
+            ], method=r.fusion_method, rrf_k=r.rrf_k, alpha=r.rrf_alpha)
+            rows = [c.row for c in fused[:top_k]]
+            rows += [rows[-1] if rows else 0] * (top_k - len(rows))
+            out_rows[qi] = rows
+        return out_rows
+
+
+def recall_at(rows: np.ndarray, gold: np.ndarray, k: int) -> float:
+    return float(np.mean([g in set(r[:k].tolist()) for r, g in
+                          zip(rows, gold)]))
+
+
+def main() -> None:
+    import jax
+
+    from legalrag_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from legalrag_tpu.config import AppConfig
+    from legalrag_tpu.retrieval.engine import FusedQueryEngine
+
+    cfg = AppConfig.load()
+    bundle = ensure_index(cfg, "zh")
+    log(f"zh index: {bundle.n_docs} docs on {jax.default_backend()}")
+    queries, gold = make_queries(bundle, N_QUERIES)
+    batches = [queries[i:i + BATCH] for i in range(0, len(queries), BATCH)]
+
+    engine = FusedQueryEngine(bundle, cfg.with_lang("zh"))
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    engine.search_batch(batches[0], TOP_K)
+    log(f"tpu compile+warmup: {time.perf_counter() - t0:.1f}s")
+
+    # pipelined: dispatch every batch, then sync — remote backends have
+    # high per-sync latency that pipelining amortizes
+    t0 = time.perf_counter()
+    in_flight = [engine.dispatch(batch, TOP_K) for batch in batches]
+    all_rows = [engine.collect(d)[1] for d in in_flight]
+    tpu_dt = time.perf_counter() - t0
+    tpu_qps = len(queries) / tpu_dt
+    tpu_rows = np.concatenate(all_rows)
+    log(f"tpu: {len(queries)} queries in {tpu_dt:.2f}s -> {tpu_qps:.1f} q/s; "
+        f"Recall@10={recall_at(tpu_rows, gold, 10):.3f}")
+
+    baseline = CpuBaseline(bundle, cfg.with_lang("zh"))
+    n_base = min(BATCH, len(queries))  # time one batch; extrapolate per-query
+    t0 = time.perf_counter()
+    base_rows = baseline.search(queries[:n_base], TOP_K)
+    cpu_dt = time.perf_counter() - t0
+    cpu_qps = n_base / cpu_dt
+    log(f"cpu baseline: {n_base} queries in {cpu_dt:.2f}s -> {cpu_qps:.1f} q/s; "
+        f"Recall@10={recall_at(base_rows, gold[:n_base], 10):.3f}")
+
+    print(json.dumps({
+        "metric": "hybrid_qps_per_chip",
+        "value": round(tpu_qps, 2),
+        "unit": "queries/s",
+        "vs_baseline": round(tpu_qps / cpu_qps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -158,6 +158,9 @@ def _hit_payload(h) -> Dict[str, Any]:
 
 def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
                state: Optional[ServerState] = None) -> App:
+    from legalrag_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = cfg or AppConfig.load()
     st = state or ServerState(cfg)
     app = App(cors_allow_all=cfg.server.cors_allow_all)

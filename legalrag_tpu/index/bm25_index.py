@@ -101,6 +101,19 @@ class BM25Index:
             ids_batch.append([self.vocab[t] for t in toks if t in self.vocab])
         return query_term_counts(ids_batch, v_pad)
 
+    def query_term_ids(self, queries: Sequence[str], maxlen: int = 64
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        """Padded (term_ids [B, L], mask [B, L]) — the KB-sized wire format
+        for on-device qtf construction (see ops.fused_query)."""
+        ids = np.zeros((len(queries), maxlen), np.int32)
+        mask = np.zeros((len(queries), maxlen), bool)
+        for i, q in enumerate(queries):
+            toks = [self.vocab[t] for t in tokenize(q, self.lang)
+                    if t in self.vocab][:maxlen]
+            ids[i, : len(toks)] = toks
+            mask[i, : len(toks)] = True
+        return ids, mask
+
     def scores(self, queries: Sequence[str]) -> np.ndarray:
         with on_device(self.device):
             qtf = jnp.asarray(self.query_vectors(queries))

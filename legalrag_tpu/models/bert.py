@@ -1,0 +1,307 @@
+"""BERT-family encoder in JAX/Flax.
+
+The ``bert`` embedding backend: loads HF-format BERT checkpoints
+(config.json + model.safetensors + tokenizer) for BGE-style bi-encoders,
+bge-reranker-style cross-encoders, and ColBERT-style token encoders, and
+runs them as jitted JAX programs on the TPU.
+
+Semantics parity with the reference's FlagEmbedding usage
+(``vector_store.py:131-155``): queries get the instruction prefix, passages
+encode bare, CLS pooling, L2-normalized float32 outputs, max_length 512.
+
+Weights must be present locally (zero-egress images skip this backend; the
+``hash`` encoder serves instead). Correctness of the module itself is tested
+with small randomly-initialized configs against shape/determinism/masking
+invariants; numerical parity against reference embeddings is validated
+wherever real checkpoints exist (cosine > 0.999 gate, SURVEY.md §7.2.3).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legalrag_tpu.utils import get_logger
+from legalrag_tpu.utils.device import on_device
+
+log = get_logger("models.bert")
+
+
+class BertConfig:
+    def __init__(self, vocab_size=30522, hidden_size=768,
+                 num_hidden_layers=12, num_attention_heads=12,
+                 intermediate_size=3072, max_position_embeddings=512,
+                 type_vocab_size=2, layer_norm_eps=1e-12, **_ignored):
+        self.vocab_size = vocab_size
+        self.hidden_size = hidden_size
+        self.num_hidden_layers = num_hidden_layers
+        self.num_attention_heads = num_attention_heads
+        self.intermediate_size = intermediate_size
+        self.max_position_embeddings = max_position_embeddings
+        self.type_vocab_size = type_vocab_size
+        self.layer_norm_eps = layer_norm_eps
+
+    @classmethod
+    def from_json(cls, path: Path) -> "BertConfig":
+        return cls(**json.loads(path.read_text(encoding="utf-8")))
+
+
+# ---------------------------------------------------------------------------
+# functional forward (params = nested dict of jnp arrays, HF naming)
+
+def _layer_norm(x, w, b, eps):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * w + b
+
+
+def _linear(x, p):
+    return jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32) + p["bias"]
+
+
+def bert_forward(params: Dict, cfg: BertConfig, input_ids: jax.Array,
+                 attention_mask: jax.Array,
+                 token_type_ids: Optional[jax.Array] = None) -> jax.Array:
+    """[B, L] ids → [B, L, H] final hidden states (f32)."""
+    b, l = input_ids.shape
+    if token_type_ids is None:
+        token_type_ids = jnp.zeros_like(input_ids)
+    emb = params["embeddings"]
+    x = (jnp.take(emb["word_embeddings"], input_ids, axis=0)
+         + emb["position_embeddings"][None, :l]
+         + jnp.take(emb["token_type_embeddings"], token_type_ids, axis=0))
+    x = _layer_norm(x, emb["LayerNorm"]["weight"], emb["LayerNorm"]["bias"],
+                    cfg.layer_norm_eps)
+
+    heads = cfg.num_attention_heads
+    head_dim = cfg.hidden_size // heads
+    neg = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e30)
+
+    for layer in params["layers"]:
+        att = layer["attention"]
+        q = _linear(x, att["query"]).reshape(b, l, heads, head_dim)
+        k = _linear(x, att["key"]).reshape(b, l, heads, head_dim)
+        v = _linear(x, att["value"]).reshape(b, l, heads, head_dim)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(head_dim) + neg
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.reshape(b, l, cfg.hidden_size)
+        x = _layer_norm(x + _linear(ctx, att["output"]),
+                        att["output_LayerNorm"]["weight"],
+                        att["output_LayerNorm"]["bias"], cfg.layer_norm_eps)
+        h = jax.nn.gelu(_linear(x, layer["intermediate"]), approximate=False)
+        x = _layer_norm(x + _linear(h, layer["output"]),
+                        layer["output_LayerNorm"]["weight"],
+                        layer["output_LayerNorm"]["bias"], cfg.layer_norm_eps)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# HF weight loading
+
+def load_hf_bert_params(model_dir: Path) -> Tuple[Dict, BertConfig]:
+    cfg = BertConfig.from_json(model_dir / "config.json")
+    tensors = _load_safetensors(model_dir)
+
+    def get(name):
+        for prefix in ("", "bert.", "model."):
+            key = prefix + name
+            if key in tensors:
+                return jnp.asarray(tensors[key])
+        raise KeyError(name)
+
+    def lin(name):
+        return {"kernel": get(f"{name}.weight").T, "bias": get(f"{name}.bias")}
+
+    def ln(name):
+        return {"weight": get(f"{name}.weight"), "bias": get(f"{name}.bias")}
+
+    params: Dict = {
+        "embeddings": {
+            "word_embeddings": get("embeddings.word_embeddings.weight"),
+            "position_embeddings": get("embeddings.position_embeddings.weight"),
+            "token_type_embeddings": get("embeddings.token_type_embeddings.weight"),
+            "LayerNorm": ln("embeddings.LayerNorm"),
+        },
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"encoder.layer.{i}"
+        params["layers"].append({
+            "attention": {
+                "query": lin(f"{p}.attention.self.query"),
+                "key": lin(f"{p}.attention.self.key"),
+                "value": lin(f"{p}.attention.self.value"),
+                "output": lin(f"{p}.attention.output.dense"),
+                "output_LayerNorm": ln(f"{p}.attention.output.LayerNorm"),
+            },
+            "intermediate": lin(f"{p}.intermediate.dense"),
+            "output": lin(f"{p}.output.dense"),
+            "output_LayerNorm": ln(f"{p}.output.LayerNorm"),
+        })
+    return params, cfg
+
+
+def _load_safetensors(model_dir: Path) -> Dict[str, np.ndarray]:
+    st_files = sorted(model_dir.glob("*.safetensors"))
+    if st_files:
+        from safetensors.numpy import load_file
+
+        out: Dict[str, np.ndarray] = {}
+        for f in st_files:
+            out.update(load_file(str(f)))
+        return out
+    bin_path = model_dir / "pytorch_model.bin"
+    if bin_path.exists():
+        import torch
+
+        sd = torch.load(bin_path, map_location="cpu", weights_only=True)
+        return {k: v.numpy() for k, v in sd.items()}
+    raise FileNotFoundError(f"no model weights under {model_dir}")
+
+
+def resolve_model_dir(name_or_path: str) -> Path:
+    p = Path(name_or_path)
+    if p.exists():
+        return p
+    # HF cache layout (offline): ~/.cache/huggingface/hub/models--org--name
+    hub = Path.home() / ".cache" / "huggingface" / "hub"
+    cand = hub / ("models--" + name_or_path.replace("/", "--"))
+    snaps = sorted((cand / "snapshots").glob("*")) if cand.exists() else []
+    if snaps:
+        return snaps[-1]
+    raise FileNotFoundError(
+        f"model '{name_or_path}' not found locally (zero-egress image?)")
+
+
+# ---------------------------------------------------------------------------
+# public encoders
+
+class FlaxBertEncoder:
+    """BGE-style bi-encoder: CLS pooling + L2 norm; query instruction."""
+
+    def __init__(self, params: Dict, cfg: BertConfig, tokenizer,
+                 instruction: str = "", device=None, max_length: int = 512,
+                 token_dim: int = 128, token_proj: Optional[Dict] = None):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.instruction = instruction
+        self.device = device
+        self.max_length = max_length
+        self.dim = cfg.hidden_size
+        self.token_dim = token_dim
+        self.token_proj = token_proj  # optional ColBERT linear head
+        self._fwd = jax.jit(lambda p, ids, mask: bert_forward(p, cfg, ids, mask))
+
+    @classmethod
+    def from_pretrained(cls, name_or_path: str, instruction: str = "",
+                        device=None, **kw) -> "FlaxBertEncoder":
+        model_dir = resolve_model_dir(name_or_path)
+        params, cfg = load_hf_bert_params(model_dir)
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(str(model_dir))
+        if device is not None:
+            params = jax.device_put(params, device)
+        log.info("loaded %s (%d layers, H=%d)", name_or_path,
+                 cfg.num_hidden_layers, cfg.hidden_size)
+        return cls(params, cfg, tokenizer, instruction=instruction,
+                   device=device, **kw)
+
+    # -------------------------------------------------------------- encode
+    def _tokenize(self, texts: List[str], maxlen: int):
+        out = self.tokenizer(texts, padding="max_length", truncation=True,
+                             max_length=maxlen, return_tensors="np")
+        return (jnp.asarray(out["input_ids"], jnp.int32),
+                jnp.asarray(out["attention_mask"], jnp.int32))
+
+    def _encode(self, texts: List[str]) -> np.ndarray:
+        ids, mask = self._tokenize(texts, self.max_length)
+        with on_device(self.device):
+            h = self._fwd(self.params, ids, mask)
+            cls = h[:, 0]
+            cls = cls / jnp.maximum(jnp.linalg.norm(cls, axis=-1,
+                                                    keepdims=True), 1e-9)
+        return np.asarray(cls, np.float32)
+
+    def encode_passages(self, texts: List[str]) -> np.ndarray:
+        return self._encode(texts)
+
+    def encode_queries(self, texts: List[str]) -> np.ndarray:
+        if self.instruction:
+            texts = [self.instruction + t for t in texts]
+        return self._encode(texts)
+
+    def encode_tokens(self, texts: List[str], maxlen: int
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-token embeddings for late interaction: final hidden states,
+        optionally projected by a ColBERT linear head, L2-normalized."""
+        ids, mask = self._tokenize(texts, maxlen)
+        with on_device(self.device):
+            h = bert_forward(self.params, self.cfg, ids, mask)
+            if self.token_proj is not None:
+                h = _linear(h, self.token_proj)
+            else:
+                h = h[..., : self.token_dim]
+            h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True),
+                                1e-9)
+        return np.asarray(h, np.float32), np.asarray(mask).astype(bool)
+
+
+class FlaxBertCrossEncoder:
+    """bge-reranker-style pair classifier: (q, d) → relevance logit."""
+
+    def __init__(self, params: Dict, cfg: BertConfig, classifier: Dict,
+                 tokenizer, device=None):
+        self.params = params
+        self.cfg = cfg
+        self.classifier = classifier
+        self.tokenizer = tokenizer
+        self.device = device
+        self._fwd = jax.jit(lambda p, c, ids, mask, types: _linear(
+            bert_forward(p, cfg, ids, mask, types)[:, 0], c).squeeze(-1))
+
+    @classmethod
+    def from_pretrained(cls, name_or_path: str, device=None
+                        ) -> "FlaxBertCrossEncoder":
+        model_dir = resolve_model_dir(name_or_path)
+        params, cfg = load_hf_bert_params(model_dir)
+        tensors = _load_safetensors(model_dir)
+        cls_key = next((k for k in tensors if k.endswith("classifier.weight")),
+                       None)
+        if cls_key is None:
+            raise FileNotFoundError("no classifier head in checkpoint")
+        prefix = cls_key[: -len("weight")]
+        classifier = {"kernel": jnp.asarray(tensors[cls_key]).T,
+                      "bias": jnp.asarray(tensors[prefix + "bias"])}
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(str(model_dir))
+        if device is not None:
+            params = jax.device_put(params, device)
+            classifier = jax.device_put(classifier, device)
+        return cls(params, cfg, classifier, tokenizer, device)
+
+    def score_pairs(self, pairs: List[Tuple[str, str]],
+                    max_length: int = 512) -> List[float]:
+        out = self.tokenizer([a for a, _ in pairs], [b for _, b in pairs],
+                             padding="max_length", truncation=True,
+                             max_length=max_length, return_tensors="np")
+        with on_device(self.device):
+            logits = self._fwd(
+                self.params, self.classifier,
+                jnp.asarray(out["input_ids"], jnp.int32),
+                jnp.asarray(out["attention_mask"], jnp.int32),
+                jnp.asarray(out.get("token_type_ids",
+                                    np.zeros_like(out["input_ids"])), jnp.int32))
+        return np.asarray(logits, np.float32).tolist()

@@ -72,18 +72,30 @@ class HashEncoder:
     def _sketch(self, texts: List[str]) -> np.ndarray:
         """Signed-count sketch with sublinear tf and bucket idf:
         ``s[b] = Σ_occurrences sign(feature)`` then
-        ``out[b] = sign(s) · (1 + ln|s|) · idf[b]``."""
+        ``out[b] = sign(s) · (1 + ln|s|) · idf[b]``.
+
+        All texts' features hash in ONE vectorized pass (serving-latency
+        hot path: per-text hashing cost ~2.3 ms/query before batching)."""
         idf = self._idf() if self.n_docs else None
-        out = np.zeros((len(texts), self.sketch_dim), np.float32)
+        n = len(texts)
+        out = np.zeros((n, self.sketch_dim), np.float32)
+        feats: List[str] = []
+        rows: List[int] = []
         for i, text in enumerate(texts):
-            b, s = self._buckets_signs(text)
-            row = np.zeros(self.sketch_dim, np.float32)
-            np.add.at(row, b, s)
-            nz = row != 0
-            row[nz] = np.sign(row[nz]) * (1.0 + np.log(np.abs(row[nz])))
-            if idf is not None:
-                row *= idf
-            out[i] = row
+            fs = hash_features(text, self.lang)
+            feats.extend(fs)
+            rows.extend([i] * len(fs))
+        if feats:
+            h = fnv1a_batch(feats, self.seed)
+            buckets = (h % np.uint64(self.sketch_dim)).astype(np.int64)
+            signs = np.where((h >> np.uint64(62)) & np.uint64(1), 1.0, -1.0
+                             ).astype(np.float32)
+            flat = np.asarray(rows, np.int64) * self.sketch_dim + buckets
+            np.add.at(out.ravel(), flat, signs)
+        nz = out != 0
+        out[nz] = np.sign(out[nz]) * (1.0 + np.log(np.abs(out[nz])))
+        if idf is not None:
+            out *= idf[None, :]
         return out
 
     # ------------------------------------------------------------ projection
@@ -113,6 +125,16 @@ class HashEncoder:
 
     def encode_queries(self, texts: List[str]) -> np.ndarray:
         return self._project(self._sketch(texts))
+
+    def encode_queries_device(self, texts: List[str]) -> jax.Array:
+        """Device-resident query embeddings — no host round trip (serving
+        path: the result feeds the fused program directly)."""
+        proj = self._projection()
+        with on_device(self.device):
+            x = jnp.asarray(self._sketch(texts))
+            if self.device is not None:
+                x = jax.device_put(x, self.device)
+            return _project_norm(x, proj)
 
     def encode_tokens(self, texts: List[str], maxlen: int
                       ) -> Tuple[np.ndarray, np.ndarray]:

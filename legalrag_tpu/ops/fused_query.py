@@ -1,0 +1,143 @@
+"""Fused hybrid query: all channels + fusion + final top-k in ONE program.
+
+The serving fast path (SURVEY.md §7.1): a query batch enters as three device
+arrays (dense query vectors, BM25 term-count vectors, query token
+embeddings) and one jitted program produces the fused top-k — dense matmul,
+BM25 impact matmul, tiled MaxSim, per-channel top-k candidate semantics,
+RRF + min-max blend (``rrf_norm_blend``), final top-k. No host round-trips
+between channels; XLA fuses the elementwise fusion math into the score
+producers.
+
+Ranking semantics are the reference's (``hybrid_retriever.py:389-551``) and
+are tested for agreement against the host-side ``retrieval.fusion.fuse``:
+per-channel rank over its top-``eff_k`` candidates (1-based), RRF
+contribution ``w/(rrf_k + rank)``, per-channel min-max over the retrieved
+set, blend ``α·minmax(rrf_total) + (1−α)·Σ w·minmax(s)``, non-candidates
+excluded.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from legalrag_tpu.ops.maxsim import maxsim_full
+from legalrag_tpu.ops.topk import NEG_INF
+
+
+class FusedParams(NamedTuple):
+    eff_k: int
+    final_k: int
+    rrf_k: float
+    alpha: float
+    w_dense: float
+    w_bm25: float
+    w_late: float
+
+
+def _channel_components(scores: jax.Array, eff_k: int, weight: float,
+                        rrf_k: float) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-channel candidate mask / weighted-RRF map / weighted-minmax map,
+    all [B, N] with zeros outside the channel's top-eff_k."""
+    b, n = scores.shape
+    eff_k = min(eff_k, n)
+    top_s, top_i = jax.lax.top_k(scores, eff_k)
+    valid = top_s > NEG_INF / 2
+    ranks = jnp.arange(1, eff_k + 1, dtype=jnp.float32)[None, :]
+    rrf = jnp.where(valid, weight / (rrf_k + ranks), 0.0)
+    lo = jnp.min(jnp.where(valid, top_s, jnp.inf), axis=1, keepdims=True)
+    hi = jnp.max(jnp.where(valid, top_s, -jnp.inf), axis=1, keepdims=True)
+    span = jnp.maximum(hi - lo, 1e-12)
+    norm = jnp.where(valid, jnp.where(hi > lo, (top_s - lo) / span, 1.0), 0.0)
+
+    def scatter(vals):
+        out = jnp.zeros((b, n), jnp.float32)
+        return jax.vmap(lambda o, i, v: o.at[i].set(v))(out, top_i, vals)
+
+    mask = scatter(valid.astype(jnp.float32))
+    return mask, scatter(rrf), scatter(weight * norm)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def fused_hybrid_topk(emb: jax.Array, impact: jax.Array,
+                      doc_tok: Optional[jax.Array], doc_mask: Optional[jax.Array],
+                      qvec: jax.Array, qtf: jax.Array,
+                      q_tok: Optional[jax.Array], q_mask: Optional[jax.Array],
+                      valid_n: jax.Array, params: FusedParams
+                      ) -> Dict[str, jax.Array]:
+    """Returns final top-k rows plus per-channel score maps gathered at the
+    returned rows (for host-side breakdown assembly).
+
+    ``qtf`` may be either a dense [B, V] count matrix or a pair
+    (term_ids [B, L] int32, term_mask [B, L]) — the id form transfers KBs
+    instead of MBs and the count matrix is scattered on device (measured:
+    the dense-qtf host→HBM copy dominated serving latency at small corpora).
+    """
+    n = emb.shape[0]
+    if isinstance(qtf, (tuple, list)):
+        term_ids, term_mask = qtf
+        b = term_ids.shape[0]
+        v = impact.shape[0]
+        qtf = jnp.zeros((b, v), jnp.float32).at[
+            jnp.arange(b)[:, None], term_ids].add(
+            term_mask.astype(jnp.float32))
+
+    def mask_invalid(s):
+        # channels may pad the doc axis differently; align to the dense
+        # capacity n and mask capacity rows
+        if s.shape[1] < n:
+            s = jnp.pad(s, ((0, 0), (0, n - s.shape[1])),
+                        constant_values=NEG_INF)
+        elif s.shape[1] > n:
+            s = s[:, :n]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        return jnp.where(col < valid_n, s, NEG_INF)
+
+    dense_s = mask_invalid(jnp.dot(qvec.astype(emb.dtype), emb.T,
+                                   preferred_element_type=jnp.float32))
+    bm25_s = mask_invalid(jnp.dot(qtf.astype(impact.dtype), impact,
+                                  preferred_element_type=jnp.float32))
+
+    channels = [(dense_s, params.w_dense), (bm25_s, params.w_bm25)]
+    late_s = None
+    if doc_tok is not None:
+        late_s = mask_invalid(maxsim_full(doc_tok, doc_mask, q_tok, q_mask,
+                                          tile_n=min(256, n)))
+        channels.append((late_s, params.w_late))
+
+    cand = jnp.zeros(dense_s.shape, jnp.float32)
+    rrf_total = jnp.zeros(dense_s.shape, jnp.float32)
+    weighted_sum = jnp.zeros(dense_s.shape, jnp.float32)
+    for scores, weight in channels:
+        m, rrf, wnorm = _channel_components(scores, params.eff_k, weight,
+                                            params.rrf_k)
+        cand = jnp.maximum(cand, m)
+        rrf_total = rrf_total + rrf
+        weighted_sum = weighted_sum + wnorm
+
+    is_cand = cand > 0
+    lo = jnp.min(jnp.where(is_cand, rrf_total, jnp.inf), axis=1, keepdims=True)
+    hi = jnp.max(jnp.where(is_cand, rrf_total, -jnp.inf), axis=1, keepdims=True)
+    span = jnp.maximum(hi - lo, 1e-12)
+    rrf_norm = jnp.where(is_cand,
+                         jnp.where(hi > lo, (rrf_total - lo) / span, 1.0), 0.0)
+    final = jnp.where(is_cand,
+                      params.alpha * rrf_norm + (1 - params.alpha) * weighted_sum,
+                      NEG_INF)
+    top_s, top_i = jax.lax.top_k(final, min(params.final_k, n))
+
+    gather = lambda s: jnp.take_along_axis(s, top_i, axis=1)
+    out = {
+        "scores": top_s,
+        "rows": top_i,
+        "dense": gather(dense_s),
+        "bm25": gather(bm25_s),
+        "rrf_norm": gather(rrf_norm),
+        "weighted_sum": gather(weighted_sum),
+    }
+    if late_s is not None:
+        out["colbert"] = gather(late_s)
+    return out

@@ -1,0 +1,73 @@
+"""Sharded contrastive training step (encoder adaptation).
+
+The framework's trainable surface: a projection head ``W [d_in, d_out]`` on
+top of the feature sketch, tuned with an in-batch InfoNCE objective on
+(query, positive-article) pairs — the standard recipe for adapting a
+retrieval encoder to a corpus. The step is sharded DP×TP on the
+(data, model) mesh:
+
+- batch rows shard over ``data`` (DP); gradients all-reduce with ``psum``;
+- ``W`` columns shard over ``model`` (TP); the similarity logits contract
+  over the sharded output dimension, so partial products reduce with
+  ``psum`` over ICI;
+- in-batch negatives come from the *global* batch: projected docs are
+  all-gathered across ``data`` so every query scores against every doc.
+
+One jitted program; this is the ``dryrun_multichip`` training step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from legalrag_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def make_contrastive_train_step(mesh: Mesh, lr: float = 1e-2,
+                                temperature: float = 0.05):
+    """(W [d_in, d_out] sharded P(None, model), q [B, d_in] P(data, None),
+    d [B, d_in] P(data, None)) → (W', loss)."""
+
+    def local(w_local, q_local, d_local):
+        dp = jax.lax.psum(1, DATA_AXIS)
+        b_local = q_local.shape[0]
+
+        def loss_fn(w):
+            zq = jnp.dot(q_local, w, preferred_element_type=jnp.float32)
+            zd = jnp.dot(d_local, w, preferred_element_type=jnp.float32)
+            # global in-batch negatives: gather docs across DP ranks
+            zd_all = jax.lax.all_gather(zd, DATA_AXIS, axis=0, tiled=True)
+            # logits contract over the TP-sharded projection dim → psum
+            logits = jax.lax.psum(
+                jnp.dot(zq, zd_all.T, preferred_element_type=jnp.float32),
+                MODEL_AXIS) / temperature
+            my_rank = jax.lax.axis_index(DATA_AXIS)
+            labels = my_rank * b_local + jnp.arange(b_local)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
+            return nll
+
+        loss, grad = jax.value_and_grad(loss_fn)(w_local)
+        # DP all-reduce: average gradients across data ranks
+        grad = jax.lax.pmean(grad, DATA_AXIS)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        return w_local - lr * grad, loss
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, MODEL_AXIS), P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        out_specs=(P(None, MODEL_AXIS), P()),
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def init_projection(mesh: Mesh, d_in: int, d_out: int, seed: int = 0):
+    w = jax.random.normal(jax.random.PRNGKey(seed), (d_in, d_out),
+                          jnp.float32) / jnp.sqrt(d_out)
+    return jax.device_put(w, NamedSharding(mesh, P(None, MODEL_AXIS)))

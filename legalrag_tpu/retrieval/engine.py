@@ -1,0 +1,122 @@
+"""FusedQueryEngine: batched serving facade over one IndexBundle.
+
+Hosts only tokenize/encode queries and hydrate chunks; everything between is
+the single fused program in ``ops.fused_query``. Batch sizes are bucketed
+(like k, SURVEY.md §7.4.3) so the program set stays small and compiled.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legalrag_tpu.config import AppConfig
+from legalrag_tpu.index.bundle import IndexBundle
+from legalrag_tpu.ops.fused_query import FusedParams, fused_hybrid_topk
+from legalrag_tpu.ops.topk import bucket_k
+from legalrag_tpu.schemas import RetrievalHit
+from legalrag_tpu.utils.device import on_device
+
+_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+def bucket_batch(b: int) -> int:
+    for s in _BATCH_BUCKETS:
+        if b <= s:
+            return s
+    return b
+
+
+class FusedQueryEngine:
+    def __init__(self, bundle: IndexBundle, cfg: Optional[AppConfig] = None):
+        self.bundle = bundle
+        self.cfg = cfg or bundle.cfg
+        r = self.cfg.retrieval
+
+    def _params(self, top_k: int) -> FusedParams:
+        r = self.cfg.retrieval
+        n = max(self.bundle.dense.capacity, 1)
+        return FusedParams(
+            eff_k=bucket_k(min(top_k * r.oversample_factor, n), n),
+            final_k=bucket_k(min(top_k, n), n),
+            rrf_k=float(r.rrf_k), alpha=float(r.rrf_alpha),
+            w_dense=float(r.dense_weight), w_bm25=float(r.bm25_weight),
+            w_late=float(r.colbert_weight))
+
+    def dispatch(self, questions: Sequence[str], top_k: int = 10):
+        """Host-encode + launch the fused program WITHOUT syncing: returns
+        (device-output dict, b, top_k). Remote-execution backends have high
+        per-sync latency; pipelining dispatches amortizes it — the serving
+        loop and the benchmark sync once over many in-flight batches."""
+        b = len(questions)
+        bp = bucket_batch(b)
+        qs = list(questions) + [""] * (bp - b)
+        enc = self.bundle.encoder
+        if hasattr(enc, "encode_queries_device"):
+            qvec = enc.encode_queries_device(qs)  # stays on device
+        else:
+            qvec = enc.encode_queries(qs)
+        term_ids, term_mask = self.bundle.bm25.query_term_ids(
+            qs, self.cfg.engine.max_query_tokens)
+        use_late = (self.cfg.retrieval.enable_colbert
+                    and self.bundle.tokens.n == self.bundle.dense.n
+                    and self.bundle.tokens.n > 0)
+        q_tok = q_mask = None
+        if use_late:
+            q_tok, q_mask = enc.encode_tokens(qs, self.cfg.engine.max_query_tokens)
+        params = self._params(top_k)
+        dev = self.bundle.device
+        with on_device(dev):
+            out = fused_hybrid_topk(
+                self.bundle.dense.emb, self.bundle.bm25.impact,
+                self.bundle.tokens.tok if use_late else None,
+                self.bundle.tokens.mask if use_late else None,
+                jnp.asarray(qvec),
+                (jnp.asarray(term_ids), jnp.asarray(term_mask)),
+                jnp.asarray(q_tok, self.bundle.tokens.dtype) if use_late else None,
+                jnp.asarray(q_mask) if use_late else None,
+                jnp.int32(self.bundle.dense.n), params)
+        return out, b, top_k
+
+    @staticmethod
+    def collect(dispatched) -> Tuple[np.ndarray, np.ndarray, Dict[str, np.ndarray]]:
+        out, b, top_k = dispatched
+        host = {k: np.asarray(v)[:b, :top_k] for k, v in out.items()}
+        return host.pop("scores"), host.pop("rows"), host
+
+    def search_batch(self, questions: Sequence[str], top_k: int = 10
+                     ) -> Tuple[np.ndarray, np.ndarray, Dict[str, np.ndarray]]:
+        """Returns (scores [B, k], rows [B, k], component maps)."""
+        return self.collect(self.dispatch(questions, top_k))
+
+    def search_hits(self, questions: Sequence[str], top_k: int = 10
+                    ) -> List[List[RetrievalHit]]:
+        scores, rows, comps = self.search_batch(questions, top_k)
+        results: List[List[RetrievalHit]] = []
+        min_score = self.cfg.retrieval.min_final_score
+        for qi in range(len(questions)):
+            hits: List[RetrievalHit] = []
+            for rank, (row, score) in enumerate(zip(rows[qi], scores[qi]),
+                                                start=1):
+                if score < min_score:
+                    continue
+                chunk = self.bundle.chunks[int(row)]
+                breakdown = {
+                    "fusion_method": self.cfg.retrieval.fusion_method,
+                    "rrf_norm": float(comps["rrf_norm"][qi, rank - 1]),
+                    "weighted_sum": float(comps["weighted_sum"][qi, rank - 1]),
+                    "per_channel": {
+                        name: {"score": float(comps[name][qi, rank - 1])}
+                        for name in ("dense", "bm25", "colbert")
+                        if name in comps
+                    },
+                }
+                hits.append(RetrievalHit(
+                    chunk=chunk, score=float(score), rank=rank,
+                    semantic_score=float(comps["dense"][qi, rank - 1]),
+                    score_breakdown=breakdown))
+            results.append(hits)
+        return results

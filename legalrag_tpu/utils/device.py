@@ -19,3 +19,14 @@ def on_device(device):
     if device is None:
         return contextlib.nullcontext()
     return jax.default_device(device)
+
+
+def apply_force_cpu() -> None:
+    """Honor ``LEGALRAG_FORCE_CPU=1``: pin the default device to CPU. Used
+    by CLIs so offline work never pays accelerator remote-compile latency
+    (the axon plugin wins the default-backend race even under
+    ``JAX_PLATFORMS=cpu``)."""
+    import os
+
+    if os.environ.get("LEGALRAG_FORCE_CPU"):
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])

@@ -1,0 +1,99 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from legalrag_tpu.parallel import DATA_AXIS, MODEL_AXIS, local_devices, make_mesh
+from legalrag_tpu.parallel.sharded_search import (
+    make_sharded_dense_topk,
+    make_sharded_hybrid_step,
+)
+from legalrag_tpu.parallel.training import (
+    init_projection,
+    make_contrastive_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = local_devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual cpu devices")
+    return make_mesh(devs[:8], data=2, model=4)
+
+
+def test_mesh_shape(mesh):
+    assert mesh.axis_names == (DATA_AXIS, MODEL_AXIS)
+    assert mesh.devices.shape == (2, 4)
+
+
+def test_sharded_dense_topk_matches_single(mesh):
+    rng = np.random.default_rng(0)
+    n, d, b, k = 512, 64, 8, 10
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    valid_n = 490
+
+    fn = make_sharded_dense_topk(mesh, k)
+    emb_sh = jax.device_put(emb, NamedSharding(mesh, P(MODEL_AXIS, None)))
+    q_sh = jax.device_put(q, NamedSharding(mesh, P(DATA_AXIS, None)))
+    s, i = fn(emb_sh, q_sh, jnp.int32(valid_n))
+
+    scores = q @ emb.T
+    scores[:, valid_n:] = -1e30
+    want_i = np.argsort(-scores, axis=1)[:, :k]
+    want_s = np.take_along_axis(scores, want_i, axis=1)
+    np.testing.assert_allclose(np.asarray(s), want_s, rtol=1e-5, atol=1e-5)
+    assert (np.asarray(i) < valid_n).all()
+    got_sets = [set(row) for row in np.asarray(i)]
+    want_sets = [set(row) for row in want_i]
+    assert got_sets == want_sets
+
+
+def test_sharded_hybrid_step_runs(mesh):
+    rng = np.random.default_rng(1)
+    n, d, v, b = 256, 32, 64, 4
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    impact_rows = np.abs(rng.standard_normal((n, v))).astype(np.float32)
+    qvec = rng.standard_normal((b, d)).astype(np.float32)
+    qtf = np.zeros((b, v), np.float32)
+    qtf[:, :5] = 1.0
+
+    fn = make_sharded_hybrid_step(mesh, k=5, eff_k=16)
+    emb_sh = jax.device_put(emb, NamedSharding(mesh, P(MODEL_AXIS, None)))
+    imp_sh = jax.device_put(impact_rows, NamedSharding(mesh, P(MODEL_AXIS, None)))
+    q_sh = jax.device_put(qvec, NamedSharding(mesh, P(DATA_AXIS, None)))
+    t_sh = jax.device_put(qtf, NamedSharding(mesh, P(DATA_AXIS, None)))
+    s, i = fn(emb_sh, imp_sh, q_sh, t_sh, jnp.int32(n))
+    s, i = np.asarray(s), np.asarray(i)
+    assert s.shape == (b, 5) and i.shape == (b, 5)
+    assert (np.diff(s, axis=1) <= 1e-6).all()  # sorted desc
+    assert (i >= 0).all() and (i < n).all()
+    # no duplicate rows within a query's results
+    for row in i:
+        assert len(set(row.tolist())) == len(row)
+
+
+def test_contrastive_train_step_learns(mesh):
+    rng = np.random.default_rng(2)
+    d_in, d_out, b = 32, 16, 16
+    q = rng.standard_normal((b, d_in)).astype(np.float32)
+    # hard positives: heavy noise so the task is not solved at init
+    docs = (0.6 * q + 1.0 * rng.standard_normal((b, d_in))).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+
+    step = make_contrastive_train_step(mesh, lr=0.5, temperature=1.0)
+    w = init_projection(mesh, d_in, d_out, seed=0)
+    q_sh = jax.device_put(q, NamedSharding(mesh, P(DATA_AXIS, None)))
+    d_sh = jax.device_put(docs, NamedSharding(mesh, P(DATA_AXIS, None)))
+    losses = []
+    for _ in range(20):
+        w, loss = step(w, q_sh, d_sh)
+        losses.append(float(loss))
+    assert losses[0] > 0.5  # non-trivial at init
+    assert losses[-1] < losses[0] - 0.05  # it optimizes
+    assert np.isfinite(losses).all()
