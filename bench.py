@@ -33,7 +33,7 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 BATCH = 64
-N_QUERIES = 256
+N_QUERIES = 1024
 TOP_K = 10
 
 
@@ -168,10 +168,14 @@ def main() -> None:
     engine.search_batch(batches[0], TOP_K)
     log(f"tpu compile+warmup: {time.perf_counter() - t0:.1f}s")
 
-    # pipelined: dispatch every batch, then sync — remote backends have
-    # high per-sync latency that pipelining amortizes
+    # phase-separated pipeline: (1) host encode + transfers for every batch,
+    # (2) all executions back-to-back, (3) one sync + fetch. Remote backends
+    # serialize executions against interleaved transfers; this ordering
+    # keeps the device busy end-to-end.
     t0 = time.perf_counter()
-    in_flight = [engine.dispatch(batch, TOP_K) for batch in batches]
+    prepared = [engine.prepare(batch, TOP_K) for batch in batches]
+    in_flight = [engine.execute(p) for p in prepared]
+    jax.block_until_ready([d[0]["rows"] for d in in_flight])
     all_rows = [engine.collect(d)[1] for d in in_flight]
     tpu_dt = time.perf_counter() - t0
     tpu_qps = len(queries) / tpu_dt

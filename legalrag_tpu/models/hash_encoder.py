@@ -76,22 +76,19 @@ class HashEncoder:
 
         All texts' features hash in ONE vectorized pass (serving-latency
         hot path: per-text hashing cost ~2.3 ms/query before batching)."""
+        from legalrag_tpu.native import fnv1a64_batch, sketch_accumulate
+
         idf = self._idf() if self.n_docs else None
         n = len(texts)
-        out = np.zeros((n, self.sketch_dim), np.float32)
         feats: List[str] = []
         rows: List[int] = []
         for i, text in enumerate(texts):
             fs = hash_features(text, self.lang)
             feats.extend(fs)
             rows.extend([i] * len(fs))
-        if feats:
-            h = fnv1a_batch(feats, self.seed)
-            buckets = (h % np.uint64(self.sketch_dim)).astype(np.int64)
-            signs = np.where((h >> np.uint64(62)) & np.uint64(1), 1.0, -1.0
-                             ).astype(np.float32)
-            flat = np.asarray(rows, np.int64) * self.sketch_dim + buckets
-            np.add.at(out.ravel(), flat, signs)
+        h = fnv1a64_batch(feats, self.seed)
+        out = sketch_accumulate(h, np.asarray(rows, np.int32), n,
+                                self.sketch_dim)
         nz = out != 0
         out[nz] = np.sign(out[nz]) * (1.0 + np.log(np.abs(out[nz])))
         if idf is not None:

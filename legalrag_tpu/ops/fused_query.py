@@ -75,8 +75,18 @@ def fused_hybrid_topk(emb: jax.Array, impact: jax.Array,
     (term_ids [B, L] int32, term_mask [B, L]) — the id form transfers KBs
     instead of MBs and the count matrix is scattered on device (measured:
     the dense-qtf host→HBM copy dominated serving latency at small corpora).
+
+    ``qvec`` may be either ready [B, d] query embeddings or a pair
+    (sketch [B, D0], projection [D0, d]) — folding the hash-encoder
+    projection into this program removes a separate per-batch execution
+    (remote backends serialize on interleaved transfer/execute).
     """
     n = emb.shape[0]
+    if isinstance(qvec, (tuple, list)):
+        sketch, proj = qvec
+        qvec = jnp.dot(sketch, proj, preferred_element_type=jnp.float32)
+        qvec = qvec / jnp.maximum(
+            jnp.linalg.norm(qvec, axis=-1, keepdims=True), 1e-9)
     if isinstance(qtf, (tuple, list)):
         term_ids, term_mask = qtf
         b = term_ids.shape[0]
@@ -129,15 +139,18 @@ def fused_hybrid_topk(emb: jax.Array, impact: jax.Array,
                       NEG_INF)
     top_s, top_i = jax.lax.top_k(final, min(params.final_k, n))
 
+    # pack every f32 component into ONE tensor: host fetches are per-buffer
+    # round trips on remote backends (measured ~25 ms each), so the output
+    # is exactly two arrays — rows + packed components.
     gather = lambda s: jnp.take_along_axis(s, top_i, axis=1)
-    out = {
-        "scores": top_s,
-        "rows": top_i,
-        "dense": gather(dense_s),
-        "bm25": gather(bm25_s),
-        "rrf_norm": gather(rrf_norm),
-        "weighted_sum": gather(weighted_sum),
-    }
+    comps = [top_s, gather(dense_s), gather(bm25_s), gather(rrf_norm),
+             gather(weighted_sum)]
     if late_s is not None:
-        out["colbert"] = gather(late_s)
-    return out
+        comps.append(gather(late_s))
+    return {"rows": top_i, "packed": jnp.stack(comps, axis=-1)}
+
+
+# packed-component order along the last axis of ``packed`` (colbert present
+# only when the late channel ran)
+PACKED_NAMES = ("scores", "dense", "bm25", "rrf_norm", "weighted_sum",
+                "colbert")

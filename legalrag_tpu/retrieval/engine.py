@@ -46,46 +46,61 @@ class FusedQueryEngine:
             w_dense=float(r.dense_weight), w_bm25=float(r.bm25_weight),
             w_late=float(r.colbert_weight))
 
-    def dispatch(self, questions: Sequence[str], top_k: int = 10):
-        """Host-encode + launch the fused program WITHOUT syncing: returns
-        (device-output dict, b, top_k). Remote-execution backends have high
-        per-sync latency; pipelining dispatches amortizes it — the serving
-        loop and the benchmark sync once over many in-flight batches."""
+    def prepare(self, questions: Sequence[str], top_k: int = 10):
+        """Host encode + device transfers ONLY (no execution). Remote
+        backends serialize executions against subsequent transfers, so the
+        pipelined pattern is: prepare all batches, then execute all."""
         b = len(questions)
         bp = bucket_batch(b)
         qs = list(questions) + [""] * (bp - b)
         enc = self.bundle.encoder
-        if hasattr(enc, "encode_queries_device"):
-            qvec = enc.encode_queries_device(qs)  # stays on device
-        else:
-            qvec = enc.encode_queries(qs)
-        term_ids, term_mask = self.bundle.bm25.query_term_ids(
-            qs, self.cfg.engine.max_query_tokens)
-        use_late = (self.cfg.retrieval.enable_colbert
-                    and self.bundle.tokens.n == self.bundle.dense.n
-                    and self.bundle.tokens.n > 0)
-        q_tok = q_mask = None
-        if use_late:
-            q_tok, q_mask = enc.encode_tokens(qs, self.cfg.engine.max_query_tokens)
+        with on_device(self.bundle.device):
+            if hasattr(enc, "_sketch"):
+                # hash backend: ship the raw sketch; the fused program
+                # projects + normalizes on device (one execution per batch)
+                qvec = (jnp.asarray(enc._sketch(qs)), enc._projection())
+            else:
+                qvec = jnp.asarray(enc.encode_queries(qs))
+            term_ids, term_mask = self.bundle.bm25.query_term_ids(
+                qs, self.cfg.engine.max_query_tokens)
+            use_late = (self.cfg.retrieval.enable_colbert
+                        and self.bundle.tokens.n == self.bundle.dense.n
+                        and self.bundle.tokens.n > 0)
+            q_tok = q_mask = None
+            if use_late:
+                qt, qm = enc.encode_tokens(qs, self.cfg.engine.max_query_tokens)
+                q_tok = jnp.asarray(qt, self.bundle.tokens.dtype)
+                q_mask = jnp.asarray(qm)
+            inputs = (qvec, (jnp.asarray(term_ids), jnp.asarray(term_mask)),
+                      q_tok, q_mask, use_late)
+        return inputs, b, top_k
+
+    def execute(self, prepared):
+        """Launch the fused program on prepared inputs (async)."""
+        (qvec, qtf, q_tok, q_mask, use_late), b, top_k = prepared
         params = self._params(top_k)
-        dev = self.bundle.device
-        with on_device(dev):
+        with on_device(self.bundle.device):
             out = fused_hybrid_topk(
                 self.bundle.dense.emb, self.bundle.bm25.impact,
                 self.bundle.tokens.tok if use_late else None,
                 self.bundle.tokens.mask if use_late else None,
-                jnp.asarray(qvec),
-                (jnp.asarray(term_ids), jnp.asarray(term_mask)),
-                jnp.asarray(q_tok, self.bundle.tokens.dtype) if use_late else None,
-                jnp.asarray(q_mask) if use_late else None,
+                qvec, qtf, q_tok, q_mask,
                 jnp.int32(self.bundle.dense.n), params)
         return out, b, top_k
 
+    def dispatch(self, questions: Sequence[str], top_k: int = 10):
+        return self.execute(self.prepare(questions, top_k))
+
     @staticmethod
     def collect(dispatched) -> Tuple[np.ndarray, np.ndarray, Dict[str, np.ndarray]]:
+        from legalrag_tpu.ops.fused_query import PACKED_NAMES
+
         out, b, top_k = dispatched
-        host = {k: np.asarray(v)[:b, :top_k] for k, v in out.items()}
-        return host.pop("scores"), host.pop("rows"), host
+        rows = np.asarray(out["rows"])[:b, :top_k]
+        packed = np.asarray(out["packed"])[:b, :top_k]
+        host = {name: packed[..., i]
+                for i, name in enumerate(PACKED_NAMES[: packed.shape[-1]])}
+        return host.pop("scores"), rows, host
 
     def search_batch(self, questions: Sequence[str], top_k: int = 10
                      ) -> Tuple[np.ndarray, np.ndarray, Dict[str, np.ndarray]]:

@@ -84,18 +84,23 @@ class HybridRetriever:
             t[name] = (now - start) * 1000
             return now
 
+        from legalrag_tpu.utils.tracing import trace_span
+
         # channel searches (each one jitted device program)
         mark = t0
-        dense_s, dense_rows = self.dense.search_rows([question], eff_k)
+        with trace_span("retrieval.dense"):
+            dense_s, dense_rows = self.dense.search_rows([question], eff_k)
         mark = clock("dense", mark)
-        bm25_s, bm25_rows = self.bm25.search_rows([question], eff_k)
+        with trace_span("retrieval.bm25"):
+            bm25_s, bm25_rows = self.bm25.search_rows([question], eff_k)
         mark = clock("bm25", mark)
         channels = [
             ChannelResult("dense", r.dense_weight, dense_rows[0], dense_s[0]),
             ChannelResult("bm25", r.bm25_weight, bm25_rows[0], bm25_s[0]),
         ]
         if self.late is not None:
-            late_s, late_rows = self.late.search_rows([question], eff_k)
+            with trace_span("retrieval.colbert"):
+                late_s, late_rows = self.late.search_rows([question], eff_k)
             channels.append(ChannelResult("colbert", r.colbert_weight,
                                           late_rows[0], late_s[0]))
             mark = clock("colbert", mark)

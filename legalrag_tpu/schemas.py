@@ -145,6 +145,27 @@ class RagAnswer(BaseModel):
     hits: List[RetrievalHit]
 
 
+class CaseEntry(BaseModel):
+    """A case-law record (realizes the schema the reference's dead
+    ``case_retriever.py`` imports but never defines — SURVEY.md §1)."""
+
+    case_id: str
+    title: str
+    court: Optional[str] = None
+    date: Optional[str] = None           # ISO yyyy-mm-dd
+    cause: Optional[str] = None          # cause of action / 案由
+    text: str
+    cited_articles: List[str] = Field(default_factory=list)
+    meta: Dict[str, Any] = Field(default_factory=dict)
+
+
+class CaseRetrievalHit(BaseModel):
+    case: CaseEntry
+    score: float
+    rank: Optional[int] = None
+    score_breakdown: Optional[Dict[str, Any]] = None
+
+
 class Neighbor(BaseModel):
     """A directed edge from one article node to another."""
 

@@ -75,6 +75,13 @@ def tokenize_en(text: str) -> List[str]:
     return [t.lower() for t in _EN_TOKEN.findall(text)]
 
 
+def tokenize_en_fast(text: str) -> List[str]:
+    """Native tokenizer when libhostops is built; parity-tested fallback."""
+    from legalrag_tpu.native import tokenize_ascii
+
+    return tokenize_ascii(text)
+
+
 def tokenize_zh(text: str) -> List[str]:
     j = _jieba()
     if j is not None:
