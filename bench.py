@@ -32,8 +32,8 @@ import numpy as np
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
-BATCH = 64
-N_QUERIES = 1024
+BATCH = 128
+N_QUERIES = 2048
 TOP_K = 10
 
 

@@ -127,6 +127,11 @@ class RetrievalConfig(BaseModel):
     enable_colbert: bool = True
     colbert_model: str = "jinaai/jina-colbert-v2"
 
+    # HyDE: expand the dense query with an LLM-written hypothetical answer
+    # (functional here; the reference declares the flag but never reads it —
+    # SURVEY.md §2.13.6)
+    enable_hyde: bool = False
+
     # rerank (reference config.py:119-124)
     enable_rerank: bool = True
     rerank_top_n: int = 30

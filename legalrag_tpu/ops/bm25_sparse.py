@@ -1,0 +1,153 @@
+"""Sparse BM25 scoring over device-resident CSR postings (Pallas kernel).
+
+The impact-matrix path (``ops.bm25``) is exact and MXU-fast but its [V, N]
+dense matrix grows as vocab × docs — beyond ~10⁵ docs the memory bill is
+unacceptable. This kernel scores from the *sparse* postings directly:
+
+- device arrays: ``post_docs`` int32 [NNZ] (doc ids, term-major),
+  ``post_w`` f32 [NNZ] (precomputed per-(term,doc) BM25 contributions),
+  ``offsets`` int32 [V+1] (CSR term boundaries);
+- a query is its padded term-id list; the kernel walks each term's postings
+  in fixed-size chunks (DMA from HBM into VMEM scratch, double-buffer-ready)
+  and scatter-accumulates contributions into a VMEM score accumulator.
+
+Grid: one program per query row. Term count and chunk size are static;
+postings lengths are dynamic (``fori_loop`` with a data-dependent bound).
+Numeric parity with the impact path is tested (same precomputed weights).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return max(m, -(-x // m) * m)
+
+
+def _bm25_sparse_kernel(term_ids_ref, term_counts_ref, offsets_ref,
+                        post_docs_ref, post_w_ref, out_ref, acc_ref,
+                        docs_vmem, w_vmem, sem, *, chunk: int, max_terms: int):
+    """One query row: accumulate postings contributions into acc [1, N]."""
+    qi = pl.program_id(0)  # scalar-prefetch refs hold the FULL [B, L] arrays
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def term_body(t, _):
+        tid = term_ids_ref[qi, t]
+        count = term_counts_ref[qi, t].astype(jnp.float32)
+        start = offsets_ref[tid]
+        end = offsets_ref[tid + 1]
+        size = end - start
+
+        def chunk_body(c, _):
+            base = start + c * chunk
+            copy_d = pltpu.make_async_copy(
+                post_docs_ref.at[pl.ds(base, chunk)], docs_vmem, sem.at[0])
+            copy_w = pltpu.make_async_copy(
+                post_w_ref.at[pl.ds(base, chunk)], w_vmem, sem.at[1])
+            copy_d.start()
+            copy_w.start()
+            copy_d.wait()
+            copy_w.wait()
+            idx = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0]
+            valid = idx < (size - c * chunk)
+            docs = docs_vmem[...]
+            w = jnp.where(valid, w_vmem[...] * count, 0.0)
+            row = acc_ref[0, :]
+            acc_ref[0, :] = row.at[docs].add(w, mode="drop")
+            return 0
+
+        n_chunks = jnp.maximum(0, (size + chunk - 1) // chunk)
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, max_terms, term_body, 0)
+    out_ref[...] = acc_ref[...]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_docs_pad", "chunk", "interpret"))
+def bm25_sparse_scores(term_ids: jax.Array, term_counts: jax.Array,
+                       offsets: jax.Array, post_docs: jax.Array,
+                       post_w: jax.Array, n_docs_pad: int, chunk: int = 512,
+                       interpret: bool = False) -> jax.Array:
+    """[B, L] padded query term ids/counts → [B, n_docs_pad] BM25 scores."""
+    b, max_terms = term_ids.shape
+    kernel = functools.partial(_bm25_sparse_kernel, chunk=chunk,
+                               max_terms=max_terms)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # term_ids, term_counts, offsets
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # post_docs (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # post_w (HBM)
+        ],
+        out_specs=pl.BlockSpec((1, n_docs_pad), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, n_docs_pad), jnp.float32),
+            pltpu.VMEM((chunk,), jnp.int32),
+            pltpu.VMEM((chunk,), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_docs_pad), jnp.float32),
+        interpret=interpret,
+    )(term_ids.reshape(b, max_terms), term_counts.reshape(b, max_terms),
+      offsets, post_docs, post_w)
+
+
+# ---------------------------------------------------------------------------
+# host-side builder: CSR postings with precomputed contributions
+
+def build_postings(doc_term_ids, doc_term_freqs, vocab_size: int,
+                   k1: float = 1.5, b: float = 0.75, epsilon: float = 0.25,
+                   chunk: int = 512
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(offsets [V+1], post_docs [NNZ_pad], post_w [NNZ_pad]) — term-major
+    CSR with per-(term,doc) contribution weights (ops.bm25 math). Postings
+    pad to a chunk multiple at the tail; padded entries carry weight 0 and
+    doc id 0."""
+    from legalrag_tpu.ops.bm25 import compute_idf
+
+    n_docs = len(doc_term_ids)
+    df = np.zeros(vocab_size, np.int64)
+    doc_len = np.zeros(n_docs, np.float64)
+    for d, (ids, tfs) in enumerate(zip(doc_term_ids, doc_term_freqs)):
+        df[ids] += 1
+        doc_len[d] = tfs.sum()
+    avgdl = doc_len.mean() if n_docs else 1.0
+    idf = compute_idf(df, n_docs, epsilon)
+    norm = k1 * (1.0 - b + b * doc_len / max(avgdl, 1e-9))
+
+    per_term_docs = [[] for _ in range(vocab_size)]
+    per_term_w = [[] for _ in range(vocab_size)]
+    for d, (ids, tfs) in enumerate(zip(doc_term_ids, doc_term_freqs)):
+        contrib = idf[ids] * tfs * (k1 + 1.0) / (tfs + norm[d])
+        for t, w in zip(ids, contrib):
+            per_term_docs[t].append(d)
+            per_term_w[t].append(w)
+
+    offsets = np.zeros(vocab_size + 1, np.int32)
+    docs_flat, w_flat = [], []
+    for t in range(vocab_size):
+        offsets[t] = len(docs_flat)
+        docs_flat.extend(per_term_docs[t])
+        w_flat.extend(per_term_w[t])
+    offsets[vocab_size] = len(docs_flat)
+    nnz_pad = _round_up(len(docs_flat) + chunk, chunk)
+    post_docs = np.zeros(nnz_pad, np.int32)
+    post_w = np.zeros(nnz_pad, np.float32)
+    post_docs[: len(docs_flat)] = docs_flat
+    post_w[: len(w_flat)] = w_flat
+    return offsets, post_docs, post_w

@@ -114,8 +114,15 @@ def fused_hybrid_topk(emb: jax.Array, impact: jax.Array,
     channels = [(dense_s, params.w_dense), (bm25_s, params.w_bm25)]
     late_s = None
     if doc_tok is not None:
+        # cap the [B, tile, Lq, L] similarity intermediate at ~256 MB f32
+        b, lq = q_tok.shape[0], q_tok.shape[1]
+        l_doc = doc_tok.shape[1]
+        budget = (256 << 20) // 4
+        tile = max(32, min(256, budget // max(b * lq * l_doc, 1)))
+        while n % tile:
+            tile //= 2
         late_s = mask_invalid(maxsim_full(doc_tok, doc_mask, q_tok, q_mask,
-                                          tile_n=min(256, n)))
+                                          tile_n=max(tile, 1)))
         channels.append((late_s, params.w_late))
 
     cand = jnp.zeros(dense_s.shape, jnp.float32)

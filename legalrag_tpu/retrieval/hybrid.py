@@ -52,6 +52,24 @@ class HybridRetriever:
         if cfg.retrieval.enable_graph and graph_store is not None:
             self.graph = GraphRetriever(bundle, graph_store, cfg)
 
+    def _hyde_expansion(self, question: str) -> Optional[str]:
+        """HyDE: one hypothetical statutory answer, embedded alongside the
+        query for the dense channel. Skipped silently without a live LLM."""
+        if self.llm is None or getattr(self.llm, "is_degraded", True):
+            return None
+        from legalrag_tpu.utils import has_chinese
+
+        prompt = ("请用一段法言法语写出最可能回答该问题的法条内容（不超过80字，"
+                  "不要条文编号）：" if has_chinese(question) else
+                  "Write one statutory-style paragraph (max 60 words, no "
+                  "section numbers) that would answer: ")
+        try:
+            text = self.llm.chat(
+                [{"role": "user", "content": prompt + question}], tag="hyde")
+            return (text or "").strip()[:400] or None
+        except Exception:
+            return None
+
     # ------------------------------------------------------ channel APIs
     def search_dense(self, question: str, top_k: int = 10) -> List[RetrievalHit]:
         return self.dense.search(question, top_k)
@@ -88,8 +106,14 @@ class HybridRetriever:
 
         # channel searches (each one jitted device program)
         mark = t0
+        dense_query = question
+        if r.enable_hyde:
+            hyde = self._hyde_expansion(question)
+            if hyde:
+                dense_query = f"{question}\n{hyde}"
+                mark = clock("hyde", mark)
         with trace_span("retrieval.dense"):
-            dense_s, dense_rows = self.dense.search_rows([question], eff_k)
+            dense_s, dense_rows = self.dense.search_rows([dense_query], eff_k)
         mark = clock("dense", mark)
         with trace_span("retrieval.bm25"):
             bm25_s, bm25_rows = self.bm25.search_rows([question], eff_k)

@@ -1,0 +1,67 @@
+"""Sparse postings BM25 kernel (interpret mode) vs the impact-matrix path."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from legalrag_tpu.index.bm25_index import BM25Index
+from legalrag_tpu.ops.bm25_sparse import bm25_sparse_scores, build_postings
+from legalrag_tpu.tokenize import tokenize
+
+DOCS = [
+    "the seller must deliver conforming goods to the buyer",
+    "a security interest attaches when value is given by the secured party",
+    "the buyer in ordinary course takes free of the security interest",
+    "rent is payable under the lease and the lessee must pay the lessor",
+    "negotiable instruments are payable to bearer or to order",
+] * 3  # repeat so postings exceed one chunk when chunk is small
+
+
+@pytest.fixture(scope="module")
+def index():
+    idx = BM25Index("en")
+    idx.build_from_texts(DOCS)
+    return idx
+
+
+def test_sparse_matches_impact(index):
+    queries = ["security interest of the buyer", "lease rent",
+               "unknownword only"]
+    vocab_size = len(index.vocab)
+    offsets, post_docs, post_w = build_postings(
+        index.doc_term_ids, index.doc_term_freqs, vocab_size,
+        index.k1, index.b, index.epsilon, chunk=8)
+    maxlen = 8
+    ids = np.zeros((len(queries), maxlen), np.int32)
+    counts = np.zeros((len(queries), maxlen), np.int32)
+    for qi, q in enumerate(queries):
+        toks = [index.vocab[t] for t in tokenize(q, "en") if t in index.vocab]
+        uniq = {}
+        for t in toks:
+            uniq[t] = uniq.get(t, 0) + 1
+        for j, (t, c) in enumerate(list(uniq.items())[:maxlen]):
+            ids[qi, j] = t
+            counts[qi, j] = c
+
+    n_pad = -(-index.n // 128) * 128
+    got = np.asarray(bm25_sparse_scores(
+        jnp.asarray(ids), jnp.asarray(counts), jnp.asarray(offsets),
+        jnp.asarray(post_docs), jnp.asarray(post_w), n_pad, chunk=8,
+        interpret=True))[:, : index.n]
+    want = index.scores(queries)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_padding_terms_are_noops(index):
+    vocab_size = len(index.vocab)
+    offsets, post_docs, post_w = build_postings(
+        index.doc_term_ids, index.doc_term_freqs, vocab_size, chunk=8)
+    # all-padding query (term id 0 with count 0) scores zero everywhere
+    ids = np.zeros((1, 4), np.int32)
+    counts = np.zeros((1, 4), np.int32)
+    n_pad = -(-index.n // 128) * 128
+    got = np.asarray(bm25_sparse_scores(
+        jnp.asarray(ids), jnp.asarray(counts), jnp.asarray(offsets),
+        jnp.asarray(post_docs), jnp.asarray(post_w), n_pad, chunk=8,
+        interpret=True))
+    np.testing.assert_array_equal(got, 0.0)

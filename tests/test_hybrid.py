@@ -101,3 +101,24 @@ def test_min_score_filter(hybrid):
         assert all(h.score >= 0.99 for h in hits) or hits == []
     finally:
         hybrid.cfg.retrieval.min_final_score = 0.2
+
+
+def test_hyde_expands_dense_query(hybrid):
+    class HydeLLM:
+        is_degraded = False
+        calls = []
+
+        def chat(self, messages, tag=None, **kw):
+            HydeLLM.calls.append(tag)
+            return "A buyer in ordinary course takes free of security interests."
+
+    hybrid.llm = HydeLLM()
+    hybrid.cfg.retrieval.enable_hyde = True
+    try:
+        hits = hybrid.search("who takes free of a security interest",
+                             top_k=5, decision=_decision())
+        assert hits
+        assert "hyde" in HydeLLM.calls
+    finally:
+        hybrid.cfg.retrieval.enable_hyde = False
+        hybrid.llm = None
