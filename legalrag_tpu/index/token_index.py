@@ -1,10 +1,10 @@
 """Device-resident token-embedding index for late interaction.
 
 Replaces the ColBERT/PLAID compressed index (reference
-``colbert_builder.py:119-134``) with a padded+masked [N, L, dt] bf16 store
-scored by ``ops.maxsim``. No residual compression in v1 — at statute-corpus
-scale the store fits HBM comfortably; int8 quantization is the planned
-follow-up for large corpora (SURVEY.md §7.4.5).
+``colbert_builder.py:119-134``) with a padded+masked [N, L, dt] store scored
+by ``ops.maxsim``. Storage dtypes: bf16 (default) or int8 (symmetric
+unit-norm quantization, dequantized inside the score producers — half the
+HBM for large corpora, SURVEY.md §7.4.5); queries always stay float.
 """
 
 from __future__ import annotations
@@ -41,6 +41,12 @@ class TokenIndex:
     def capacity(self) -> int:
         return 0 if self.tok is None else self.tok.shape[0]
 
+    @property
+    def _query_dtype(self):
+        """Query tokens stay float even over an int8 store (quantizing the
+        query would destroy the similarity scale)."""
+        return jnp.float32 if self.dtype == jnp.int8 else self.dtype
+
     def _put(self, x):
         return jax.device_put(x, self.device) if self.device is not None else jnp.asarray(x)
 
@@ -56,13 +62,23 @@ class TokenIndex:
                 mask = jax.lax.dynamic_update_slice(mask, self.mask[: self.n], (0, 0))
             self.tok, self.mask = self._put(tok), self._put(mask)
 
+    def _quantize(self, token_emb: np.ndarray) -> np.ndarray:
+        if self.dtype == jnp.int8:
+            from legalrag_tpu.ops.maxsim import INT8_SCALE
+
+            return np.clip(np.round(token_emb * INT8_SCALE),
+                           -127, 127).astype(np.int8)
+        return token_emb
+
     def add(self, token_emb: np.ndarray, token_mask: np.ndarray) -> None:
-        """Append [m, L, dt] per-token embeddings with [m, L] validity mask."""
+        """Append [m, L, dt] per-token embeddings with [m, L] validity mask.
+        With ``dtype="int8"`` vectors quantize symmetrically (unit-norm ·127)."""
         m = token_emb.shape[0]
         if m == 0:
             return
         assert token_emb.shape[1:] == (self.doc_maxlen, self.token_dim)
         self._ensure_capacity(self.n + m)
+        token_emb = self._quantize(token_emb)
         with on_device(self.device):
             self.tok = jax.lax.dynamic_update_slice(
                 self.tok, self._put(jnp.asarray(token_emb, self.dtype)), (self.n, 0, 0))
@@ -76,7 +92,7 @@ class TokenIndex:
         """[B, Lq, dt] query tokens × [B, C] candidate rows → [B, C] scores."""
         with on_device(self.device):
             s = maxsim_candidates(self.tok, self.mask,
-                                  self._put(jnp.asarray(q_tok, self.dtype)),
+                                  self._put(jnp.asarray(q_tok, self._query_dtype)),
                                   self._put(jnp.asarray(q_mask, bool)),
                                   self._put(jnp.asarray(cand, jnp.int32)))
         return np.asarray(s)
@@ -92,25 +108,47 @@ class TokenIndex:
         kb = bucket_k(k, self.capacity)
         with on_device(self.device):
             s, i = maxsim_topk(self.tok, self.mask,
-                               self._put(jnp.asarray(q_tok, self.dtype)),
+                               self._put(jnp.asarray(q_tok, self._query_dtype)),
                                self._put(jnp.asarray(q_mask, bool)),
                                self.n, kb, tile_n=min(tile_n, self.capacity))
         return np.asarray(s)[:, :k], np.asarray(i)[:, :k]
 
     # -------------------------------------------------------------- persist
     def save(self, path: str | Path) -> None:
-        tok = (np.asarray(self.tok[: self.n], np.float32) if self.n
-               else np.zeros((0, self.doc_maxlen, self.token_dim), np.float32))
-        mask = (np.asarray(self.mask[: self.n]) if self.n
-                else np.zeros((0, self.doc_maxlen), bool))
-        np.savez_compressed(path, tok=tok.astype(np.float16), mask=mask,
-                            token_dim=self.token_dim, doc_maxlen=self.doc_maxlen)
+        is_int8 = self.dtype == jnp.int8
+        if self.n:
+            tok = np.asarray(self.tok[: self.n])
+            tok = tok if is_int8 else tok.astype(np.float16)
+            mask = np.asarray(self.mask[: self.n])
+        else:
+            tok = np.zeros((0, self.doc_maxlen, self.token_dim),
+                           np.int8 if is_int8 else np.float16)
+            mask = np.zeros((0, self.doc_maxlen), bool)
+        np.savez_compressed(path, tok=tok, mask=mask,
+                            token_dim=self.token_dim,
+                            doc_maxlen=self.doc_maxlen,
+                            quantized=np.bool_(is_int8))
 
     @classmethod
     def load(cls, path: str | Path, dtype: str = "bfloat16",
              capacity_round: int = 1024, device=None) -> "TokenIndex":
         z = np.load(path)
+        stored_int8 = bool(z["quantized"]) if "quantized" in z.files else False
+        if stored_int8:
+            dtype = "int8"
         idx = cls(int(z["token_dim"]), int(z["doc_maxlen"]), dtype=dtype,
                   capacity_round=capacity_round, device=device)
-        idx.add(z["tok"].astype(np.float32), z["mask"])
+        tok = z["tok"]
+        if stored_int8 and idx.dtype == jnp.int8:
+            # already-quantized payload: bypass requantization
+            m = tok.shape[0]
+            idx._ensure_capacity(m)
+            with on_device(idx.device):
+                idx.tok = jax.lax.dynamic_update_slice(
+                    idx.tok, idx._put(jnp.asarray(tok, jnp.int8)), (0, 0, 0))
+                idx.mask = jax.lax.dynamic_update_slice(
+                    idx.mask, idx._put(jnp.asarray(z["mask"], bool)), (0, 0))
+            idx.n = m
+        else:
+            idx.add(tok.astype(np.float32), z["mask"])
         return idx

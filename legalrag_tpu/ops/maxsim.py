@@ -22,6 +22,18 @@ import jax
 import jax.numpy as jnp
 
 
+INT8_SCALE = 127.0
+
+
+def _dequant(x: jax.Array) -> jax.Array:
+    """int8 token stores hold round(v·127) of unit-norm vectors; dequantize
+    on the fly inside the einsum producer (int8 halves HBM vs bf16 —
+    SURVEY.md §7.4.5)."""
+    if x.dtype == jnp.int8:
+        return x.astype(jnp.float32) * (1.0 / INT8_SCALE)
+    return x
+
+
 @functools.partial(jax.jit, static_argnames=())
 def maxsim_candidates(doc_tok: jax.Array, doc_mask: jax.Array,
                       q_tok: jax.Array, q_mask: jax.Array,
@@ -33,7 +45,7 @@ def maxsim_candidates(doc_tok: jax.Array, doc_mask: jax.Array,
     """
 
     def per_query(qt, qm, cd):
-        dt = doc_tok[cd]            # [C, L, d]
+        dt = _dequant(doc_tok[cd])  # [C, L, d]
         dm = doc_mask[cd]           # [C, L]
         sim = jnp.einsum("qd,cld->cql", qt, dt,
                          preferred_element_type=jnp.float32)
@@ -56,7 +68,8 @@ def maxsim_full(doc_tok: jax.Array, doc_mask: jax.Array,
     num_tiles = n // tile_n
 
     def tile_body(i, acc):
-        dt = jax.lax.dynamic_slice_in_dim(doc_tok, i * tile_n, tile_n, 0)
+        dt = _dequant(jax.lax.dynamic_slice_in_dim(doc_tok, i * tile_n,
+                                                   tile_n, 0))
         dm = jax.lax.dynamic_slice_in_dim(doc_mask, i * tile_n, tile_n, 0)
         sim = jnp.einsum("bqd,cld->bcql", q_tok, dt,
                          preferred_element_type=jnp.float32)

@@ -69,7 +69,7 @@ class FusedQueryEngine:
             q_tok = q_mask = None
             if use_late:
                 qt, qm = enc.encode_tokens(qs, self.cfg.engine.max_query_tokens)
-                q_tok = jnp.asarray(qt, self.bundle.tokens.dtype)
+                q_tok = jnp.asarray(qt, self.bundle.tokens._query_dtype)
                 q_mask = jnp.asarray(qm)
             inputs = (qvec, (jnp.asarray(term_ids), jnp.asarray(term_mask)),
                       q_tok, q_mask, use_late)

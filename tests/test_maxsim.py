@@ -80,3 +80,27 @@ def test_token_index_roundtrip(tmp_path):
     # incremental add past capacity
     idx.add(_rand(rng, 10, 4, 16), np.ones((10, 4), bool))
     assert idx.n == 15 and idx.capacity == 16
+
+
+def test_int8_token_index_close_to_f32(tmp_path):
+    rng = np.random.default_rng(5)
+    emb = _rand(rng, 20, 6, 32)
+    mask = rng.random((20, 6)) > 0.2
+    q = _rand(rng, 3, 4, 32)
+    qm = np.ones((3, 4), bool)
+
+    f32 = TokenIndex(token_dim=32, doc_maxlen=6, dtype="float32",
+                     capacity_round=32)
+    f32.add(emb, mask)
+    q8 = TokenIndex(token_dim=32, doc_maxlen=6, dtype="int8",
+                    capacity_round=32)
+    q8.add(emb, mask)
+    s32, i32 = f32.topk(q, qm, 5, tile_n=4)
+    s8, i8 = q8.topk(q, qm, 5, tile_n=4)
+    np.testing.assert_allclose(s8, s32, atol=0.05)  # quantization noise
+    assert (i8[:, 0] == i32[:, 0]).all()  # top-1 stable
+    # persistence round trip keeps quantized payload (no double quantization)
+    q8.save(tmp_path / "t8.npz")
+    loaded = TokenIndex.load(tmp_path / "t8.npz")
+    s8b, _ = loaded.topk(q, qm, 5, tile_n=4)
+    np.testing.assert_allclose(s8b, s8, atol=1e-6)
