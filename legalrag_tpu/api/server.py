@@ -30,7 +30,7 @@ import time
 import urllib.request
 import uuid
 from pathlib import Path
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 from legalrag_tpu.api.answer_scanner import StructuredAnswerScanner
 from legalrag_tpu.api.webcore import (

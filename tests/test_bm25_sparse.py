@@ -65,3 +65,33 @@ def test_padding_terms_are_noops(index):
         jnp.asarray(post_docs), jnp.asarray(post_w), n_pad, chunk=8,
         interpret=True))
     np.testing.assert_array_equal(got, 0.0)
+
+
+def test_xla_scatter_variant_matches(index):
+    import jax.numpy as jnp
+
+    from legalrag_tpu.ops.bm25_sparse import bm25_sparse_scores_xla
+
+    vocab_size = len(index.vocab)
+    offsets, post_docs, post_w = build_postings(
+        index.doc_term_ids, index.doc_term_freqs, vocab_size,
+        index.k1, index.b, index.epsilon, chunk=8)
+    queries = ["security interest of the buyer", "lease rent"]
+    maxlen = 8
+    ids = np.zeros((len(queries), maxlen), np.int32)
+    counts = np.zeros((len(queries), maxlen), np.int32)
+    for qi, q in enumerate(queries):
+        toks = [index.vocab[t] for t in tokenize(q, "en") if t in index.vocab]
+        uniq = {}
+        for t in toks:
+            uniq[t] = uniq.get(t, 0) + 1
+        for j, (t, c) in enumerate(list(uniq.items())[:maxlen]):
+            ids[qi, j] = t
+            counts[qi, j] = c
+    n_pad = -(-index.n // 128) * 128
+    got = np.asarray(bm25_sparse_scores_xla(
+        jnp.asarray(ids), jnp.asarray(counts), jnp.asarray(offsets),
+        jnp.asarray(post_docs), jnp.asarray(post_w), n_pad,
+        max_postings=maxlen * 32))[:, : index.n]
+    want = index.scores(queries)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
