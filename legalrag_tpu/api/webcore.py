@@ -167,6 +167,8 @@ class App:
 
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
+            timeout = 120  # per-connection socket timeout
+            MAX_BODY = 64 << 20  # uploads cap (PDFs)
 
             def log_message(self, fmt, *args):
                 msg = fmt % args
@@ -176,6 +178,8 @@ class App:
             def _request(self) -> Request:
                 parsed = urllib.parse.urlsplit(self.path)
                 length = int(self.headers.get("Content-Length") or 0)
+                if length > self.MAX_BODY:
+                    raise ValueError("request body too large")
                 body = self.rfile.read(length) if length else b""
                 return Request(
                     method=self.command,
@@ -216,7 +220,12 @@ class App:
 
             def _handle(self) -> None:
                 try:
-                    self._respond(app.dispatch(self._request()))
+                    try:
+                        req = self._request()
+                    except ValueError as e:
+                        self._respond(Response({"detail": str(e)}, status=413))
+                        return
+                    self._respond(app.dispatch(req))
                 except (BrokenPipeError, ConnectionResetError):
                     pass
 
