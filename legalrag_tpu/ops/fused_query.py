@@ -36,6 +36,11 @@ class FusedParams(NamedTuple):
     w_dense: float
     w_bm25: float
     w_late: float
+    # large-corpus mode: score MaxSim only on this many dense-prefiltered
+    # candidates (0 = full-corpus exact late interaction)
+    late_candidates: int = 0
+    # sparse BM25 gather budget (used when impact arrives as CSR arrays)
+    max_postings: int = 16384
 
 
 def _channel_components(scores: jax.Array, eff_k: int, weight: float,
@@ -87,7 +92,8 @@ def fused_hybrid_topk(emb: jax.Array, impact: jax.Array,
         qvec = jnp.dot(sketch, proj, preferred_element_type=jnp.float32)
         qvec = qvec / jnp.maximum(
             jnp.linalg.norm(qvec, axis=-1, keepdims=True), 1e-9)
-    if isinstance(qtf, (tuple, list)):
+    sparse_bm25 = isinstance(impact, (tuple, list)) and len(impact) == 3
+    if isinstance(qtf, (tuple, list)) and not sparse_bm25:
         term_ids, term_mask = qtf
         b = term_ids.shape[0]
         v = impact.shape[0]
@@ -108,12 +114,40 @@ def fused_hybrid_topk(emb: jax.Array, impact: jax.Array,
 
     dense_s = mask_invalid(jnp.dot(qvec.astype(emb.dtype), emb.T,
                                    preferred_element_type=jnp.float32))
-    bm25_s = mask_invalid(jnp.dot(qtf.astype(impact.dtype), impact,
-                                  preferred_element_type=jnp.float32))
+
+    if sparse_bm25:
+        # large-corpus mode: CSR postings scored with XLA scatter-add
+        # (the [V, N] impact matrix would not fit HBM); qtf must be the
+        # (term_ids, term_counts) pair
+        offsets, post_docs, post_w = impact
+        term_ids, term_counts = qtf
+        from legalrag_tpu.ops.bm25_sparse import bm25_sparse_scores_xla
+
+        bm25_s = mask_invalid(bm25_sparse_scores_xla(
+            term_ids, term_counts.astype(jnp.int32), offsets, post_docs,
+            post_w, n, max_postings=params.max_postings))
+    else:
+        bm25_s = mask_invalid(jnp.dot(qtf.astype(impact.dtype), impact,
+                                      preferred_element_type=jnp.float32))
 
     channels = [(dense_s, params.w_dense), (bm25_s, params.w_bm25)]
     late_s = None
-    if doc_tok is not None:
+    if doc_tok is not None and params.late_candidates > 0:
+        # candidate mode: exact MaxSim on dense-prefiltered rows, scattered
+        # back to the [B, N] map (rank semantics: rank within candidates)
+        from legalrag_tpu.ops.maxsim import maxsim_candidates
+
+        c = min(params.late_candidates, n)
+        _, cand = jax.lax.top_k(dense_s, c)
+        cand_scores = maxsim_candidates(doc_tok, doc_mask, q_tok, q_mask,
+                                        cand)
+        b = dense_s.shape[0]
+        late_s = jnp.full((b, n), NEG_INF, jnp.float32)
+        late_s = jax.vmap(lambda m, i, v: m.at[i].set(v))(late_s, cand,
+                                                          cand_scores)
+        late_s = mask_invalid(late_s)
+        channels.append((late_s, params.w_late))
+    elif doc_tok is not None:
         # cap the [B, tile, Lq, L] similarity intermediate at ~256 MB f32
         b, lq = q_tok.shape[0], q_tok.shape[1]
         l_doc = doc_tok.shape[1]

@@ -1,0 +1,107 @@
+"""Scale benchmark: the large-corpus fused engine on a synthetic corpus.
+
+Synthesizes an N-doc index directly as device arrays (unit-norm dense rows,
+int8 token store, Zipf-ish CSR postings) and measures the large-mode fused
+program (dense full matmul + sparse-scatter BM25 + candidate MaxSim + fusion
++ top-k) end-to-end on the accelerator. This is the production-scale
+configuration the statute corpus never exercises.
+
+Usage: python -m scripts.bench_scale [--n-docs 65536] [--batch 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=65536)
+    ap.add_argument("--vocab", type=int, default=65536)
+    ap.add_argument("--dim", type=int, default=768)
+    ap.add_argument("--doc-len", type=int, default=64)
+    ap.add_argument("--token-dim", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--candidates", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from legalrag_tpu.ops.fused_query import FusedParams, fused_hybrid_topk
+    from legalrag_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    n, v, d = args.n_docs, args.vocab, args.dim
+    rng = np.random.default_rng(0)
+    print(f"synthesizing {n} docs (d={d}, tokens {args.doc_len}x"
+          f"{args.token_dim} int8, vocab {v}) on "
+          f"{jax.default_backend()}", file=sys.stderr, flush=True)
+
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    emb = jnp.asarray(emb).astype(jnp.bfloat16)
+
+    tok = rng.integers(-127, 128, (n, args.doc_len, args.token_dim),
+                       dtype=np.int64).astype(np.int8)
+    doc_tok = jnp.asarray(tok)
+    doc_mask = jnp.ones((n, args.doc_len), bool)
+
+    # Zipf-ish postings: term t appears in ~n/(t+10) docs, capped
+    sizes = np.minimum((n // (np.arange(v) + 10)).astype(np.int64), 2048)
+    offsets = np.zeros(v + 1, np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    nnz = int(offsets[-1])
+    post_docs = rng.integers(0, n, nnz).astype(np.int32)
+    post_w = np.abs(rng.standard_normal(nnz)).astype(np.float32)
+    print(f"postings nnz={nnz/1e6:.1f}M "
+          f"(~{(post_docs.nbytes + post_w.nbytes) / 1e9:.2f} GB)",
+          file=sys.stderr, flush=True)
+    sparse = (jnp.asarray(offsets.astype(np.int32)), jnp.asarray(post_docs),
+              jnp.asarray(post_w))
+
+    b = args.batch
+    qvec = rng.standard_normal((b, d)).astype(np.float32)
+    qvec /= np.linalg.norm(qvec, axis=1, keepdims=True)
+    qvec = jnp.asarray(qvec)
+    term_ids = jnp.asarray(rng.integers(0, v, (b, 32)).astype(np.int32))
+    term_counts = jnp.asarray(np.ones((b, 32), np.int32))
+    q_tok = rng.standard_normal((b, 16, args.token_dim)).astype(np.float32)
+    q_tok /= np.linalg.norm(q_tok, axis=-1, keepdims=True)
+    q_tok = jnp.asarray(q_tok)
+    q_mask = jnp.ones((b, 16), bool)
+
+    params = FusedParams(eff_k=64, final_k=10, rrf_k=60.0, alpha=0.5,
+                         w_dense=0.6, w_bm25=0.4, w_late=0.35,
+                         late_candidates=args.candidates,
+                         max_postings=32 * 2048)
+    run = lambda: fused_hybrid_topk(emb, sparse, doc_tok, doc_mask, qvec,
+                                    (term_ids, term_counts), q_tok, q_mask,
+                                    jnp.int32(n), params)
+    t0 = time.perf_counter()
+    out = run()
+    jax.block_until_ready(out["rows"])
+    print(f"compile+first run: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+
+    for _ in range(3):
+        out = run()
+    jax.block_until_ready(out["rows"])
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = run()
+    jax.block_until_ready(out["rows"])
+    dt = (time.perf_counter() - t0) / args.iters
+    print(f"{n} docs: {dt * 1e3:.2f} ms/batch{b} -> {b / dt:.0f} q/s "
+          f"(device-side hybrid)", file=sys.stderr, flush=True)
+    print(f'{{"metric": "scale_hybrid_qps", "n_docs": {n}, '
+          f'"value": {b / dt:.1f}, "unit": "queries/s"}}')
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Large-corpus fused mode (sparse BM25 + candidate MaxSim) vs standard mode."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from legalrag_tpu.config import AppConfig
+from legalrag_tpu.index.bundle import IndexBundle
+from legalrag_tpu.ops.bm25_sparse import build_postings
+from legalrag_tpu.ops.fused_query import FusedParams, fused_hybrid_topk
+
+
+@pytest.fixture(scope="module")
+def setup(en_chunks):
+    cfg = AppConfig()
+    cfg.engine.capacity_round = 256
+    cfg.engine.late_doc_maxlen = 64
+    bundle = IndexBundle.build_from_chunks(en_chunks[:200], cfg, "en")
+    return bundle, cfg
+
+
+def _query_inputs(bundle, cfg, queries):
+    enc = bundle.encoder
+    qvec = jnp.asarray(enc.encode_queries(queries))
+    ids, mask = bundle.bm25.query_term_ids(queries, 32)
+    qt, qm = enc.encode_tokens(queries, 32)
+    return qvec, ids, mask, jnp.asarray(qt, bundle.tokens.dtype), jnp.asarray(qm)
+
+
+def test_large_mode_matches_standard(setup):
+    bundle, cfg = setup
+    queries = ["buyer in ordinary course of business",
+               "negotiable instrument payable to bearer"]
+    qvec, ids, mask, qt, qm = _query_inputs(bundle, cfg, queries)
+    n = bundle.dense.capacity
+    base = FusedParams(eff_k=32, final_k=10, rrf_k=60.0, alpha=0.5,
+                       w_dense=0.6, w_bm25=0.4, w_late=0.35)
+
+    standard = fused_hybrid_topk(
+        bundle.dense.emb, bundle.bm25.impact, bundle.tokens.tok,
+        bundle.tokens.mask, qvec, (jnp.asarray(ids), jnp.asarray(mask)),
+        qt, qm, jnp.int32(bundle.dense.n), base)
+
+    offsets, post_docs, post_w = build_postings(
+        bundle.bm25.doc_term_ids, bundle.bm25.doc_term_freqs,
+        len(bundle.bm25.vocab), bundle.bm25.k1, bundle.bm25.b,
+        bundle.bm25.epsilon)
+    # candidates = full corpus → candidate mode must agree exactly
+    large = FusedParams(eff_k=32, final_k=10, rrf_k=60.0, alpha=0.5,
+                        w_dense=0.6, w_bm25=0.4, w_late=0.35,
+                        late_candidates=n, max_postings=32 * 256)
+    got = fused_hybrid_topk(
+        bundle.dense.emb,
+        (jnp.asarray(offsets), jnp.asarray(post_docs), jnp.asarray(post_w)),
+        bundle.tokens.tok, bundle.tokens.mask, qvec,
+        (jnp.asarray(ids), jnp.asarray(mask)), qt, qm,
+        jnp.int32(bundle.dense.n), large)
+
+    np.testing.assert_array_equal(np.asarray(got["rows"]),
+                                  np.asarray(standard["rows"]))
+    np.testing.assert_allclose(np.asarray(got["packed"]),
+                               np.asarray(standard["packed"]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_candidate_mode_prefilters(setup):
+    bundle, cfg = setup
+    queries = ["security interest attaches when value is given"]
+    qvec, ids, mask, qt, qm = _query_inputs(bundle, cfg, queries)
+    params = FusedParams(eff_k=16, final_k=5, rrf_k=60.0, alpha=0.5,
+                         w_dense=0.6, w_bm25=0.4, w_late=0.35,
+                         late_candidates=32)
+    offsets, post_docs, post_w = build_postings(
+        bundle.bm25.doc_term_ids, bundle.bm25.doc_term_freqs,
+        len(bundle.bm25.vocab))
+    out = fused_hybrid_topk(
+        bundle.dense.emb,
+        (jnp.asarray(offsets), jnp.asarray(post_docs), jnp.asarray(post_w)),
+        bundle.tokens.tok, bundle.tokens.mask, qvec,
+        (jnp.asarray(ids), jnp.asarray(mask)), qt, qm,
+        jnp.int32(bundle.dense.n), params)
+    rows = np.asarray(out["rows"])
+    assert rows.shape == (1, 5)
+    assert (rows < bundle.dense.n).all()
+    scores = np.asarray(out["packed"])[..., 0]
+    assert (np.diff(scores[0]) <= 1e-6).all()
