@@ -226,6 +226,35 @@ def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
             "hits": [_hit_payload(h) for h in hits],
         })
 
+    @app.post("/rag/retrieve_batch")
+    def rag_retrieve_batch(req: Request) -> Response:
+        """Batched retrieval through the fused device engine (throughput
+        path: one XLA program for the whole batch; no graph/rerank stages —
+        use /rag/retrieve for the full per-query pipeline)."""
+        st.require_ready()
+        body = req.json()
+        questions = [q.strip() for q in body.get("questions") or [] if q and q.strip()]
+        if not questions:
+            raise HTTPError(422, "questions (non-empty list) is required")
+        if len(questions) > cfg.engine.max_query_batch * 4:
+            raise HTTPError(422, f"at most {cfg.engine.max_query_batch * 4} "
+                            "questions per call")
+        top_k = body.get("top_k") or cfg.retrieval.top_k
+        from legalrag_tpu.retrieval.engine import FusedQueryEngine
+        from legalrag_tpu.utils import detect_lang
+
+        by_lang: Dict[str, list] = {}
+        for i, q in enumerate(questions):
+            by_lang.setdefault(detect_lang(q), []).append((i, q))
+        results: list = [None] * len(questions)
+        for lang, items in by_lang.items():
+            bundle = st.pipeline.retriever.cache.get(lang)
+            engine = FusedQueryEngine(bundle, cfg.with_lang(lang))
+            hits = engine.search_hits([q for _, q in items], top_k)
+            for (i, _q), hs in zip(items, hits):
+                results[i] = [_hit_payload(h) for h in hs]
+        return Response({"results": results})
+
     # -------------------------------------------------------------- answer
     def _resolve_answer_inputs(body: Dict[str, Any]):
         rid = body.get("retrieval_id")

@@ -136,3 +136,16 @@ def test_ingest_rejects_garbage(client):
 def test_ui_served(client):
     r = client.get("/ui")
     assert r.status == 200 and "LegalRAG-TPU" in r.text
+
+
+def test_retrieve_batch(client):
+    r = client.post("/rag/retrieve_batch", json_body={
+        "questions": ["buyer in ordinary course", "离婚后财产分割"],
+        "top_k": 3})
+    assert r.status == 200, r.text
+    results = r.json()["results"]
+    assert len(results) == 2
+    assert results[0] and results[0][0]["chunk"]["lang"] == "en"
+    assert results[1] and results[1][0]["chunk"]["lang"] == "zh"
+    assert all(h["score_breakdown"]["per_channel"] for h in results[0])
+    assert client.post("/rag/retrieve_batch", json_body={"questions": []}).status == 422
