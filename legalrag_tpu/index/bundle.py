@@ -117,8 +117,14 @@ class IndexBundle:
 
     # --------------------------------------------------------------- persist
     def save(self, index_dir: str | Path) -> None:
+        from legalrag_tpu.utils.filelock import file_lock
+
         d = Path(index_dir)
         d.mkdir(parents=True, exist_ok=True)
+        with file_lock(d / ".lock"):
+            self._save_locked(d)
+
+    def _save_locked(self, d: Path) -> None:
         # meta before payloads: a crash can leave extra meta but never a
         # payload row without meta (ordering per incremental_dense_builder.py:64)
         write_chunks_jsonl(self.chunks, d / "chunks.jsonl")

@@ -85,3 +85,28 @@ def test_en_parser_parts(ucc_texts):
     r = next(r for r in recs if r.article_id == "1-201")
     assert r.section and "PART 2" in r.section.upper()
     assert "General Definitions" in r.text
+
+
+def test_file_lock_mutual_exclusion(tmp_path):
+    import threading
+    import time
+
+    from legalrag_tpu.utils.filelock import file_lock
+
+    order = []
+
+    def worker(name):
+        with file_lock(tmp_path / "x.lock"):
+            order.append(f"{name}-in")
+            time.sleep(0.05)
+            order.append(f"{name}-out")
+
+    threads = [threading.Thread(target=worker, args=(str(i),)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # critical sections never interleave
+    for i in range(0, 6, 2):
+        assert order[i].endswith("-in") and order[i + 1].endswith("-out")
+        assert order[i].split("-")[0] == order[i + 1].split("-")[0]
