@@ -172,31 +172,39 @@ def main() -> None:
     # (2) all executions back-to-back, (3) one sync + fetch. Remote backends
     # serialize executions against interleaved transfers; this ordering
     # keeps the device busy end-to-end.
-    t0 = time.perf_counter()
-    prepared = [engine.prepare(batch, TOP_K) for batch in batches]
-    in_flight = [engine.execute(p) for p in prepared]
-    # stack results on device so the host fetch is 2 buffers total, not
-    # 2 × n_batches (each fetch is a ~25 ms round trip on remote backends)
     import jax.numpy as jnp
 
-    stacked_rows = jnp.stack([d[0]["rows"] for d in in_flight])
-    all_rows_np = np.asarray(stacked_rows)
-    tpu_dt = time.perf_counter() - t0
-    all_rows = [all_rows_np[i][: len(b), :TOP_K]
+    def one_pass():
+        t0 = time.perf_counter()
+        prepared = [engine.prepare(batch, TOP_K) for batch in batches]
+        in_flight = [engine.execute(p) for p in prepared]
+        # stack on device so the host fetch is ONE buffer, not 2×n_batches
+        # (each fetch is a ~25 ms round trip on remote backends)
+        all_rows_np = np.asarray(jnp.stack([d[0]["rows"] for d in in_flight]))
+        dt = time.perf_counter() - t0
+        rows = [all_rows_np[i][: len(b), :TOP_K]
                 for i, b in enumerate(batches)]
+        return dt, np.concatenate(rows)
+
+    # best-of-3: the remote-tunnel per-run variance is ±30%; best-pass is
+    # the steady-state number (both sides measured the same way)
+    passes = [one_pass() for _ in range(3)]
+    tpu_dt, tpu_rows = min(passes, key=lambda p: p[0])
     tpu_qps = len(queries) / tpu_dt
-    tpu_rows = np.concatenate(all_rows)
-    log(f"tpu: {len(queries)} queries in {tpu_dt:.2f}s -> {tpu_qps:.1f} q/s; "
-        f"Recall@10={recall_at(tpu_rows, gold, 10):.3f}")
+    log(f"tpu: {len(queries)} queries in {tpu_dt:.2f}s (best of 3) -> "
+        f"{tpu_qps:.1f} q/s; Recall@10={recall_at(tpu_rows, gold, 10):.3f}")
 
     baseline = CpuBaseline(bundle, cfg.with_lang("zh"))
     n_base = min(BATCH, len(queries))  # time one batch; extrapolate per-query
-    t0 = time.perf_counter()
-    base_rows = baseline.search(queries[:n_base], TOP_K)
-    cpu_dt = time.perf_counter() - t0
+    cpu_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        base_rows = baseline.search(queries[:n_base], TOP_K)
+        cpu_times.append(time.perf_counter() - t0)
+    cpu_dt = min(cpu_times)
     cpu_qps = n_base / cpu_dt
-    log(f"cpu baseline: {n_base} queries in {cpu_dt:.2f}s -> {cpu_qps:.1f} q/s; "
-        f"Recall@10={recall_at(base_rows, gold[:n_base], 10):.3f}")
+    log(f"cpu baseline: {n_base} queries in {cpu_dt:.2f}s (best of 3) -> "
+        f"{cpu_qps:.1f} q/s; Recall@10={recall_at(base_rows, gold[:n_base], 10):.3f}")
 
     print(json.dumps({
         "metric": "hybrid_qps_per_chip",
