@@ -39,7 +39,10 @@ class Request:
     def json(self) -> Any:
         if not self.body:
             return {}
-        return json.loads(self.body.decode("utf-8"))
+        try:
+            return json.loads(self.body.decode("utf-8"))
+        except (json.JSONDecodeError, UnicodeDecodeError) as e:
+            raise HTTPError(400, f"invalid JSON body: {e}")
 
     def form(self) -> Dict[str, Any]:
         """Parse multipart/form-data; file fields become

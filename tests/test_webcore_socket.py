@@ -79,3 +79,15 @@ def test_404_and_405(server_url):
         assert False
     except urllib.error.HTTPError as e:
         assert e.code == 405
+
+
+def test_malformed_json_is_400(server_url):
+    req = urllib.request.Request(server_url + "/echo/bob", data=b"not json",
+                                 headers={"Content-Type": "application/json"},
+                                 method="POST")
+    try:
+        urllib.request.urlopen(req, timeout=10)
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "invalid JSON" in e.read().decode()
