@@ -71,8 +71,25 @@ def _jieba():
         return None
 
 
+@lru_cache(maxsize=8192)
+def _tokenize_en_cached(text: str) -> tuple:
+    return tuple(t.lower() for t in _EN_TOKEN.findall(text))
+
+
+@lru_cache(maxsize=8192)
+def _tokenize_zh_cached(text: str) -> tuple:
+    j = _jieba()
+    if j is not None:
+        return tuple(t for t in j.cut(text) if t.strip())
+    chars = _ZH_CHAR.findall(text)
+    toks = chars + [a + b for a, b in zip(chars, chars[1:])]
+    return tuple(toks) + _tokenize_en_cached(text)
+
+
 def tokenize_en(text: str) -> List[str]:
-    return [t.lower() for t in _EN_TOKEN.findall(text)]
+    # LRU'd: one query is tokenized by three encode paths per request
+    # (BM25 term ids, sketch features, token vectors)
+    return list(_tokenize_en_cached(text))
 
 
 def tokenize_en_fast(text: str) -> List[str]:
@@ -83,14 +100,7 @@ def tokenize_en_fast(text: str) -> List[str]:
 
 
 def tokenize_zh(text: str) -> List[str]:
-    j = _jieba()
-    if j is not None:
-        return [t for t in j.cut(text) if t.strip()]
-    # fallback: CJK unigrams+bigrams + latin word tokens
-    chars = _ZH_CHAR.findall(text)
-    toks = chars + [a + b for a, b in zip(chars, chars[1:])]
-    toks.extend(tokenize_en(text))
-    return toks
+    return list(_tokenize_zh_cached(text))
 
 
 def tokenize(text: str, lang: str) -> List[str]:
