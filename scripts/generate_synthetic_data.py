@@ -61,7 +61,13 @@ def quality_ok(query: str, lang: str) -> bool:
 
 # ---------------------------------------------------------------- extractive
 def extractive_queries(chunks: List[LawChunk], n: int, seed: int,
-                       per_article: int = 1) -> List[Dict]:
+                       per_article: int = 1, hardness: float = 0.0
+                       ) -> List[Dict]:
+    """``hardness`` ∈ [0, 1): additionally drop that fraction of the
+    remaining tokens, degrading lexical overlap with the gold article —
+    the stress variant of the eval set."""
+    from legalrag_tpu.tokenize import tokenize as _tok
+
     rng = random.Random(seed)
     rows: List[Dict] = []
     order = list(range(len(chunks)))
@@ -80,6 +86,12 @@ def extractive_queries(chunks: List[LawChunk], n: int, seed: int,
             if len(parts) > 2:
                 del parts[rng.randrange(len(parts))]
                 s = "，".join(parts) if lang == "zh" else ", ".join(parts)
+            if hardness > 0:
+                toks = _tok(s, lang)
+                kept = [t for t in toks if rng.random() >= hardness]
+                if len(kept) < 4:
+                    continue
+                s = ("" if lang == "zh" else " ").join(kept)
             if not quality_ok(s, lang):
                 continue
             rows.append({"query": s, "lang": lang, "role": "extractive",
@@ -173,6 +185,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=("auto", "llm", "extractive"),
                     default="auto")
+    ap.add_argument("--hardness", type=float, default=0.0,
+                    help="extractive mode: fraction of query tokens to drop")
     ap.add_argument("--n", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--lang", default=None)
@@ -196,7 +210,8 @@ def main() -> None:
     if mode == "llm":
         rows = llm_queries(chunks, args.n, args.seed, client, client)
     else:
-        rows = extractive_queries(chunks, args.n, args.seed)
+        rows = extractive_queries(chunks, args.n, args.seed,
+                                  hardness=args.hardness)
     rows = dedup_by_embedding(rows, cfg)
     log.info("kept %d queries after quality gates + dedup", len(rows))
 
