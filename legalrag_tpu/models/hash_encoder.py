@@ -34,7 +34,8 @@ from legalrag_tpu.utils.device import on_device
 class HashEncoder:
     def __init__(self, lang: str, dim: int = 768, sketch_dim: int = 16384,
                  token_dim: int = 128, seed: int = 7, device=None,
-                 df: Optional[np.ndarray] = None, n_docs: int = 0):
+                 df: Optional[np.ndarray] = None, n_docs: int = 0,
+                 proj: Optional[np.ndarray] = None):
         self.lang = lang
         self.dim = dim
         self.sketch_dim = sketch_dim
@@ -44,8 +45,16 @@ class HashEncoder:
         self.df = (np.zeros(sketch_dim, np.int64) if df is None
                    else np.asarray(df, np.int64))
         self.n_docs = int(n_docs)
+        # trained projection (contrastive adaptation, scripts.train_encoder)
+        # overrides the default PRNG Gaussian when present
+        self.trained_proj = None if proj is None else np.asarray(proj, np.float32)
         self._proj = None  # device [sketch_dim, dim]
         self._tok_cache: Dict[str, np.ndarray] = {}
+
+    def set_projection(self, proj: np.ndarray) -> None:
+        assert proj.shape == (self.sketch_dim, self.dim)
+        self.trained_proj = np.asarray(proj, np.float32)
+        self._proj = None  # re-materialize on next use
 
     # ------------------------------------------------------------------ idf
     def _buckets_signs(self, text: str):
@@ -98,9 +107,12 @@ class HashEncoder:
     def _projection(self) -> jax.Array:
         if self._proj is None:
             with on_device(self.device):
-                key = jax.random.PRNGKey(self.seed)
-                proj = jax.random.normal(key, (self.sketch_dim, self.dim),
-                                         dtype=jnp.float32) / np.sqrt(self.dim)
+                if self.trained_proj is not None:
+                    proj = jnp.asarray(self.trained_proj)
+                else:
+                    key = jax.random.PRNGKey(self.seed)
+                    proj = jax.random.normal(key, (self.sketch_dim, self.dim),
+                                             dtype=jnp.float32) / np.sqrt(self.dim)
                 if self.device is not None:
                     proj = jax.device_put(proj, self.device)
                 self._proj = proj
@@ -164,16 +176,21 @@ class HashEncoder:
 
     # -------------------------------------------------------------- persist
     def state(self) -> Dict:
-        return {"lang": self.lang, "dim": self.dim, "sketch_dim": self.sketch_dim,
-                "token_dim": self.token_dim, "seed": self.seed,
-                "df": self.df, "n_docs": self.n_docs}
+        out = {"lang": self.lang, "dim": self.dim,
+               "sketch_dim": self.sketch_dim, "token_dim": self.token_dim,
+               "seed": self.seed, "df": self.df, "n_docs": self.n_docs}
+        if self.trained_proj is not None:
+            out["proj"] = self.trained_proj.astype(np.float16)
+        return out
 
     @classmethod
     def from_state(cls, state: Dict, device=None) -> "HashEncoder":
+        proj = state["proj"] if "proj" in getattr(state, "files", state) else None
         return cls(lang=str(state["lang"]), dim=int(state["dim"]),
                    sketch_dim=int(state["sketch_dim"]),
                    token_dim=int(state["token_dim"]), seed=int(state["seed"]),
-                   device=device, df=state["df"], n_docs=int(state["n_docs"]))
+                   device=device, df=state["df"], n_docs=int(state["n_docs"]),
+                   proj=None if proj is None else np.asarray(proj, np.float32))
 
 
 @jax.jit

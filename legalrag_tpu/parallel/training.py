@@ -30,20 +30,39 @@ from legalrag_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
 def make_contrastive_train_step(mesh: Mesh, lr: float = 1e-2,
-                                temperature: float = 0.05):
+                                temperature: float = 0.05,
+                                l2sp: float = 0.0):
     """(W [d_in, d_out] sharded P(None, model), q [B, d_in] P(data, None),
-    d [B, d_in] P(data, None)) → (W', loss)."""
+    d [B, d_in] P(data, None)) → (W', loss).
 
-    def local(w_local, q_local, d_local):
+    ``l2sp``: L2-SP regularization toward the initial projection (the
+    anti-overfitting control for small corpora — the head has ~10⁷ params
+    while a statute corpus yields ~10³ pairs). When set, pass the same
+    sharded ``w0`` alongside ``w``: step(w, w0, q, d)."""
+
+    def local(w_local, *args):
+        if l2sp > 0:
+            w0_local, q_local, d_local = args
+        else:
+            (q_local, d_local), w0_local = args, None
         dp = jax.lax.psum(1, DATA_AXIS)
         b_local = q_local.shape[0]
 
         def loss_fn(w):
             zq = jnp.dot(q_local, w, preferred_element_type=jnp.float32)
             zd = jnp.dot(d_local, w, preferred_element_type=jnp.float32)
+
+            def l2_normalize(z):
+                # norm² contracts over the TP-sharded dim → psum over model
+                n2 = jax.lax.psum(jnp.sum(z * z, axis=-1, keepdims=True),
+                                  MODEL_AXIS)
+                return z * jax.lax.rsqrt(jnp.maximum(n2, 1e-12))
+
+            zq = l2_normalize(zq)
+            zd = l2_normalize(zd)
             # global in-batch negatives: gather docs across DP ranks
             zd_all = jax.lax.all_gather(zd, DATA_AXIS, axis=0, tiled=True)
-            # logits contract over the TP-sharded projection dim → psum
+            # cosine logits contract over the TP-sharded dim → psum
             logits = jax.lax.psum(
                 jnp.dot(zq, zd_all.T, preferred_element_type=jnp.float32),
                 MODEL_AXIS) / temperature
@@ -51,6 +70,8 @@ def make_contrastive_train_step(mesh: Mesh, lr: float = 1e-2,
             labels = my_rank * b_local + jnp.arange(b_local)
             logp = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
+            if l2sp > 0:
+                nll = nll + l2sp * jnp.mean((w - w0_local) ** 2) * w.size / 1e4
             return nll
 
         loss, grad = jax.value_and_grad(loss_fn)(w_local)
@@ -59,9 +80,14 @@ def make_contrastive_train_step(mesh: Mesh, lr: float = 1e-2,
         loss = jax.lax.pmean(loss, DATA_AXIS)
         return w_local - lr * grad, loss
 
+    if l2sp > 0:
+        in_specs = (P(None, MODEL_AXIS), P(None, MODEL_AXIS),
+                    P(DATA_AXIS, None), P(DATA_AXIS, None))
+    else:
+        in_specs = (P(None, MODEL_AXIS), P(DATA_AXIS, None),
+                    P(DATA_AXIS, None))
     fn = shard_map(
-        local, mesh=mesh,
-        in_specs=(P(None, MODEL_AXIS), P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        local, mesh=mesh, in_specs=in_specs,
         out_specs=(P(None, MODEL_AXIS), P()),
         check_vma=False)
     return jax.jit(fn)

@@ -1,0 +1,166 @@
+"""CLI: contrastive encoder adaptation on the device mesh.
+
+Fine-tunes the hash encoder's projection head with in-batch-negative
+InfoNCE over (hard extractive query, gold article) pairs, sharded DP×TP on
+the (data, model) mesh (``parallel/training.py``). On success the trained
+projection persists into the bundle's encoder state, so serving picks it up
+transparently (dense channel + fused engine alike).
+
+This is the framework's training surface — the reference has none; here the
+encoder adapts to a corpus without any pretrained weights.
+
+Expectation management (measured): with *extractive* training pairs the
+held-out recall does NOT improve — such queries are lexical subsets of their
+gold articles, for which the untrained JL projection already approximates
+the sketch-cosine optimum; fitting a dense W on ~10³ pairs only trades away
+the isometry (0.789 → 0.764 held-out even with L2-SP). The trainer therefore
+refuses to persist a non-improving projection (``--save`` exits 1). Real
+gains need *semantic* pairs (LLM-paraphrase or click data) where the target
+ranking genuinely differs from lexical cosine; the optimization machinery
+(DP grads, TP psum logits, L2-SP) is validated end-to-end either way.
+
+Usage: python -m scripts.train_encoder [--lang zh] [--epochs 8]
+       [--hardness 0.5] [--save]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from legalrag_tpu.config import AppConfig
+from legalrag_tpu.utils import get_logger
+
+log = get_logger("train_encoder")
+
+
+def recall_at_k(q_emb: np.ndarray, d_emb: np.ndarray, gold: np.ndarray,
+                k: int = 10) -> float:
+    scores = q_emb @ d_emb.T
+    topk = np.argpartition(-scores, min(k, scores.shape[1] - 1),
+                           axis=1)[:, :k]
+    return float(np.mean([g in set(row.tolist())
+                          for row, g in zip(topk, gold)]))
+
+
+def _norm_rows(x: np.ndarray) -> np.ndarray:
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-9)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lang", default="zh")
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=0.05)
+    ap.add_argument("--l2sp", type=float, default=0.1)
+    ap.add_argument("--temperature", type=float, default=0.1)
+    ap.add_argument("--hardness", type=float, default=0.5)
+    ap.add_argument("--queries-per-article", type=int, default=2)
+    ap.add_argument("--holdout", type=float, default=0.2)
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--save", action="store_true",
+                    help="persist the trained projection into the bundle")
+    args = ap.parse_args()
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from legalrag_tpu.index.bundle import IndexBundle
+    from legalrag_tpu.parallel import DATA_AXIS, MODEL_AXIS, local_devices, make_mesh
+    from legalrag_tpu.parallel.training import make_contrastive_train_step
+    from scripts.generate_synthetic_data import extractive_queries
+
+    # train on the CPU mesh by default: 8 virtual devices exercise real
+    # DP×TP collectives, and the matmuls are small
+    devs = local_devices("cpu")
+    n_dev = len(devs)
+    data_ax = 2 if n_dev % 2 == 0 and n_dev >= 4 else 1
+    mesh = make_mesh(devs, data=data_ax, model=n_dev // data_ax)
+    log.info("mesh %s over %d cpu devices", dict(zip(mesh.axis_names,
+             mesh.devices.shape)), n_dev)
+
+    cfg = AppConfig.load()
+    lang_cfg = cfg.with_lang(args.lang)
+    bundle = IndexBundle.load(lang_cfg.paths.lang_index_dir, lang_cfg,
+                              args.lang, device=devs[0])
+    enc = bundle.encoder
+    log.info("corpus: %d docs", bundle.n_docs)
+
+    rows = extractive_queries(bundle.chunks, n=10 ** 9, seed=args.seed,
+                              per_article=args.queries_per_article,
+                              hardness=args.hardness)
+    aid2row = {c.article_id: i for i, c in enumerate(bundle.chunks)}
+    queries = [r["query"] for r in rows]
+    gold = np.asarray([aid2row[r["article_id"]] for r in rows])
+    log.info("pairs: %d (hardness %.2f)", len(queries), args.hardness)
+
+    t0 = time.time()
+    q_sk = _norm_rows(enc._sketch(queries))
+    d_sk_all = _norm_rows(enc._sketch([c.text for c in bundle.chunks]))
+    log.info("sketches in %.1fs", time.time() - t0)
+
+    rng = np.random.default_rng(args.seed)
+    perm = rng.permutation(len(queries))
+    n_hold = int(len(queries) * args.holdout)
+    hold, train = perm[:n_hold], perm[n_hold:]
+
+    w = np.asarray(enc._projection(), np.float32)
+
+    def eval_recall(w_np):
+        d = _norm_rows(d_sk_all @ w_np)
+        q = _norm_rows(q_sk[hold] @ w_np)
+        return recall_at_k(q, d, gold[hold], 10)
+
+    before = eval_recall(w)
+    log.info("held-out dense Recall@10 before: %.4f", before)
+
+    step = make_contrastive_train_step(mesh, lr=args.lr,
+                                       temperature=args.temperature,
+                                       l2sp=args.l2sp)
+    w_sharding = NamedSharding(mesh, P(None, MODEL_AXIS))
+    w_dev = jax.device_put(w, w_sharding)
+    w0_dev = jax.device_put(w.copy(), w_sharding)
+    q_shard = NamedSharding(mesh, P(DATA_AXIS, None))
+    b = args.batch - args.batch % max(data_ax, 1)
+    for epoch in range(args.epochs):
+        rng.shuffle(train)
+        losses = []
+        for i in range(0, len(train) - b + 1, b):
+            idx = train[i:i + b]
+            qb = jax.device_put(q_sk[idx], q_shard)
+            db = jax.device_put(d_sk_all[gold[idx]], q_shard)
+            if args.l2sp > 0:
+                w_dev, loss = step(w_dev, w0_dev, qb, db)
+            else:
+                w_dev, loss = step(w_dev, qb, db)
+            losses.append(float(loss))
+        w_np = np.asarray(w_dev, np.float32)
+        log.info("epoch %d: loss %.4f -> held-out Recall@10 %.4f",
+                 epoch + 1, float(np.mean(losses)), eval_recall(w_np))
+
+    after = eval_recall(np.asarray(w_dev, np.float32))
+    log.info("held-out dense Recall@10: %.4f -> %.4f (%+.4f)",
+             before, after, after - before)
+
+    if args.save:
+        if after <= before:
+            log.warning("no improvement; NOT saving")
+            sys.exit(1)
+        enc.set_projection(np.asarray(w_dev, np.float32))
+        # dense rows must be re-encoded under the new projection
+        texts = [c.text for c in bundle.chunks]
+        vecs = enc.encode_passages(texts)
+        bundle.dense.n = 0
+        bundle.dense.add(np.asarray(vecs))
+        bundle.generation += 1
+        bundle.save(lang_cfg.paths.lang_index_dir)
+        log.info("saved trained projection + re-encoded dense index -> %s",
+                 lang_cfg.paths.lang_index_dir)
+
+
+if __name__ == "__main__":
+    main()
