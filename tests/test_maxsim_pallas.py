@@ -39,3 +39,22 @@ def test_negative_similarities_preserved():
         jnp.asarray(doc_tok), jnp.asarray(doc_mask), jnp.asarray(q_tok),
         jnp.asarray(q_mask), tile_t=8, interpret=True))
     assert (got < 0).all()
+
+
+def test_formulation2_matches_xla():
+    from legalrag_tpu.ops.maxsim_pallas2 import maxsim_scores_pallas2
+
+    rng = np.random.default_rng(1)
+    n, l, dt, b, lq = 24, 8, 16, 3, 5
+    doc_tok = _rand(rng, n, l, dt)
+    doc_mask = rng.random((n, l)) > 0.3
+    doc_mask[0] = False
+    q_tok = _rand(rng, b, lq, dt)
+    q_mask = rng.random((b, lq)) > 0.2
+    want = np.asarray(maxsim_full(jnp.asarray(doc_tok), jnp.asarray(doc_mask),
+                                  jnp.asarray(q_tok), jnp.asarray(q_mask),
+                                  tile_n=8))
+    got = np.asarray(maxsim_scores_pallas2(
+        jnp.asarray(doc_tok), jnp.asarray(doc_mask), jnp.asarray(q_tok),
+        jnp.asarray(q_mask), tile_t=8, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
