@@ -102,6 +102,7 @@ def main() -> None:
         by_lang[r.get("lang") or detect_lang(r["query"])].append(r)
 
     results: Dict[str, List[dict]] = defaultdict(list)
+    results_lang: Dict[tuple, List[dict]] = defaultdict(list)
     for lang, lang_rows in sorted(by_lang.items()):
         lang_cfg = cfg.with_lang(lang)
         bundle = IndexBundle.load(lang_cfg.paths.lang_index_dir, lang_cfg, lang)
@@ -116,7 +117,9 @@ def main() -> None:
                 try:
                     ranked = run_system(system, row["query"], hybrid, engine,
                                         args.k)
-                    results[system].append(evaluate_one(ranked, gold))
+                    m = evaluate_one(ranked, gold)
+                    results[system].append(m)
+                    results_lang[(system, lang)].append(m)
                 except Exception as e:
                     log.warning("[%s] %s failed on %r: %s", lang, system,
                                 row["query"][:40], e)
@@ -133,6 +136,14 @@ def main() -> None:
             continue
         print(f"{s:<13}" + "".join(
             f"{summary[s][m]['mean']:>10.3f}" for m in keymap))
+    if len(by_lang) > 1:
+        for lang in sorted(by_lang):
+            print(f"-- {lang} --")
+            for s in systems:
+                agg = aggregate(results_lang.get((s, lang), []))
+                if agg:
+                    print(f"{s:<13}" + "".join(
+                        f"{agg[m]['mean']:>10.3f}" for m in keymap))
 
     if args.out_json:
         Path(args.out_json).write_text(json.dumps(summary, indent=2),
