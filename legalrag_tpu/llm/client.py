@@ -135,10 +135,17 @@ class LLMClient:
         payload: dict = {
             "model": self.cfg.model,
             "messages": messages,
-            "max_completion_tokens": max_new_tokens or self.cfg.max_new_tokens,
             "stream": stream,
         }
-        if not _is_reasoning_model(self.cfg.model):
+        budget = max_new_tokens or self.cfg.max_new_tokens
+        if _is_reasoning_model(self.cfg.model):
+            # reasoning families reject sampling params and the legacy
+            # max_tokens name (reference client.py:28-41)
+            payload["max_completion_tokens"] = budget
+        else:
+            # max_tokens keeps OpenAI-compatible local servers (vLLM etc.)
+            # working; OpenAI still accepts it for non-reasoning models
+            payload["max_tokens"] = budget
             payload["temperature"] = self.cfg.temperature
             payload["top_p"] = self.cfg.top_p
         return payload
