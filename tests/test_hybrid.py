@@ -122,3 +122,26 @@ def test_hyde_expands_dense_query(hybrid):
     finally:
         hybrid.cfg.retrieval.enable_hyde = False
         hybrid.llm = None
+
+
+def test_llm_reranker_used_when_configured(hybrid):
+    import json
+
+    from legalrag_tpu.retrieval.rerankers import RerankerFactory
+
+    class ScoreLLM:
+        is_degraded = False
+
+        def chat(self, messages, tag=None, **kw):
+            n = messages[-1]["content"].count("[")
+            return json.dumps({"scores": [0.9] * n})
+
+    hybrid.cfg.retrieval.rerank_use_llm = True
+    try:
+        rr = RerankerFactory.create(hybrid.cfg, hybrid.bundle, llm=ScoreLLM(),
+                                    top_k=5)
+        assert rr.name == "llm"
+        scores = rr.score("q", ["doc a", "doc b"])
+        assert scores == [0.9, 0.9]
+    finally:
+        hybrid.cfg.retrieval.rerank_use_llm = False

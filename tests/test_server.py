@@ -149,3 +149,14 @@ def test_retrieve_batch(client):
     assert results[1] and results[1][0]["chunk"]["lang"] == "zh"
     assert all(h["score_breakdown"]["per_channel"] for h in results[0])
     assert client.post("/rag/retrieve_batch", json_body={"questions": []}).status == 422
+
+
+def test_llm_override_header_degrades_gracefully(client):
+    """X-OpenAI-Api-Key forces a keyed openai client; with no egress the
+    call fails and the degraded answer must come back (never a 500)."""
+    r = client.post("/rag/retrieve", json_body={"question": "lease rent"})
+    rid = r.json()["retrieval_id"]
+    a = client.post("/rag/answer", json_body={"retrieval_id": rid},
+                    headers={"X-OpenAI-Api-Key": "sk-test-override"})
+    assert a.status == 200
+    assert a.json()["answer"]  # degraded text, not an exception
