@@ -18,8 +18,7 @@ One jitted program; this is the ``dryrun_multichip`` training step.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

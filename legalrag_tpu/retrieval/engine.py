@@ -34,7 +34,6 @@ class FusedQueryEngine:
     def __init__(self, bundle: IndexBundle, cfg: Optional[AppConfig] = None):
         self.bundle = bundle
         self.cfg = cfg or bundle.cfg
-        r = self.cfg.retrieval
 
     def _params(self, top_k: int) -> FusedParams:
         r = self.cfg.retrieval
