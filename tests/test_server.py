@@ -160,3 +160,26 @@ def test_llm_override_header_degrades_gracefully(client):
                     headers={"X-OpenAI-Api-Key": "sk-test-override"})
     assert a.status == 200
     assert a.json()["answer"]  # degraded text, not an exception
+
+
+def test_ingest_statute_path(client, app, zh_chunks):
+    """A large statute upload must pass the parse-quality gate and index as
+    per-article chunks (not generic ~650-char chunks)."""
+    text = "测试统一法\n" + "\n".join(c.text for c in zh_chunks[100:130])
+    boundary = "statuteboundary"
+    body = (f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="file"; '
+            'filename="test_statute.txt"\r\n'
+            "Content-Type: text/plain\r\n\r\n"
+            f"{text}\r\n--{boundary}--\r\n").encode()
+    r = client.post("/ingest/pdf", body=body,
+                    headers={"content-type":
+                             f"multipart/form-data; boundary={boundary}"})
+    assert r.status == 200, r.text
+    doc_id = r.json()["doc_id"]
+    n_chunks = r.json()["chunks"]
+    assert n_chunks >= 20  # statute gate min; per-article, not generic
+    assert app.state.ingest.queue.join(timeout=30)
+    p = client.get(f"/debug/ingest/preview?doc_id={doc_id}").json()
+    # statute chunks carry 第X条 article markers
+    assert any(c["article_no"].startswith("第") for c in p["chunks"])
