@@ -183,3 +183,40 @@ def test_ingest_statute_path(client, app, zh_chunks):
     p = client.get(f"/debug/ingest/preview?doc_id={doc_id}").json()
     # statute chunks carry 第X条 article markers
     assert any(c["article_no"].startswith("第") for c in p["chunks"])
+
+
+def test_sse_structured_events_with_streaming_llm(client, app):
+    """A JSON 'sections' answer streaming through /rag/answer must emit
+    incremental section/item/sentence events alongside tokens."""
+    payload = ('{"sections": [{"title": "结论", "items": ["可以解除。"]}, '
+               '{"title": "分析", "items": ["理由一。理由二。"]}]}')
+
+    class StructuredLLM:
+        is_degraded = False
+
+        def chat(self, messages, tag="chat", **kw):
+            return payload
+
+        def chat_stream(self, messages, tag="chat", **kw):
+            for i in range(0, len(payload), 7):
+                yield payload[i:i + 7]
+
+        def degraded_answer(self, messages):
+            return "degraded"
+
+    old = app.state.pipeline.llm
+    app.state.pipeline.llm = StructuredLLM()
+    try:
+        r = client.post("/rag/retrieve", json_body={"question": "解除合同"})
+        rid = r.json()["retrieval_id"]
+        s = client.post("/rag/answer", json_body={"retrieval_id": rid,
+                                                  "stream": True})
+        events = s.sse_events()
+        kinds = [e for e, _ in events]
+        assert kinds.count("section") == 2
+        assert kinds.count("item") == 2
+        sentences = [p["sentence"] for e, p in events if e == "sentence"]
+        assert "理由一。" in sentences and "理由二。" in sentences
+        assert kinds[-1] == "done"
+    finally:
+        app.state.pipeline.llm = old
