@@ -195,3 +195,66 @@ def fused_hybrid_topk(emb: jax.Array, impact: jax.Array,
 # only when the late channel ran)
 PACKED_NAMES = ("scores", "dense", "bm25", "rrf_norm", "weighted_sum",
                 "colbert")
+
+
+@functools.partial(jax.jit, static_argnames=("eff_k",))
+def fused_channels_topk(emb: jax.Array, impact: jax.Array,
+                        doc_tok: Optional[jax.Array],
+                        doc_mask: Optional[jax.Array],
+                        qvec: jax.Array, qtf,
+                        q_tok: Optional[jax.Array],
+                        q_mask: Optional[jax.Array],
+                        valid_n: jax.Array, eff_k: int) -> Dict[str, Tuple]:
+    """Per-channel top-eff_k lists from ONE execution.
+
+    The single-query serving path (``HybridRetriever``) needs each channel's
+    own candidate list for reference-exact host fusion + explainability;
+    running the channels as separate programs costs one tunnel round trip
+    each (~70 ms on remote backends). This program computes all channel
+    score maps and their top-k in one launch; fusion stays on the host,
+    byte-identical to the per-channel path.
+
+    Accepts the same flexible ``qvec`` (array or (sketch, projection)) and
+    ``qtf`` (dense counts or (term_ids, term_mask)) forms as
+    ``fused_hybrid_topk``.
+    """
+    n = emb.shape[0]
+    if isinstance(qvec, (tuple, list)):
+        sketch, proj = qvec
+        qvec = jnp.dot(sketch, proj, preferred_element_type=jnp.float32)
+        qvec = qvec / jnp.maximum(
+            jnp.linalg.norm(qvec, axis=-1, keepdims=True), 1e-9)
+    if isinstance(qtf, (tuple, list)):
+        term_ids, term_mask = qtf
+        b = term_ids.shape[0]
+        qtf = jnp.zeros((b, impact.shape[0]), jnp.float32).at[
+            jnp.arange(b)[:, None], term_ids].add(
+            term_mask.astype(jnp.float32))
+
+    def mask_invalid(s):
+        if s.shape[1] < n:
+            s = jnp.pad(s, ((0, 0), (0, n - s.shape[1])),
+                        constant_values=NEG_INF)
+        elif s.shape[1] > n:
+            s = s[:, :n]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        return jnp.where(col < valid_n, s, NEG_INF)
+
+    k = min(eff_k, n)
+    out: Dict[str, Tuple] = {}
+    dense_s = mask_invalid(jnp.dot(qvec.astype(emb.dtype), emb.T,
+                                   preferred_element_type=jnp.float32))
+    out["dense"] = jax.lax.top_k(dense_s, k)
+    bm25_s = mask_invalid(jnp.dot(qtf.astype(impact.dtype), impact,
+                                  preferred_element_type=jnp.float32))
+    out["bm25"] = jax.lax.top_k(bm25_s, k)
+    if doc_tok is not None:
+        b, lq = q_tok.shape[0], q_tok.shape[1]
+        budget = (256 << 20) // 4
+        tile = max(32, min(256, budget // max(b * lq * doc_tok.shape[1], 1)))
+        while n % tile:
+            tile //= 2
+        late_s = mask_invalid(maxsim_full(doc_tok, doc_mask, q_tok, q_mask,
+                                          tile_n=max(tile, 1)))
+        out["colbert"] = jax.lax.top_k(late_s, k)
+    return out

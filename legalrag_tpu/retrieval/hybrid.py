@@ -52,6 +52,49 @@ class HybridRetriever:
         if cfg.retrieval.enable_graph and graph_store is not None:
             self.graph = GraphRetriever(bundle, graph_store, cfg)
 
+    def _channels_topk_all(self, question: str, eff_k: int):
+        """All channels' top-eff_k from ONE device execution (hash backend).
+
+        Remote backends pay a per-execution round trip (~70 ms); the
+        per-channel path costs three. Results are identical to the
+        per-channel calls (same programs' math; tested), so fusion and
+        explainability downstream are unchanged. Returns None when the
+        one-shot path doesn't apply (bert encoder, channel mismatch)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from legalrag_tpu.ops.fused_query import fused_channels_topk
+        from legalrag_tpu.ops.topk import bucket_k
+        from legalrag_tpu.utils.device import on_device
+
+        bundle = self.bundle
+        enc = bundle.encoder
+        if not hasattr(enc, "_sketch") or bundle.dense.n == 0:
+            return None
+        use_late = (self.late is not None
+                    and bundle.tokens.n == bundle.dense.n
+                    and bundle.tokens.n > 0)
+        eff_k = min(eff_k, bundle.dense.n)
+        kb = bucket_k(eff_k, bundle.dense.capacity)
+        qs = [question]
+        maxlen = self.cfg.engine.max_query_tokens
+        with on_device(bundle.device):
+            qvec = (jnp.asarray(enc._sketch(qs)), enc._projection())
+            ids, mask = bundle.bm25.query_term_ids(qs, maxlen)
+            q_tok = q_mask = None
+            if use_late:
+                qt, qm = enc.encode_tokens(qs, maxlen)
+                q_tok = jnp.asarray(qt, bundle.tokens._query_dtype)
+                q_mask = jnp.asarray(qm)
+            out = fused_channels_topk(
+                bundle.dense.emb, bundle.bm25.impact,
+                bundle.tokens.tok if use_late else None,
+                bundle.tokens.mask if use_late else None,
+                qvec, (jnp.asarray(ids), jnp.asarray(mask)), q_tok, q_mask,
+                jnp.int32(bundle.dense.n), kb)
+        return {name: (np.asarray(s)[:, :eff_k], np.asarray(i)[:, :eff_k])
+                for name, (s, i) in out.items()}
+
     def _hyde_expansion(self, question: str) -> Optional[str]:
         """HyDE: one hypothetical statutory answer, embedded alongside the
         query for the dense channel. Skipped silently without a live LLM."""
@@ -112,22 +155,40 @@ class HybridRetriever:
             if hyde:
                 dense_query = f"{question}\n{hyde}"
                 mark = clock("hyde", mark)
-        with trace_span("retrieval.dense"):
-            dense_s, dense_rows = self.dense.search_rows([dense_query], eff_k)
-        mark = clock("dense", mark)
-        with trace_span("retrieval.bm25"):
-            bm25_s, bm25_rows = self.bm25.search_rows([question], eff_k)
-        mark = clock("bm25", mark)
-        channels = [
-            ChannelResult("dense", r.dense_weight, dense_rows[0], dense_s[0]),
-            ChannelResult("bm25", r.bm25_weight, bm25_rows[0], bm25_s[0]),
-        ]
-        if self.late is not None:
-            with trace_span("retrieval.colbert"):
-                late_s, late_rows = self.late.search_rows([question], eff_k)
-            channels.append(ChannelResult("colbert", r.colbert_weight,
-                                          late_rows[0], late_s[0]))
-            mark = clock("colbert", mark)
+        one_shot = None
+        if dense_query == question:
+            with trace_span("retrieval.channels"):
+                one_shot = self._channels_topk_all(question, eff_k)
+        if one_shot is not None:
+            mark = clock("channels", mark)
+            channels = [
+                ChannelResult("dense", r.dense_weight,
+                              one_shot["dense"][1][0], one_shot["dense"][0][0]),
+                ChannelResult("bm25", r.bm25_weight,
+                              one_shot["bm25"][1][0], one_shot["bm25"][0][0]),
+            ]
+            if "colbert" in one_shot:
+                channels.append(ChannelResult(
+                    "colbert", r.colbert_weight,
+                    one_shot["colbert"][1][0], one_shot["colbert"][0][0]))
+        else:
+            with trace_span("retrieval.dense"):
+                dense_s, dense_rows = self.dense.search_rows([dense_query],
+                                                             eff_k)
+            mark = clock("dense", mark)
+            with trace_span("retrieval.bm25"):
+                bm25_s, bm25_rows = self.bm25.search_rows([question], eff_k)
+            mark = clock("bm25", mark)
+            channels = [
+                ChannelResult("dense", r.dense_weight, dense_rows[0], dense_s[0]),
+                ChannelResult("bm25", r.bm25_weight, bm25_rows[0], bm25_s[0]),
+            ]
+            if self.late is not None:
+                with trace_span("retrieval.colbert"):
+                    late_s, late_rows = self.late.search_rows([question], eff_k)
+                channels.append(ChannelResult("colbert", r.colbert_weight,
+                                              late_rows[0], late_s[0]))
+                mark = clock("colbert", mark)
 
         fused = fuse(channels, method=r.fusion_method, rrf_k=r.rrf_k,
                      alpha=r.rrf_alpha)

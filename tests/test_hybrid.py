@@ -145,3 +145,19 @@ def test_llm_reranker_used_when_configured(hybrid):
         assert scores == [0.9, 0.9]
     finally:
         hybrid.cfg.retrieval.rerank_use_llm = False
+
+
+def test_one_shot_channels_match_per_channel(hybrid):
+    q = "security interest attaches when value is given"
+    eff_k = 16
+    one = hybrid._channels_topk_all(q, eff_k)
+    assert one is not None and set(one) == {"dense", "bm25", "colbert"}
+    ds, dr = hybrid.dense.search_rows([q], eff_k)
+    bs, br = hybrid.bm25.search_rows([q], eff_k)
+    ls, lr = hybrid.late.search_rows([q], eff_k)
+    np.testing.assert_allclose(one["dense"][0][0], ds[0], rtol=1e-4, atol=1e-4)
+    assert (one["dense"][1][0] == dr[0]).all()
+    np.testing.assert_allclose(one["bm25"][0][0], bs[0], rtol=1e-4, atol=1e-4)
+    assert (one["bm25"][1][0] == br[0]).all()
+    np.testing.assert_allclose(one["colbert"][0][0], ls[0], rtol=1e-3, atol=1e-3)
+    assert (one["colbert"][1][0] == lr[0]).all()
