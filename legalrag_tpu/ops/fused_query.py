@@ -241,7 +241,7 @@ def fused_channels_topk(emb: jax.Array, impact: jax.Array,
         return jnp.where(col < valid_n, s, NEG_INF)
 
     k = min(eff_k, n)
-    out: Dict[str, Tuple] = {}
+    out: Dict[str, Tuple] = {"qvec": qvec}
     dense_s = mask_invalid(jnp.dot(qvec.astype(emb.dtype), emb.T,
                                    preferred_element_type=jnp.float32))
     out["dense"] = jax.lax.top_k(dense_s, k)

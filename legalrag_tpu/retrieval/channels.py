@@ -126,7 +126,11 @@ class GraphRetriever:
         return self._aid2row
 
     def search(self, question: str, seed_article_ids: Sequence[str],
-               top_k: int = 10) -> List[RetrievalHit]:
+               top_k: int = 10,
+               query_emb: Optional[np.ndarray] = None) -> List[RetrievalHit]:
+        """``query_emb`` (instructed query embedding) may be supplied by the
+        caller to skip re-encoding — the hybrid path reuses the one-shot
+        channels program's embedding (one fewer device round trip)."""
         r = self.cfg.retrieval
         try:
             nodes = self.store.walk(
@@ -146,7 +150,8 @@ class GraphRetriever:
                 metas.append(node)
         if not rows:
             return []
-        q = self.bundle.encoder.encode_queries([question])[0]
+        q = (query_emb if query_emb is not None
+             else self.bundle.encoder.encode_queries([question])[0])
         cos = self.bundle.dense.score_rows(q, np.asarray(rows, np.int32))
         rel_w = r.graph_relation_weights
         hits: List[RetrievalHit] = []

@@ -92,8 +92,11 @@ class HybridRetriever:
                 bundle.tokens.mask if use_late else None,
                 qvec, (jnp.asarray(ids), jnp.asarray(mask)), q_tok, q_mask,
                 jnp.int32(bundle.dense.n), kb)
-        return {name: (np.asarray(s)[:, :eff_k], np.asarray(i)[:, :eff_k])
-                for name, (s, i) in out.items()}
+        qvec_out = out.pop("qvec")
+        res = {name: (np.asarray(s)[:, :eff_k], np.asarray(i)[:, :eff_k])
+               for name, (s, i) in out.items()}
+        res["qvec"] = np.asarray(qvec_out)
+        return res
 
     def _hyde_expansion(self, question: str) -> Optional[str]:
         """HyDE: one hypothetical statutory answer, embedded alongside the
@@ -206,7 +209,9 @@ class HybridRetriever:
         if (decision is not None and decision.mode == RoutingMode.GRAPH_AUGMENTED
                 and self.graph is not None):
             seeds = [h.chunk.article_id for h in hits[: r.graph_seed_k]]
-            hits.extend(self.graph.search(question, seeds, top_k=0))
+            qv = one_shot["qvec"][0] if one_shot is not None else None
+            hits.extend(self.graph.search(question, seeds, top_k=0,
+                                          query_emb=qv))
             mark = clock("graph", mark)
 
         if r.enable_rerank and hits:

@@ -151,7 +151,8 @@ def test_one_shot_channels_match_per_channel(hybrid):
     q = "security interest attaches when value is given"
     eff_k = 16
     one = hybrid._channels_topk_all(q, eff_k)
-    assert one is not None and set(one) == {"dense", "bm25", "colbert"}
+    assert one is not None
+    assert set(one) == {"dense", "bm25", "colbert", "qvec"}
     ds, dr = hybrid.dense.search_rows([q], eff_k)
     bs, br = hybrid.bm25.search_rows([q], eff_k)
     ls, lr = hybrid.late.search_rows([q], eff_k)
