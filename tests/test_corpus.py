@@ -110,3 +110,17 @@ def test_file_lock_mutual_exclusion(tmp_path):
     for i in range(0, 6, 2):
         assert order[i].endswith("-in") and order[i + 1].endswith("-out")
         assert order[i].split("-")[0] == order[i + 1].split("-")[0]
+
+
+def test_parser_never_crashes_on_garbage():
+    """Property: parse_auto handles arbitrary byte salads without raising."""
+    import random
+
+    rng = random.Random(0)
+    alphabet = "第条一二三十§ 1-2.PARTSection（）。\n\t abcXYZ民法典"
+    for _ in range(200):
+        text = "".join(rng.choice(alphabet)
+                       for _ in range(rng.randrange(0, 400)))
+        records = parse_auto(text, law_name="fuzz")
+        for r in records:
+            assert r.article_id and r.text
