@@ -185,6 +185,13 @@ def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
     def health(req: Request) -> Response:
         return Response({"status": "ok"})
 
+    @app.get("/metrics")
+    def metrics(req: Request) -> Response:
+        from legalrag_tpu.utils.metrics import METRICS
+
+        return Response(METRICS.render(),
+                        media_type="text/plain; version=0.0.4")
+
     @app.get("/ready")
     def ready(req: Request) -> Response:
         import jax
@@ -209,6 +216,8 @@ def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
     # ------------------------------------------------------------ retrieve
     @app.post("/rag/retrieve")
     def rag_retrieve(req: Request) -> Response:
+        from legalrag_tpu.utils.metrics import METRICS
+
         st.require_ready()
         set_request_id(uuid.uuid4().hex[:12])
         body = req.json()
@@ -216,7 +225,9 @@ def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
         if not question:
             raise HTTPError(422, "question is required")
         top_k = body.get("top_k")
-        hits, decision = st.retrieve(question, top_k)
+        METRICS.inc("legalrag_requests", endpoint="retrieve")
+        with METRICS.timed("legalrag_retrieve_seconds"):
+            hits, decision = st.retrieve(question, top_k)
         rid = st.cache.put({"question": question, "decision": decision,
                             "hits": hits})
         return Response({
@@ -233,6 +244,8 @@ def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
         use /rag/retrieve for the full per-query pipeline)."""
         st.require_ready()
         body = req.json()
+        from legalrag_tpu.utils.metrics import METRICS
+
         questions = [q.strip() for q in body.get("questions") or [] if q and q.strip()]
         if not questions:
             raise HTTPError(422, "questions (non-empty list) is required")
@@ -240,6 +253,8 @@ def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
             raise HTTPError(422, f"at most {cfg.engine.max_query_batch * 4} "
                             "questions per call")
         top_k = body.get("top_k") or cfg.retrieval.top_k
+        METRICS.inc("legalrag_requests", endpoint="retrieve_batch")
+        METRICS.inc("legalrag_batch_queries", value=len(questions))
         from legalrag_tpu.retrieval.engine import FusedQueryEngine
         from legalrag_tpu.utils import detect_lang
 

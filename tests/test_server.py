@@ -220,3 +220,13 @@ def test_sse_structured_events_with_streaming_llm(client, app):
         assert kinds[-1] == "done"
     finally:
         app.state.pipeline.llm = old
+
+
+def test_metrics_endpoint(client):
+    client.post("/rag/retrieve", json_body={"question": "security interest"})
+    m = client.get("/metrics")
+    assert m.status == 200
+    text = m.text
+    assert 'legalrag_requests_total{endpoint="retrieve"}' in text
+    assert "legalrag_retrieve_seconds_count" in text
+    assert "legalrag_retrieve_seconds_bucket" in text
