@@ -94,6 +94,8 @@ class LLMClient:
                     return self._chat_openai(messages, max_new_tokens)
                 if self.provider == "local":
                     return self._chat_local(messages, max_new_tokens)
+                if self.provider == "local-jax":
+                    return "".join(self._stream_jax(messages, max_new_tokens))
                 raise LLMUnavailable("provider disabled")
             except LLMUnavailable as e:
                 last_err = e
@@ -114,6 +116,9 @@ class LLMClient:
                 return
             if self.provider == "local":
                 yield from self._stream_local(messages, max_new_tokens)
+                return
+            if self.provider == "local-jax":
+                yield from self._stream_jax(messages, max_new_tokens)
                 return
         except Exception as e:
             log.warning("[%s] llm stream %s failed: %s", get_request_id(), tag, e)
@@ -224,6 +229,40 @@ class LLMClient:
             top_p=self.cfg.top_p, repetition_penalty=1.05)
         gen = out[0][inputs["input_ids"].shape[1]:]
         return tok.decode(gen, skip_special_tokens=True)
+
+    # ------------------------------------------------------------- local-jax
+    def _load_jax_lm(self):
+        """TPU-native decoder (models/decoder.py): generation on the same
+        chip as retrieval — no torch in the serving path."""
+        if self._local is None:
+            try:
+                from legalrag_tpu.models.decoder import JaxDecoderLM
+
+                self._local = JaxDecoderLM.from_pretrained(self.cfg.model)
+            except Exception as e:
+                raise LLMUnavailable(f"jax decoder load failed: {e}") from e
+        return self._local
+
+    def _stream_jax(self, messages: List[Message],
+                    max_new_tokens: Optional[int]
+                    ) -> Generator[str, None, None]:
+        lm = self._load_jax_lm()
+        tok = lm.tokenizer
+        prompt = tok.apply_chat_template(messages, tokenize=False,
+                                         add_generation_prompt=True)
+        ids = tok(prompt, truncation=True,
+                  max_length=self.cfg.max_context_tokens)["input_ids"]
+        out_ids: List[int] = []
+        emitted = ""
+        for t in lm.generate_stream(
+                ids, max_new_tokens=max_new_tokens or self.cfg.max_new_tokens,
+                temperature=self.cfg.temperature, top_p=self.cfg.top_p,
+                eos_id=tok.eos_token_id):
+            out_ids.append(t)
+            text = tok.decode(out_ids, skip_special_tokens=True)
+            if len(text) > len(emitted) and not text.endswith("�"):
+                yield text[len(emitted):]
+                emitted = text
 
     def _stream_local(self, messages: List[Message],
                       max_new_tokens: Optional[int]

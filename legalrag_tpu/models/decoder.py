@@ -1,0 +1,267 @@
+"""Causal decoder LM in JAX — the TPU-native generation backend.
+
+Implements the Qwen2/Llama architecture family (RMSNorm, rotary position
+embeddings, grouped-query attention, SwiGLU MLP, tied or untied LM head)
+with HF safetensors loading, so ``LLMConfig.provider = "local-jax"`` serves
+answer generation on the same chip as retrieval. Decoding is a jitted
+step with a preallocated KV cache (static shapes; the sequence axis is a
+ring of capacity ``max_len``), greedy or temperature/top-p sampling, and
+a streaming generator for the SSE path.
+
+Weights must exist locally (zero-egress images use the openai/disabled
+providers); the module itself is validated with tiny random-init configs:
+causality (future tokens cannot influence earlier logits), cache-vs-full
+equivalence, and determinism.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import math
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legalrag_tpu.utils import get_logger
+from legalrag_tpu.utils.device import on_device
+
+log = get_logger("models.decoder")
+
+
+class DecoderConfig:
+    def __init__(self, vocab_size=151936, hidden_size=896,
+                 num_hidden_layers=24, num_attention_heads=14,
+                 num_key_value_heads=2, intermediate_size=4864,
+                 max_position_embeddings=32768, rms_norm_eps=1e-6,
+                 rope_theta=1000000.0, tie_word_embeddings=True, **_ignored):
+        self.vocab_size = vocab_size
+        self.hidden_size = hidden_size
+        self.num_hidden_layers = num_hidden_layers
+        self.num_attention_heads = num_attention_heads
+        self.num_key_value_heads = num_key_value_heads
+        self.intermediate_size = intermediate_size
+        self.max_position_embeddings = max_position_embeddings
+        self.rms_norm_eps = rms_norm_eps
+        self.rope_theta = rope_theta
+        self.tie_word_embeddings = tie_word_embeddings
+        self.head_dim = hidden_size // num_attention_heads
+
+    @classmethod
+    def from_json(cls, path: Path) -> "DecoderConfig":
+        return cls(**json.loads(path.read_text(encoding="utf-8")))
+
+
+# ---------------------------------------------------------------------------
+# functional forward
+
+def _rms_norm(x, w, eps):
+    var = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    return (x * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def _rope(x, positions, theta):
+    """x [B, T, H, D]; rotate pairs (half-split convention)."""
+    d = x.shape[-1]
+    inv = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    ang = positions[:, :, None].astype(jnp.float32) * inv[None, None, :]
+    cos = jnp.cos(ang)[:, :, None, :]
+    sin = jnp.sin(ang)[:, :, None, :]
+    x1, x2 = x[..., : d // 2], x[..., d // 2:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
+                           axis=-1).astype(x.dtype)
+
+
+def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
+                    positions: jax.Array,
+                    kv_cache: Optional[List[Tuple[jax.Array, jax.Array]]] = None,
+                    cache_len: Optional[jax.Array] = None):
+    """[B, T] ids (+ positions [B, T]) → logits [B, T, V].
+
+    With ``kv_cache`` (list of ([B, S, Hkv, D], [B, S, Hkv, D]) per layer)
+    the new keys/values are written at ``cache_len`` offsets and attention
+    spans the cache; returns (logits, new_cache).
+    """
+    b, t = input_ids.shape
+    h, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    d = cfg.head_dim
+    x = jnp.take(params["embed"], input_ids, axis=0)
+    new_cache = []
+    for li, layer in enumerate(params["layers"]):
+        y = _rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
+        q = (jnp.dot(y, layer["q"]["kernel"]) + layer["q"]["bias"]
+             ).reshape(b, t, h, d)
+        k = (jnp.dot(y, layer["k"]["kernel"]) + layer["k"]["bias"]
+             ).reshape(b, t, hkv, d)
+        v = (jnp.dot(y, layer["v"]["kernel"]) + layer["v"]["bias"]
+             ).reshape(b, t, hkv, d)
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
+
+        if kv_cache is not None:
+            ck, cv = kv_cache[li]
+            ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_len, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_len, 0, 0))
+            new_cache.append((ck, cv))
+            k_att, v_att = ck, cv
+            s = ck.shape[1]
+            kv_pos = jnp.arange(s)[None, None, :]               # [1, 1, S]
+            att_mask = ((kv_pos <= positions[:, :, None])        # causal
+                        & (kv_pos < cache_len + t))              # filled
+        else:
+            k_att, v_att = k, v
+            att_mask = positions[:, :, None] >= positions[:, None, :]
+
+        # GQA: repeat kv heads
+        rep = h // hkv
+        k_r = jnp.repeat(k_att, rep, axis=2)
+        v_r = jnp.repeat(v_att, rep, axis=2)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_r,
+                            preferred_element_type=jnp.float32) / math.sqrt(d)
+        scores = jnp.where(att_mask[:, None, :, :], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v_r.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v_r).reshape(b, t, h * d)
+        x = x + jnp.dot(ctx, layer["o"]["kernel"])
+
+        y = _rms_norm(x, layer["post_norm"], cfg.rms_norm_eps)
+        gate = jax.nn.silu(jnp.dot(y, layer["gate"]["kernel"]))
+        up = jnp.dot(y, layer["up"]["kernel"])
+        x = x + jnp.dot(gate * up, layer["down"]["kernel"])
+
+    x = _rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    logits = jnp.dot(x, params["lm_head"],
+                     preferred_element_type=jnp.float32)
+    return logits, (new_cache if kv_cache is not None else None)
+
+
+# ---------------------------------------------------------------------------
+# HF loading
+
+def load_hf_decoder_params(model_dir: Path) -> Tuple[Dict, DecoderConfig]:
+    from legalrag_tpu.models.bert import _load_safetensors
+
+    cfg = DecoderConfig.from_json(model_dir / "config.json")
+    t = _load_safetensors(model_dir)
+
+    def get(name):
+        for p in ("model.", ""):
+            if p + name in t:
+                return jnp.asarray(t[p + name])
+        raise KeyError(name)
+
+    def lin(name, bias_name=None):
+        out = {"kernel": get(f"{name}.weight").T}
+        try:
+            out["bias"] = get(bias_name or f"{name}.bias")
+        except KeyError:
+            out["bias"] = jnp.zeros(out["kernel"].shape[1], out["kernel"].dtype)
+        return out
+
+    embed = get("embed_tokens.weight")
+    params: Dict = {"embed": embed, "layers": [],
+                    "final_norm": get("norm.weight")}
+    if cfg.tie_word_embeddings or "lm_head.weight" not in t:
+        params["lm_head"] = embed.T
+    else:
+        params["lm_head"] = jnp.asarray(t["lm_head.weight"]).T
+    for i in range(cfg.num_hidden_layers):
+        p = f"layers.{i}"
+        params["layers"].append({
+            "input_norm": get(f"{p}.input_layernorm.weight"),
+            "q": lin(f"{p}.self_attn.q_proj"),
+            "k": lin(f"{p}.self_attn.k_proj"),
+            "v": lin(f"{p}.self_attn.v_proj"),
+            "o": {"kernel": get(f"{p}.self_attn.o_proj.weight").T},
+            "post_norm": get(f"{p}.post_attention_layernorm.weight"),
+            "gate": {"kernel": get(f"{p}.mlp.gate_proj.weight").T},
+            "up": {"kernel": get(f"{p}.mlp.up_proj.weight").T},
+            "down": {"kernel": get(f"{p}.mlp.down_proj.weight").T},
+        })
+    return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# generation
+
+class JaxDecoderLM:
+    """Greedy / sampled generation with a jitted KV-cache decode step."""
+
+    def __init__(self, params: Dict, cfg: DecoderConfig, tokenizer=None,
+                 device=None, max_len: int = 4096):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.device = device
+        self.max_len = max_len
+        self._decode_step = jax.jit(self._step)
+
+    @classmethod
+    def from_pretrained(cls, name_or_path: str, device=None, **kw
+                        ) -> "JaxDecoderLM":
+        from legalrag_tpu.models.bert import resolve_model_dir
+
+        model_dir = resolve_model_dir(name_or_path)
+        params, cfg = load_hf_decoder_params(model_dir)
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(str(model_dir))
+        if device is not None:
+            params = jax.device_put(params, device)
+        log.info("loaded decoder %s (%d layers, H=%d, GQA %d/%d)",
+                 name_or_path, cfg.num_hidden_layers, cfg.hidden_size,
+                 cfg.num_attention_heads, cfg.num_key_value_heads)
+        return cls(params, cfg, tokenizer, device=device, **kw)
+
+    # ------------------------------------------------------------- internals
+    def _empty_cache(self, b: int):
+        hkv, d = self.cfg.num_key_value_heads, self.cfg.head_dim
+        return [(jnp.zeros((b, self.max_len, hkv, d), jnp.float32),
+                 jnp.zeros((b, self.max_len, hkv, d), jnp.float32))
+                for _ in range(self.cfg.num_hidden_layers)]
+
+    def _step(self, params, token, pos, cache):
+        positions = jnp.full((token.shape[0], 1), pos, jnp.int32)
+        logits, cache = decoder_forward(params, self.cfg, token, positions,
+                                        kv_cache=cache, cache_len=pos)
+        return logits[:, -1], cache
+
+    def generate_stream(self, prompt_ids: List[int], max_new_tokens: int = 256,
+                        temperature: float = 0.0, top_p: float = 0.9,
+                        eos_id: Optional[int] = None, seed: int = 0
+                        ) -> Iterator[int]:
+        """Yields token ids; prefill then per-token jitted decode steps."""
+        with on_device(self.device):
+            ids = jnp.asarray([prompt_ids], jnp.int32)
+            t = ids.shape[1]
+            cache = self._empty_cache(1)
+            positions = jnp.arange(t, dtype=jnp.int32)[None, :]
+            logits, cache = decoder_forward(self.params, self.cfg, ids,
+                                            positions, kv_cache=cache,
+                                            cache_len=jnp.int32(0))
+            last = logits[:, -1]
+            key = jax.random.PRNGKey(seed)
+            for i in range(max_new_tokens):
+                if temperature > 0:
+                    key, sub = jax.random.split(key)
+                    tok = _sample_top_p(last / temperature, top_p, sub)
+                else:
+                    tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
+                tok_host = int(tok[0])
+                if eos_id is not None and tok_host == eos_id:
+                    return
+                yield tok_host
+                last, cache = self._decode_step(
+                    self.params, tok[:, None], jnp.int32(t + i), cache)
+
+
+def _sample_top_p(logits: jax.Array, top_p: float, key) -> jax.Array:
+    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_idx = jnp.sum(cum < top_p, axis=-1)
+    cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+    filtered = jnp.where(logits >= cutoff, logits, -1e30)
+    return jax.random.categorical(key, filtered, axis=-1).astype(jnp.int32)

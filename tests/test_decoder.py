@@ -1,0 +1,101 @@
+"""JAX decoder LM: causality, KV-cache equivalence, generation determinism
+— tiny random-init config (no weights needed)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from legalrag_tpu.models.decoder import (
+    DecoderConfig,
+    JaxDecoderLM,
+    decoder_forward,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = DecoderConfig(vocab_size=97, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        intermediate_size=64, max_position_embeddings=64,
+                        tie_word_embeddings=True)
+    rng = np.random.default_rng(0)
+
+    def mat(i, o, scale=0.05):
+        return jnp.asarray(rng.standard_normal((i, o)) * scale, jnp.float32)
+
+    h, ff, d = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim
+    hkv = cfg.num_key_value_heads
+    embed = mat(cfg.vocab_size, h, 0.1)
+    params = {
+        "embed": embed, "lm_head": embed.T,
+        "final_norm": jnp.ones(h, jnp.float32),
+        "layers": [
+            {"input_norm": jnp.ones(h, jnp.float32),
+             "q": {"kernel": mat(h, h), "bias": jnp.zeros(h)},
+             "k": {"kernel": mat(h, hkv * d), "bias": jnp.zeros(hkv * d)},
+             "v": {"kernel": mat(h, hkv * d), "bias": jnp.zeros(hkv * d)},
+             "o": {"kernel": mat(h, h)},
+             "post_norm": jnp.ones(h, jnp.float32),
+             "gate": {"kernel": mat(h, ff)},
+             "up": {"kernel": mat(h, ff)},
+             "down": {"kernel": mat(ff, h)}}
+            for _ in range(cfg.num_hidden_layers)
+        ],
+    }
+    return cfg, params
+
+
+def _full_logits(cfg, params, ids):
+    positions = jnp.arange(ids.shape[1], dtype=jnp.int32)[None, :]
+    logits, _ = decoder_forward(params, cfg, ids, positions)
+    return np.asarray(logits)
+
+
+def test_causality(tiny):
+    cfg, params = tiny
+    ids_a = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+    ids_b = jnp.asarray([[5, 6, 7, 42]], jnp.int32)  # change only the last
+    la, lb = _full_logits(cfg, params, ids_a), _full_logits(cfg, params, ids_b)
+    np.testing.assert_allclose(la[:, :3], lb[:, :3], atol=1e-5)
+    assert not np.allclose(la[:, 3], lb[:, 3])
+
+
+def test_kv_cache_matches_full_forward(tiny):
+    cfg, params = tiny
+    lm = JaxDecoderLM(params, cfg, max_len=16)
+    ids = [3, 14, 15, 9]
+    full = _full_logits(cfg, params, jnp.asarray([ids], jnp.int32))
+
+    # incremental: prefill first 2, then decode 2 with the cache
+    cache = lm._empty_cache(1)
+    pre = jnp.asarray([ids[:2]], jnp.int32)
+    pos = jnp.arange(2, dtype=jnp.int32)[None, :]
+    logits01, cache = decoder_forward(params, cfg, pre, pos, kv_cache=cache,
+                                      cache_len=jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(logits01), full[:, :2], atol=1e-4)
+    step2, cache = lm._decode_step(params, jnp.asarray([[ids[2]]], jnp.int32),
+                                   jnp.int32(2), cache)
+    np.testing.assert_allclose(np.asarray(step2), full[:, 2], atol=1e-4)
+    step3, _ = lm._decode_step(params, jnp.asarray([[ids[3]]], jnp.int32),
+                               jnp.int32(3), cache)
+    np.testing.assert_allclose(np.asarray(step3), full[:, 3], atol=1e-4)
+
+
+def test_greedy_generation_deterministic(tiny):
+    cfg, params = tiny
+    lm = JaxDecoderLM(params, cfg, max_len=32)
+    out1 = list(lm.generate_stream([1, 2, 3], max_new_tokens=8))
+    out2 = list(lm.generate_stream([1, 2, 3], max_new_tokens=8))
+    assert out1 == out2
+    assert len(out1) == 8
+    assert all(0 <= t < cfg.vocab_size for t in out1)
+
+
+def test_sampled_generation_valid(tiny):
+    cfg, params = tiny
+    lm = JaxDecoderLM(params, cfg, max_len=32)
+    out = list(lm.generate_stream([4, 5], max_new_tokens=6, temperature=0.8,
+                                  seed=1))
+    assert len(out) == 6
+    assert all(0 <= t < cfg.vocab_size for t in out)
