@@ -141,3 +141,12 @@ def test_keyed_client_cache():
     c = LLMClient.from_config_with_key(cfg, "sk-user-2")
     assert a is b and a is not c
     assert a.provider == "openai"
+
+
+def test_local_jax_provider_degrades_without_weights():
+    cfg = AppConfig()
+    cfg.llm.provider = "local-jax"
+    cfg.llm.model = "nonexistent/decoder-model"
+    client = LLMClient(cfg.llm)
+    out = client.chat([{"role": "user", "content": "contract question"}])
+    assert "unavailable" in out or "showing" in out  # degraded, not a crash
