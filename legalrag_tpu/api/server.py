@@ -300,8 +300,20 @@ def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
             last_ping = time.time()
             gen = agen.__aiter__()
             while True:
+                # Await the next chunk in 1 s slices so keep-alive pings
+                # flow DURING an LLM stall (that is the case proxies drop
+                # idle connections for — ADVICE r1). asyncio.wait leaves
+                # the pending __anext__ task intact across timeouts.
+                fut = asyncio.ensure_future(gen.__anext__(), loop=loop)
                 try:
-                    chunk = loop.run_until_complete(gen.__anext__())
+                    while True:
+                        done, _ = loop.run_until_complete(
+                            asyncio.wait({fut}, timeout=1.0))
+                        if done:
+                            chunk = fut.result()
+                            break
+                        yield b": ping\n\n"
+                        last_ping = time.time()
                 except StopAsyncIteration:
                     break
                 now = time.time()

@@ -165,7 +165,10 @@ def _load_safetensors(model_dir: Path) -> Dict[str, np.ndarray]:
         import torch
 
         sd = torch.load(bin_path, map_location="cpu", weights_only=True)
-        return {k: v.numpy() for k, v in sd.items()}
+        # numpy has no bfloat16; go through float32 for bf16 .bin weights
+        # (safetensors checkpoints keep bf16 via ml_dtypes).
+        return {k: (v.float() if v.dtype == torch.bfloat16 else v).numpy()
+                for k, v in sd.items()}
     raise FileNotFoundError(f"no model weights under {model_dir}")
 
 
@@ -259,17 +262,32 @@ class FlaxBertEncoder:
 
 
 class FlaxBertCrossEncoder:
-    """bge-reranker-style pair classifier: (q, d) → relevance logit."""
+    """bge-reranker-style pair classifier: (q, d) → relevance logit.
 
-    def __init__(self, params: Dict, cfg: BertConfig, classifier: Dict,
+    The classification head mirrors whatever the checkpoint carries
+    (validated against torch in ``tests/test_checkpoint_parity.py``):
+
+    - Roberta-style (bge-reranker-v2-m3 is XLMRoberta): CLS → dense →
+      tanh → out_proj (``classifier.dense`` + ``classifier.out_proj``);
+    - Bert-style: CLS → pooler dense → tanh → classifier;
+    - bare: CLS → classifier.
+    """
+
+    def __init__(self, params: Dict, cfg: BertConfig, head: Dict,
                  tokenizer, device=None):
         self.params = params
         self.cfg = cfg
-        self.classifier = classifier
+        self.head = head
         self.tokenizer = tokenizer
         self.device = device
-        self._fwd = jax.jit(lambda p, c, ids, mask, types: _linear(
-            bert_forward(p, cfg, ids, mask, types)[:, 0], c).squeeze(-1))
+
+        def fwd(p, head, ids, mask, types):
+            h = bert_forward(p, cfg, ids, mask, types)[:, 0]
+            if head.get("dense") is not None:
+                h = jnp.tanh(_linear(h, head["dense"]))
+            return _linear(h, head["out"]).squeeze(-1)
+
+        self._fwd = jax.jit(fwd)
 
     @classmethod
     def from_pretrained(cls, name_or_path: str, device=None
@@ -277,20 +295,30 @@ class FlaxBertCrossEncoder:
         model_dir = resolve_model_dir(name_or_path)
         params, cfg = load_hf_bert_params(model_dir)
         tensors = _load_safetensors(model_dir)
-        cls_key = next((k for k in tensors if k.endswith("classifier.weight")),
-                       None)
-        if cls_key is None:
-            raise FileNotFoundError("no classifier head in checkpoint")
-        prefix = cls_key[: -len("weight")]
-        classifier = {"kernel": jnp.asarray(tensors[cls_key]).T,
-                      "bias": jnp.asarray(tensors[prefix + "bias"])}
+
+        def find(suffix):
+            key = next((k for k in tensors if k.endswith(suffix)), None)
+            if key is None:
+                return None
+            return {"kernel": jnp.asarray(tensors[key]).T,
+                    "bias": jnp.asarray(
+                        tensors[key[: -len("weight")] + "bias"])}
+
+        out = find("classifier.out_proj.weight")
+        if out is not None:                       # Roberta-style head
+            head = {"dense": find("classifier.dense.weight"), "out": out}
+        else:
+            out = find("classifier.weight")
+            if out is None:
+                raise FileNotFoundError("no classifier head in checkpoint")
+            head = {"dense": find("pooler.dense.weight"), "out": out}
         from transformers import AutoTokenizer
 
         tokenizer = AutoTokenizer.from_pretrained(str(model_dir))
         if device is not None:
             params = jax.device_put(params, device)
-            classifier = jax.device_put(classifier, device)
-        return cls(params, cfg, classifier, tokenizer, device)
+            head = jax.device_put(head, device)
+        return cls(params, cfg, head, tokenizer, device)
 
     def score_pairs(self, pairs: List[Tuple[str, str]],
                     max_length: int = 512) -> List[float]:
@@ -299,7 +327,7 @@ class FlaxBertCrossEncoder:
                              max_length=max_length, return_tensors="np")
         with on_device(self.device):
             logits = self._fwd(
-                self.params, self.classifier,
+                self.params, self.head,
                 jnp.asarray(out["input_ids"], jnp.int32),
                 jnp.asarray(out["attention_mask"], jnp.int32),
                 jnp.asarray(out.get("token_type_ids",

@@ -4,9 +4,9 @@ Implements the Qwen2/Llama architecture family (RMSNorm, rotary position
 embeddings, grouped-query attention, SwiGLU MLP, tied or untied LM head)
 with HF safetensors loading, so ``LLMConfig.provider = "local-jax"`` serves
 answer generation on the same chip as retrieval. Decoding is a jitted
-step with a preallocated KV cache (static shapes; the sequence axis is a
-ring of capacity ``max_len``), greedy or temperature/top-p sampling, and
-a streaming generator for the SSE path.
+step with a preallocated KV cache (static shapes, absolute positions,
+capacity ``max_len``; generation stops at capacity), greedy or
+temperature/top-p sampling, and a streaming generator for the SSE path.
 
 Weights must exist locally (zero-egress images use the openai/disabled
 providers); the module itself is validated with tiny random-init configs:
@@ -37,7 +37,8 @@ class DecoderConfig:
                  num_hidden_layers=24, num_attention_heads=14,
                  num_key_value_heads=2, intermediate_size=4864,
                  max_position_embeddings=32768, rms_norm_eps=1e-6,
-                 rope_theta=1000000.0, tie_word_embeddings=True, **_ignored):
+                 rope_theta=1000000.0, tie_word_embeddings=True,
+                 head_dim=None, **_ignored):
         self.vocab_size = vocab_size
         self.hidden_size = hidden_size
         self.num_hidden_layers = num_hidden_layers
@@ -48,7 +49,9 @@ class DecoderConfig:
         self.rms_norm_eps = rms_norm_eps
         self.rope_theta = rope_theta
         self.tie_word_embeddings = tie_word_embeddings
-        self.head_dim = hidden_size // num_attention_heads
+        # Qwen3/Gemma-class configs carry an explicit head_dim that differs
+        # from hidden/heads; honor it (ADVICE r1).
+        self.head_dim = head_dim or hidden_size // num_attention_heads
 
     @classmethod
     def from_json(cls, path: Path) -> "DecoderConfig":
@@ -167,6 +170,22 @@ def load_hf_decoder_params(model_dir: Path) -> Tuple[Dict, DecoderConfig]:
         params["lm_head"] = embed.T
     else:
         params["lm_head"] = jnp.asarray(t["lm_head.weight"]).T
+    for probe in ("model.layers.0.self_attn.q_norm.weight",
+                  "layers.0.self_attn.q_norm.weight"):
+        if probe in t:
+            raise ValueError(
+                "checkpoint uses per-head q/k norms (Qwen3/Gemma-class); "
+                "this forward does not implement them — refusing to load "
+                "rather than produce silently wrong attention")
+    h, hkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                  cfg.head_dim)
+    q0 = get("layers.0.self_attn.q_proj.weight")
+    k0 = get("layers.0.self_attn.k_proj.weight")
+    if q0.shape[0] != h * hd or k0.shape[0] != hkv * hd:
+        raise ValueError(
+            f"attention weight shapes q{tuple(q0.shape)}/k{tuple(k0.shape)} "
+            f"do not match heads={h}/{hkv} head_dim={hd}; checkpoint uses an "
+            "architecture variant this loader does not support")
     for i in range(cfg.num_hidden_layers):
         p = f"layers.{i}"
         params["layers"].append({
@@ -218,8 +237,12 @@ class JaxDecoderLM:
     # ------------------------------------------------------------- internals
     def _empty_cache(self, b: int):
         hkv, d = self.cfg.num_key_value_heads, self.cfg.head_dim
-        return [(jnp.zeros((b, self.max_len, hkv, d), jnp.float32),
-                 jnp.zeros((b, self.max_len, hkv, d), jnp.float32))
+        # Cache dtype must match the checkpoint dtype: released Qwen2/Llama
+        # weights are bf16, and dynamic_update_slice requires operand and
+        # update dtypes to agree (ADVICE r1 high).
+        dt = self.params["embed"].dtype
+        return [(jnp.zeros((b, self.max_len, hkv, d), dt),
+                 jnp.zeros((b, self.max_len, hkv, d), dt))
                 for _ in range(self.cfg.num_hidden_layers)]
 
     def _step(self, params, token, pos, cache):
@@ -233,9 +256,23 @@ class JaxDecoderLM:
                         eos_id: Optional[int] = None, seed: int = 0
                         ) -> Iterator[int]:
         """Yields token ids; prefill then per-token jitted decode steps."""
+        t = len(prompt_ids)
+        if t >= self.max_len:
+            raise ValueError(
+                f"prompt ({t} tokens) does not fit the {self.max_len}-token "
+                "KV cache; truncate the prompt before generation")
+        # The cache is NOT a ring: positions are absolute, and an
+        # out-of-range dynamic_update_slice would silently clamp to the last
+        # slot and corrupt attention state — so generation stops at capacity
+        # (ADVICE r1 medium).
+        budget = self.max_len - t
+        if max_new_tokens > budget:
+            log.warning("max_new_tokens %d exceeds cache budget %d "
+                        "(prompt %d / max_len %d); clamping",
+                        max_new_tokens, budget, t, self.max_len)
+            max_new_tokens = budget
         with on_device(self.device):
             ids = jnp.asarray([prompt_ids], jnp.int32)
-            t = ids.shape[1]
             cache = self._empty_cache(1)
             positions = jnp.arange(t, dtype=jnp.int32)[None, :]
             logits, cache = decoder_forward(self.params, self.cfg, ids,
@@ -253,8 +290,9 @@ class JaxDecoderLM:
                 if eos_id is not None and tok_host == eos_id:
                     return
                 yield tok_host
-                last, cache = self._decode_step(
-                    self.params, tok[:, None], jnp.int32(t + i), cache)
+                if i + 1 < max_new_tokens:   # last step's logits are unused
+                    last, cache = self._decode_step(
+                        self.params, tok[:, None], jnp.int32(t + i), cache)
 
 
 def _sample_top_p(logits: jax.Array, top_p: float, key) -> jax.Array:

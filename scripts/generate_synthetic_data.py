@@ -163,25 +163,35 @@ def _judge_score(judge: LLMClient, q: str, text: str) -> int:
 # -------------------------------------------------------------------- dedup
 def dedup_by_embedding(rows: List[Dict], cfg: AppConfig,
                        threshold: float = 0.85) -> List[Dict]:
+    """Greedy cosine dedup. All queries of a language are encoded in ONE
+    batched call (one device execution per language, not one per query —
+    per-query eager ops cost a ~200 ms round trip each on remote backends)."""
     from legalrag_tpu.models.hash_encoder import HashEncoder
 
+    vec_of: Dict[int, np.ndarray] = {}
+    for lang in sorted({r["lang"] for r in rows}):
+        idxs = [i for i, r in enumerate(rows) if r["lang"] == lang]
+        enc = HashEncoder(lang=lang, dim=256, sketch_dim=4096)
+        vecs = np.asarray(enc.encode_queries([rows[i]["query"] for i in idxs]))
+        for i, v in zip(idxs, vecs):
+            vec_of[i] = v
+
     kept: List[Dict] = []
-    vecs: List[np.ndarray] = []
-    by_lang: Dict[str, HashEncoder] = {}
-    for row in rows:
-        enc = by_lang.setdefault(row["lang"],
-                                 HashEncoder(lang=row["lang"], dim=256,
-                                             sketch_dim=4096))
-        v = enc.encode_queries([row["query"]])[0]
-        if any(float(v @ u) >= threshold for u, r in zip(vecs, kept)
-               if r["lang"] == row["lang"]):
+    kept_vecs: Dict[str, List[np.ndarray]] = {}
+    for i, row in enumerate(rows):
+        prior = kept_vecs.setdefault(row["lang"], [])
+        v = vec_of[i]
+        if any(float(v @ u) >= threshold for u in prior):
             continue
         kept.append(row)
-        vecs.append(v)
+        prior.append(v)
     return kept
 
 
 def main() -> None:
+    from legalrag_tpu.utils.device import apply_force_cpu
+
+    apply_force_cpu()
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=("auto", "llm", "extractive"),
                     default="auto")

@@ -1,0 +1,274 @@
+"""Golden checkpoint-parity harness (SURVEY.md §7.4.1, VERDICT r1 #2).
+
+torch + transformers are installed in this image, so the FULL weight-loading
+path is exercised with tiny randomly-initialized HF checkpoints saved to
+safetensors: HF-name mapping, CLS pooling + L2 norm + query instruction
+(reference semantics at ``/root/reference/legalrag/retrieval/vector_store.py:131-155``),
+the cross-encoder head (``rerankers.py:100-116`` in the reference), per-token
+encoding, and the decoder's RoPE/GQA/SwiGLU stack (Qwen2 family). With real
+BGE/Qwen weights later, parity becomes plug-and-measure.
+
+Also covers ADVICE r1: bf16 checkpoints must load and generate (KV-cache
+dtype), generation must stop at cache capacity, and explicit ``head_dim``
+configs must be honored.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+ATOL = 2e-4
+
+
+def _tiny_vocab_tokenizer(tmp_path: Path):
+    """A real BertTokenizerFast over a tiny wordpiece vocab."""
+    from transformers import BertTokenizerFast
+
+    words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "the", "contract", "buyer", "seller", "goods", "law",
+             "article", "shall", "of", "a", "delivery", "payment",
+             "为", "这", "个", "法", "律", "问", "题", "生", "成", "表", "示",
+             "：", "what", "is", "risk", "loss", "under", "ucc"]
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("\n".join(words), encoding="utf-8")
+    return BertTokenizerFast(vocab_file=str(vocab), do_lower_case=True)
+
+
+def _tiny_bert_cfg():
+    from transformers import BertConfig
+
+    return BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                      num_attention_heads=2, intermediate_size=64,
+                      max_position_embeddings=48, type_vocab_size=2)
+
+
+@pytest.fixture(scope="module")
+def bert_ckpt(tmp_path_factory):
+    """Tiny random-init HF BertModel saved to safetensors + tokenizer."""
+    tmp = tmp_path_factory.mktemp("bert_ckpt")
+    from transformers import BertModel
+
+    torch.manual_seed(0)
+    model = BertModel(_tiny_bert_cfg()).eval()
+    model.save_pretrained(tmp)                 # model.safetensors (f32)
+    _tiny_vocab_tokenizer(tmp).save_pretrained(tmp)
+    return tmp, model
+
+
+TEXTS = ["what is risk of loss under the ucc",
+         "the seller shall tender delivery of goods",
+         "payment of a contract"]
+
+
+def test_biencoder_parity_cls_l2_instruction(bert_ckpt):
+    """encode_queries (instruction-prefixed) and encode_passages must match
+    torch CLS-pool + L2-norm to 1e-4."""
+    tmp, model = bert_ckpt
+    from legalrag_tpu.models.bert import FlaxBertEncoder
+
+    instr = "为这个法律问题生成表示："
+    enc = FlaxBertEncoder.from_pretrained(str(tmp), instruction=instr,
+                                          max_length=32)
+
+    def torch_encode(texts):
+        batch = enc.tokenizer(texts, padding="max_length", truncation=True,
+                              max_length=32, return_tensors="pt")
+        with torch.no_grad():
+            h = model(input_ids=batch["input_ids"],
+                      attention_mask=batch["attention_mask"],
+                      token_type_ids=batch.get("token_type_ids"),
+                      ).last_hidden_state[:, 0]
+        h = torch.nn.functional.normalize(h, dim=-1)
+        return h.numpy()
+
+    got_p = enc.encode_passages(TEXTS)
+    np.testing.assert_allclose(got_p, torch_encode(TEXTS), atol=ATOL)
+
+    got_q = enc.encode_queries(TEXTS)
+    np.testing.assert_allclose(got_q, torch_encode([instr + t for t in TEXTS]),
+                               atol=ATOL)
+    # instruction must actually change the embedding (queries != passages)
+    assert not np.allclose(got_q, got_p, atol=1e-3)
+
+
+def test_token_encoder_parity(bert_ckpt):
+    """encode_tokens = per-token final hidden states (sliced to token_dim),
+    L2-normalized — matches torch last_hidden_state."""
+    tmp, model = bert_ckpt
+    from legalrag_tpu.models.bert import FlaxBertEncoder
+
+    enc = FlaxBertEncoder.from_pretrained(str(tmp), max_length=32,
+                                          token_dim=16)
+    got, mask = enc.encode_tokens(TEXTS, maxlen=16)
+    batch = enc.tokenizer(TEXTS, padding="max_length", truncation=True,
+                          max_length=16, return_tensors="pt")
+    with torch.no_grad():
+        h = model(input_ids=batch["input_ids"],
+                  attention_mask=batch["attention_mask"]).last_hidden_state
+    h = h[..., :16]
+    h = torch.nn.functional.normalize(h, dim=-1).numpy()
+    np.testing.assert_allclose(got, h, atol=ATOL)
+    assert mask.shape == got.shape[:2] and mask.dtype == bool
+
+
+def test_cross_encoder_parity(tmp_path):
+    """FlaxBertCrossEncoder.score_pairs must match torch
+    BertForSequenceClassification logits (num_labels=1, CLS head)."""
+    from transformers import BertForSequenceClassification
+
+    cfg = _tiny_bert_cfg()
+    cfg.num_labels = 1
+    torch.manual_seed(1)
+    model = BertForSequenceClassification(cfg).eval()
+    model.save_pretrained(tmp_path)
+    _tiny_vocab_tokenizer(tmp_path).save_pretrained(tmp_path)
+
+    from legalrag_tpu.models.bert import FlaxBertCrossEncoder
+
+    ce = FlaxBertCrossEncoder.from_pretrained(str(tmp_path))
+    pairs = [(TEXTS[0], TEXTS[1]), (TEXTS[0], TEXTS[2])]
+    got = np.asarray(ce.score_pairs(pairs, max_length=32))
+
+    batch = ce.tokenizer([a for a, _ in pairs], [b for _, b in pairs],
+                         padding="max_length", truncation=True,
+                         max_length=32, return_tensors="pt")
+    with torch.no_grad():
+        want = model(**batch).logits.squeeze(-1).numpy()
+    # bert.pooler sits between CLS and classifier in HF's SequenceClassifier
+    # head is exactly what FlaxBertCrossEncoder must replicate.
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# decoder (Qwen2 family)
+
+def _tiny_qwen2_cfg(**over):
+    from transformers import Qwen2Config
+
+    kw = dict(vocab_size=96, hidden_size=32, num_hidden_layers=2,
+              num_attention_heads=4, num_key_value_heads=2,
+              intermediate_size=64, max_position_embeddings=64,
+              rope_theta=10000.0, tie_word_embeddings=False,
+              attention_dropout=0.0)
+    kw.update(over)
+    return Qwen2Config(**kw)
+
+
+@pytest.fixture(scope="module")
+def qwen_ckpt(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("qwen_ckpt")
+    from transformers import Qwen2ForCausalLM
+
+    torch.manual_seed(2)
+    model = Qwen2ForCausalLM(_tiny_qwen2_cfg()).eval()
+    model.save_pretrained(tmp)
+    return tmp, model
+
+
+def test_decoder_forward_parity_vs_torch(qwen_ckpt):
+    """Full-sequence logits from our functional forward must match HF
+    Qwen2ForCausalLM on the same random-init checkpoint (GQA 4/2, RoPE,
+    SwiGLU, untied head)."""
+    tmp, model = qwen_ckpt
+    import jax.numpy as jnp
+
+    from legalrag_tpu.models.decoder import decoder_forward, load_hf_decoder_params
+
+    params, cfg = load_hf_decoder_params(tmp)
+    assert cfg.head_dim == 8
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 96, size=(2, 12))
+    with torch.no_grad():
+        want = model(torch.tensor(ids)).logits.float().numpy()
+
+    positions = jnp.broadcast_to(jnp.arange(12)[None, :], (2, 12))
+    got, _ = decoder_forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                             positions)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
+
+
+def test_decoder_tied_embeddings(tmp_path):
+    from transformers import Qwen2ForCausalLM
+
+    torch.manual_seed(3)
+    model = Qwen2ForCausalLM(_tiny_qwen2_cfg(tie_word_embeddings=True)).eval()
+    model.save_pretrained(tmp_path)
+
+    import jax.numpy as jnp
+
+    from legalrag_tpu.models.decoder import decoder_forward, load_hf_decoder_params
+
+    params, cfg = load_hf_decoder_params(tmp_path)
+    ids = np.arange(6)[None, :] % 96
+    with torch.no_grad():
+        want = model(torch.tensor(ids)).logits.float().numpy()
+    got, _ = decoder_forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                             jnp.arange(6)[None, :])
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
+
+
+def test_bf16_checkpoint_loads_and_generates(tmp_path):
+    """ADVICE r1 (high): released Qwen2/Llama checkpoints are bf16; the KV
+    cache must adopt the checkpoint dtype so decode steps don't TypeError."""
+    from transformers import Qwen2ForCausalLM
+
+    torch.manual_seed(4)
+    model = Qwen2ForCausalLM(_tiny_qwen2_cfg()).to(torch.bfloat16)
+    model.save_pretrained(tmp_path)
+
+    import jax.numpy as jnp
+
+    from legalrag_tpu.models.decoder import JaxDecoderLM, load_hf_decoder_params
+
+    params, cfg = load_hf_decoder_params(tmp_path)
+    assert params["embed"].dtype == jnp.bfloat16
+    lm = JaxDecoderLM(params, cfg, max_len=32)
+    toks = list(lm.generate_stream([1, 2, 3, 4], max_new_tokens=8))
+    assert len(toks) == 8 and all(0 <= t < 96 for t in toks)
+
+
+def test_generation_stops_at_cache_capacity(qwen_ckpt):
+    """ADVICE r1 (medium): prompt_len + generated must never exceed max_len —
+    the cache is absolute-position, not a ring."""
+    tmp, _ = qwen_ckpt
+    from legalrag_tpu.models.decoder import JaxDecoderLM, load_hf_decoder_params
+
+    params, cfg = load_hf_decoder_params(tmp)
+    lm = JaxDecoderLM(params, cfg, max_len=16)
+    toks = list(lm.generate_stream(list(range(1, 13)), max_new_tokens=100))
+    assert len(toks) == 4  # 16 - 12
+
+    with pytest.raises(ValueError):
+        list(lm.generate_stream(list(range(1, 20)), max_new_tokens=4))
+
+
+def test_explicit_head_dim_honored(tmp_path):
+    """ADVICE r1 (low): configs carrying head_dim != hidden/heads must load
+    with the explicit value and pass the shape assertion."""
+    from legalrag_tpu.models.decoder import DecoderConfig
+
+    cfg = DecoderConfig(hidden_size=32, num_attention_heads=4, head_dim=16)
+    assert cfg.head_dim == 16
+    cfg2 = DecoderConfig(hidden_size=32, num_attention_heads=4)
+    assert cfg2.head_dim == 8
+
+    # and a checkpoint whose weights contradict the config must refuse
+    from transformers import Qwen2ForCausalLM
+
+    torch.manual_seed(5)
+    model = Qwen2ForCausalLM(_tiny_qwen2_cfg())
+    model.save_pretrained(tmp_path)
+    raw = json.loads((tmp_path / "config.json").read_text())
+    raw["head_dim"] = 16  # lie: weights were built with head_dim 8
+    (tmp_path / "config.json").write_text(json.dumps(raw))
+
+    from legalrag_tpu.models.decoder import load_hf_decoder_params
+
+    with pytest.raises(ValueError, match="head_dim"):
+        load_hf_decoder_params(tmp_path)

@@ -230,3 +230,38 @@ def test_metrics_endpoint(client):
     assert 'legalrag_requests_total{endpoint="retrieve"}' in text
     assert "legalrag_retrieve_seconds_count" in text
     assert "legalrag_retrieve_seconds_bucket" in text
+
+
+def test_sse_pings_flow_during_llm_stall(client, app):
+    """Keep-alive pings must be emitted WHILE the LLM is stalled between
+    chunks (not only after one arrives) — proxies drop idle connections
+    otherwise (ADVICE r1)."""
+
+    class StallingLLM:
+        is_degraded = False
+
+        def chat(self, messages, tag="chat", **kw):
+            return "slow answer"
+
+        def chat_stream(self, messages, tag="chat", **kw):
+            yield "first"
+            time.sleep(2.6)        # > 2 ping intervals
+            yield "second"
+
+        def degraded_answer(self, messages):
+            return "degraded"
+
+    old = app.state.pipeline.llm
+    app.state.pipeline.llm = StallingLLM()
+    try:
+        r = client.post("/rag/retrieve", json_body={"question": "解除合同"})
+        rid = r.json()["retrieval_id"]
+        s = client.post("/rag/answer", json_body={"retrieval_id": rid,
+                                                  "stream": True})
+        raw = s.text
+        first = raw.index("first")
+        second = raw.index("second")
+        assert raw[first:second].count(": ping") >= 2
+        assert [e for e, _ in s.sse_events()][-1] == "done"
+    finally:
+        app.state.pipeline.llm = old
