@@ -77,6 +77,11 @@ class EngineConfig(BaseModel):
     # device mesh: axis names are fixed; shape chosen at engine init
     mesh_data_axis: str = "data"
     mesh_model_axis: str = "model"
+    # multi-chip serving: shard every index's doc axis over this many
+    # devices (model axis); 1 = single-device. Replaces the reference's
+    # docker-compose HTTP fan-out (docker-compose.yml:1-23) with ICI
+    # all_gather candidate merges.
+    n_index_shards: int = 1
 
 
 class RetrievalConfig(BaseModel):

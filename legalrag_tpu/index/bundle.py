@@ -57,6 +57,10 @@ class IndexBundle:
         self.tokens = TokenIndex(e.late_dim, e.late_doc_maxlen, e.dtype,
                                  e.capacity_round, device)
         self.generation = 0
+        # multi-chip serving: set via enable_sharding(); shard_views() then
+        # serves doc-axis-sharded copies of the index arrays
+        self.mesh = None
+        self._shard_views = None
 
     # ----------------------------------------------------------------- build
     @classmethod
@@ -67,6 +71,15 @@ class IndexBundle:
 
         b = cls(lang, cfg, device)
         b.encoder = encoder or get_encoder(cfg, lang, device)
+        # the encoder's actual dims win over config defaults (a bert model's
+        # hidden size need not match retrieval.embedding_dim)
+        e = cfg.engine
+        if getattr(b.encoder, "dim", b.dense.dim) != b.dense.dim:
+            b.dense = DenseIndex(b.encoder.dim, e.dtype, e.capacity_round,
+                                 device)
+        if getattr(b.encoder, "token_dim", b.tokens.token_dim) != b.tokens.token_dim:
+            b.tokens = TokenIndex(b.encoder.token_dim, e.late_doc_maxlen,
+                                  e.dtype, e.capacity_round, device)
         texts = [c.text for c in chunks]
         if hasattr(b.encoder, "fit_idf"):
             b.encoder.fit_idf(texts)
@@ -114,6 +127,62 @@ class IndexBundle:
     @property
     def n_docs(self) -> int:
         return len(self.chunks)
+
+    # --------------------------------------------------------------- sharding
+    def enable_sharding(self, mesh) -> None:
+        """Serve this bundle's indexes sharded over ``mesh``'s model axis
+        (``engine.n_index_shards``). The originals stay untouched so
+        incremental adds keep working; ``shard_views()`` refreshes the
+        sharded copies whenever the generation advances."""
+        self.mesh = mesh
+        self._shard_views = None
+
+    def shard_views(self) -> Optional[Dict]:
+        """Doc-axis-sharded (padded) copies of emb/impact/tokens for
+        ``parallel.sharded_search.sharded_channels_topk``. Returns None when
+        sharding is off or the bundle is empty."""
+        if self.mesh is None or self.dense.n == 0:
+            return None
+        key = (self.generation, self.dense.n)
+        if self._shard_views is not None and self._shard_views[0] == key:
+            return self._shard_views[1]
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from legalrag_tpu.parallel.mesh import MODEL_AXIS
+
+        s = self.mesh.shape[MODEL_AXIS]
+        cap = -(-max(self.dense.capacity, 1) // s) * s
+
+        def pad_rows(arr, target, fill=0):
+            if arr.shape[0] == target:
+                return arr
+            widths = [(0, target - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+            return jnp.pad(arr, widths, constant_values=fill)
+
+        views = {
+            "emb": jax.device_put(pad_rows(self.dense.emb, cap),
+                                  NamedSharding(self.mesh, P(MODEL_AXIS, None))),
+            # impact is [V_pad, N_pad] with N_pad ≤ cap (128-rounding vs the
+            # dense capacity rounding) — pad columns to cap and column-shard
+            "impact": jax.device_put(
+                jnp.pad(self.bm25.impact,
+                        [(0, 0), (0, cap - self.bm25.impact.shape[1])]),
+                NamedSharding(self.mesh, P(None, MODEL_AXIS))),
+        }
+        if (self.cfg.retrieval.enable_colbert and self.tokens.n
+                and self.tokens.n == self.dense.n):
+            views["tok"] = jax.device_put(
+                pad_rows(self.tokens.tok, cap),
+                NamedSharding(self.mesh, P(MODEL_AXIS, None, None)))
+            views["mask"] = jax.device_put(
+                pad_rows(self.tokens.mask, cap),
+                NamedSharding(self.mesh, P(MODEL_AXIS, None)))
+        self._shard_views = (key, views)
+        log.info("[%s] sharded index views over %d devices (cap=%d)",
+                 self.lang, s, cap)
+        return views
 
     # --------------------------------------------------------------- persist
     def save(self, index_dir: str | Path) -> None:

@@ -54,5 +54,6 @@ def get_encoder(cfg, lang: str, device=None) -> EncoderBackend:
         instruction = (cfg.retrieval.query_instruction_zh if lang == "zh"
                        else cfg.retrieval.query_instruction_en)
         return FlaxBertEncoder.from_pretrained(model, instruction=instruction,
-                                               device=device)
+                                               device=device,
+                                               token_dim=cfg.engine.late_dim)
     raise ValueError(f"unknown embedding backend: {backend}")

@@ -57,71 +57,215 @@ def make_sharded_dense_topk(mesh: Mesh, k: int):
     return jax.jit(fn)
 
 
+def _gather_topk(scores: jax.Array, eff_k: int, offset,
+                 valid_n) -> Tuple[jax.Array, jax.Array]:
+    """Shard-local [B, n_local] scores → GLOBAL top-eff_k (scores, row ids).
+
+    Shard-local top-k then an ``all_gather`` candidate merge over ICI is
+    exact: the global top-eff_k is a subset of the union of per-shard
+    top-eff_k lists. O(eff_k·n_shards) bytes on the interconnect."""
+    kk = min(eff_k, scores.shape[1])
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + offset
+    scores = jnp.where(col < valid_n, scores, -1e30)
+    s, i = jax.lax.top_k(scores, kk)
+    s_all = jax.lax.all_gather(s, MODEL_AXIS, axis=1, tiled=True)
+    i_all = jax.lax.all_gather(i + offset, MODEL_AXIS, axis=1, tiled=True)
+    top_s, pos = jax.lax.top_k(s_all, min(eff_k, s_all.shape[1]))
+    return top_s, jnp.take_along_axis(i_all, pos, axis=1)
+
+
+def _maxsim_local(doc_tok_l, doc_mask_l, q_tok, q_mask):
+    """Per-shard full MaxSim with the same tile-budget rule as the
+    single-device fused program (ops/fused_query.py)."""
+    from legalrag_tpu.ops.maxsim import maxsim_full
+
+    n_local = doc_tok_l.shape[0]
+    b, lq = q_tok.shape[0], q_tok.shape[1]
+    budget = (256 << 20) // 4
+    tile = max(32, min(256, budget // max(b * lq * doc_tok_l.shape[1], 1)))
+    while n_local % tile:
+        tile //= 2
+    return maxsim_full(doc_tok_l, doc_mask_l, q_tok, q_mask,
+                       tile_n=max(tile, 1))
+
+
 def make_sharded_hybrid_step(mesh: Mesh, k: int, eff_k: int,
                              rrf_k: float = 60.0, alpha: float = 0.5,
-                             w_dense: float = 0.6, w_bm25: float = 0.4):
-    """Sharded dense + BM25 fused step: corpus rows and impact columns shard
-    over ``model``; fusion (RRF + minmax blend over gathered candidates)
-    happens on the data-sharded side. One jitted program; the multi-chip
-    production query path."""
+                             w_dense: float = 0.6, w_bm25: float = 0.4,
+                             w_late: float = 0.35, has_late: bool = False):
+    """Sharded fused step (dense + BM25 + optional MaxSim): corpus rows and
+    impact columns shard over ``model``; fusion (RRF + minmax blend over
+    gathered candidates) happens on the data-sharded side. One jitted
+    program; the multi-chip throughput query path."""
 
-    def local(emb_local, impact_local, qvec_local, qtf_local, valid_n):
+    def local(emb_local, impact_local, doc_tok_l, doc_mask_l,
+              qvec_local, qtf_local, q_tok_l, q_mask_l, valid_n):
         n_local = emb_local.shape[0]
-        shard = jax.lax.axis_index(MODEL_AXIS)
-        offset = shard * n_local
-        kk = min(eff_k, n_local)
+        offset = jax.lax.axis_index(MODEL_AXIS) * n_local
 
-        def channel_topk(scores):
-            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + offset
-            scores = jnp.where(col < valid_n, scores, -1e30)
-            s, i = jax.lax.top_k(scores, kk)
-            s_all = jax.lax.all_gather(s, MODEL_AXIS, axis=1, tiled=True)
-            i_all = jax.lax.all_gather(i + offset, MODEL_AXIS, axis=1,
-                                       tiled=True)
-            top_s, pos = jax.lax.top_k(s_all, min(eff_k, s_all.shape[1]))
-            return top_s, jnp.take_along_axis(i_all, pos, axis=1)
+        lists = [
+            (w_dense, *_gather_topk(
+                jnp.dot(qvec_local.astype(emb_local.dtype), emb_local.T,
+                        preferred_element_type=jnp.float32),
+                eff_k, offset, valid_n)),
+            (w_bm25, *_gather_topk(
+                jnp.dot(qtf_local.astype(impact_local.dtype), impact_local.T,
+                        preferred_element_type=jnp.float32),
+                eff_k, offset, valid_n)),
+        ]
+        if has_late:
+            lists.append((w_late, *_gather_topk(
+                _maxsim_local(doc_tok_l, doc_mask_l, q_tok_l, q_mask_l),
+                eff_k, offset, valid_n)))
 
-        d_s, d_i = channel_topk(jnp.dot(qvec_local.astype(emb_local.dtype),
-                                        emb_local.T,
-                                        preferred_element_type=jnp.float32))
-        b_s, b_i = channel_topk(jnp.dot(qtf_local.astype(impact_local.dtype),
-                                        impact_local.T,
-                                        preferred_element_type=jnp.float32))
+        # fuse the gathered candidate lists (n_channels·eff_k per query);
+        # masking rules mirror ops.fused_query exactly (valid = non-NEG_INF
+        # candidates; min-max statistics exclude masked and duplicate slots)
+        def fuse_row(*flat):
+            per = [(w, s, i) for (w, _, _), s, i
+                   in zip(lists, flat[0::2], flat[1::2])]
+            ids = jnp.concatenate([i for _, _, i in per])
+            valid = jnp.concatenate([s > -1e29 for _, s, _ in per])
+            ranks = jnp.arange(1, per[0][1].shape[0] + 1, dtype=jnp.float32)
+            rrf = jnp.where(valid, jnp.concatenate(
+                [w / (rrf_k + ranks) for w, _, _ in per]), 0.0)
 
-        # fuse the two gathered candidate lists (2·eff_k per query)
-        def fuse_row(ds, di, bs, bi):
-            ids = jnp.concatenate([di, bi])
-            ranks = jnp.arange(1, ds.shape[0] + 1, dtype=jnp.float32)
-            rrf = jnp.concatenate([w_dense / (rrf_k + ranks),
-                                   w_bm25 / (rrf_k + ranks)])
+            def minmax(s, v):
+                lo = jnp.min(jnp.where(v, s, jnp.inf))
+                hi = jnp.max(jnp.where(v, s, -jnp.inf))
+                norm = jnp.where(hi > lo,
+                                 (s - lo) / jnp.maximum(hi - lo, 1e-12), 1.0)
+                return jnp.where(v, norm, 0.0)
 
-            def minmax(s):
-                lo, hi = jnp.min(s), jnp.max(s)
-                return jnp.where(hi > lo, (s - lo) / jnp.maximum(hi - lo, 1e-12),
-                                 jnp.ones_like(s))
-
-            wsum = jnp.concatenate([w_dense * minmax(ds), w_bm25 * minmax(bs)])
-            # merge duplicate ids: first occurrence accumulates both entries
-            eq = ids[None, :] == ids[:, None]
-            first = jnp.argmax(eq, axis=1) == jnp.arange(ids.shape[0])
+            wsum = jnp.concatenate([w * minmax(s, s > -1e29)
+                                    for w, s, _ in per])
+            # merge duplicate ids: first valid occurrence accumulates all
+            eq = (ids[None, :] == ids[:, None]) & valid[None, :] & valid[:, None]
+            first = (jnp.argmax(eq, axis=1) == jnp.arange(ids.shape[0])) & valid
             rrf_m = jnp.where(first, jnp.sum(jnp.where(eq, rrf[None, :], 0.0),
                                              axis=1), 0.0)
             wsum_m = jnp.where(first, jnp.sum(jnp.where(eq, wsum[None, :], 0.0),
                                               axis=1), 0.0)
-            score = alpha * minmax(rrf_m) + (1 - alpha) * wsum_m
+            score = alpha * minmax(rrf_m, first) + (1 - alpha) * wsum_m
             score = jnp.where(first, score, -1e30)
             top_s, pos = jax.lax.top_k(score, min(k, score.shape[0]))
             return top_s, ids[pos]
 
-        return jax.vmap(fuse_row)(d_s, d_i, b_s, b_i)
+        flat = []
+        for _, s, i in lists:
+            flat += [s, i]
+        return jax.vmap(fuse_row)(*flat)
 
+    tok_specs = ((P(MODEL_AXIS, None, None), P(MODEL_AXIS, None),
+                  P(DATA_AXIS, None, None), P(DATA_AXIS, None))
+                 if has_late else (P(), P(), P(), P()))
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(P(MODEL_AXIS, None), P(MODEL_AXIS, None),
-                  P(DATA_AXIS, None), P(DATA_AXIS, None), P()),
+        in_specs=(P(MODEL_AXIS, None), P(MODEL_AXIS, None), tok_specs[0],
+                  tok_specs[1], P(DATA_AXIS, None), P(DATA_AXIS, None),
+                  tok_specs[2], tok_specs[3], P()),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
         check_vma=False)
-    return jax.jit(fn)
+    jitted = jax.jit(fn)
+    if has_late:
+        return jitted
+
+    def without_late(emb, impact, qvec, qtf, valid_n):
+        z = jnp.zeros((), jnp.float32)
+        return jitted(emb, impact, z, z, qvec, qtf, z, z, valid_n)
+
+    return without_late
+
+
+_CHANNELS_CACHE: dict = {}
+
+
+def make_sharded_channels_step(mesh: Mesh, eff_k: int, has_late: bool):
+    """Multi-chip analogue of ``ops.fused_query.fused_channels_topk``: every
+    channel's GLOBAL top-eff_k list from one sharded execution.
+
+    This is the multi-chip SERVING path: the returned per-channel candidate
+    lists are exactly the single-device ones (shard-local top-k + all_gather
+    merge is exact), so the host-side fusion → min-score → graph → rerank →
+    dedup pipeline downstream is untouched — full 6-stage parity with
+    ``HybridRetriever.search`` on a sharded corpus.
+
+    Queries are replicated (single-query serving; use
+    ``make_sharded_hybrid_step`` for data-parallel batched throughput).
+    """
+
+    def local(emb_l, impact_l, doc_tok_l, doc_mask_l, qvec,
+              term_ids, term_mask, q_tok, q_mask, valid_n):
+        n_local = emb_l.shape[0]
+        offset = jax.lax.axis_index(MODEL_AXIS) * n_local
+
+        dense = _gather_topk(
+            jnp.dot(qvec.astype(emb_l.dtype), emb_l.T,
+                    preferred_element_type=jnp.float32),
+            eff_k, offset, valid_n)
+        b, v = term_ids.shape[0], impact_l.shape[0]
+        qtf = jnp.zeros((b, v), jnp.float32).at[
+            jnp.arange(b)[:, None], term_ids].add(
+            term_mask.astype(jnp.float32))
+        bm25 = _gather_topk(
+            jnp.dot(qtf.astype(impact_l.dtype), impact_l,
+                    preferred_element_type=jnp.float32),
+            eff_k, offset, valid_n)
+        if not has_late:
+            return dense, bm25
+        late = _gather_topk(
+            _maxsim_local(doc_tok_l, doc_mask_l, q_tok, q_mask),
+            eff_k, offset, valid_n)
+        return dense, bm25, late
+
+    pair = (P(), P())
+    tok_specs = ((P(MODEL_AXIS, None, None), P(MODEL_AXIS, None))
+                 if has_late else (P(), P()))
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(MODEL_AXIS, None), P(None, MODEL_AXIS),
+                  tok_specs[0], tok_specs[1], P(), P(), P(), P(), P(), P()),
+        out_specs=(pair, pair, pair) if has_late else (pair, pair),
+        check_vma=False)
+    jitted = jax.jit(fn)
+
+    def run(emb, impact, doc_tok, doc_mask, qvec, qtf_pair, q_tok, q_mask,
+            valid_n):
+        if not has_late:
+            z = jnp.zeros((), jnp.float32)
+            doc_tok = doc_mask = q_tok = q_mask = z
+        return jitted(emb, impact, doc_tok, doc_mask, qvec, qtf_pair[0],
+                      qtf_pair[1], q_tok, q_mask, valid_n)
+
+    return run
+
+
+def sharded_channels_topk(mesh: Mesh, eff_k: int, emb, impact,
+                          doc_tok, doc_mask, qvec, qtf_pair, q_tok, q_mask,
+                          valid_n):
+    """Dict-shaped facade matching ``fused_channels_topk``'s output:
+    ``{"qvec": [B,d], "dense": (s,i), "bm25": (s,i)[, "colbert": (s,i)]}``.
+
+    ``qvec`` may be ready embeddings or the hash backend's
+    (sketch, projection) pair — projected + L2-normalized here (replicated;
+    it is O(B·d))."""
+    if isinstance(qvec, (tuple, list)):
+        sketch, proj = qvec
+        qvec = jnp.dot(sketch, proj, preferred_element_type=jnp.float32)
+        qvec = qvec / jnp.maximum(
+            jnp.linalg.norm(qvec, axis=-1, keepdims=True), 1e-9)
+    has_late = doc_tok is not None
+    key = (mesh, eff_k, has_late)
+    step = _CHANNELS_CACHE.get(key)
+    if step is None:
+        step = _CHANNELS_CACHE[key] = make_sharded_channels_step(
+            mesh, eff_k, has_late)
+    res = step(emb, impact, doc_tok, doc_mask, qvec, qtf_pair, q_tok, q_mask,
+               valid_n)
+    out = {"qvec": qvec, "dense": res[0], "bm25": res[1]}
+    if has_late:
+        out["colbert"] = res[2]
+    return out
 
 
 def shard_corpus_arrays(mesh: Mesh, emb, impact):

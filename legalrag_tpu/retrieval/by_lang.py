@@ -37,6 +37,21 @@ class BundleCache:
         self.check_interval = check_interval
         self._bundles: Dict[str, IndexBundle] = {}
         self._last_check: Dict[str, float] = {}
+        self._mesh = None
+
+    def _serving_mesh(self):
+        """Lazy (1, n_index_shards) mesh for multi-chip serving."""
+        if self._mesh is None:
+            from legalrag_tpu.parallel.mesh import local_devices, make_mesh
+
+            s = self.cfg.engine.n_index_shards
+            devs = local_devices()
+            if len(devs) < s:
+                raise RuntimeError(
+                    f"engine.n_index_shards={s} but only {len(devs)} "
+                    "devices visible")
+            self._mesh = make_mesh(devs[:s], data=1, model=s)
+        return self._mesh
 
     def index_dir(self, lang: str) -> Path:
         return Path(self.cfg.with_lang(lang).paths.lang_index_dir)
@@ -57,11 +72,15 @@ class BundleCache:
             lang_cfg = self.cfg.with_lang(lang)
             log.info("[%s] (re)loading index generation=%s from %s", lang, gen, d)
             bundle = IndexBundle.load(d, lang_cfg, lang, device=self.device)
+            if self.cfg.engine.n_index_shards > 1:
+                bundle.enable_sharding(self._serving_mesh())
             self._bundles[lang] = bundle
         return bundle
 
     def put(self, lang: str, bundle: IndexBundle) -> None:
         """Install a live bundle (in-process ingest path)."""
+        if self.cfg.engine.n_index_shards > 1 and bundle.mesh is None:
+            bundle.enable_sharding(self._serving_mesh())
         self._bundles[lang] = bundle
         self._last_check[lang] = time.monotonic()
 

@@ -53,13 +53,19 @@ class HybridRetriever:
             self.graph = GraphRetriever(bundle, graph_store, cfg)
 
     def _channels_topk_all(self, question: str, eff_k: int):
-        """All channels' top-eff_k from ONE device execution (hash backend).
+        """All channels' top-eff_k from ONE device execution.
 
         Remote backends pay a per-execution round trip (~70 ms); the
         per-channel path costs three. Results are identical to the
         per-channel calls (same programs' math; tested), so fusion and
-        explainability downstream are unchanged. Returns None when the
-        one-shot path doesn't apply (bert encoder, channel mismatch)."""
+        explainability downstream are unchanged.
+
+        Works for BOTH encoder backends: the hash backend ships its cheap
+        host sketch and projects on device; the bert backend runs its (one)
+        jitted encoder forward and feeds the embeddings in — 2 executions
+        per query instead of 4 (VERDICT r1 #4). When the bundle is sharded
+        (``engine.n_index_shards``), the same lists come from the multi-chip
+        all_gather merge step instead — exact agreement tested."""
         import jax.numpy as jnp
         import numpy as np
 
@@ -69,7 +75,7 @@ class HybridRetriever:
 
         bundle = self.bundle
         enc = bundle.encoder
-        if not hasattr(enc, "_sketch") or bundle.dense.n == 0:
+        if bundle.dense.n == 0:
             return None
         use_late = (self.late is not None
                     and bundle.tokens.n == bundle.dense.n
@@ -78,20 +84,36 @@ class HybridRetriever:
         kb = bucket_k(eff_k, bundle.dense.capacity)
         qs = [question]
         maxlen = self.cfg.engine.max_query_tokens
+        views = bundle.shard_views()
         with on_device(bundle.device):
-            qvec = (jnp.asarray(enc._sketch(qs)), enc._projection())
+            if hasattr(enc, "_sketch"):
+                qvec = (jnp.asarray(enc._sketch(qs)), enc._projection())
+            else:
+                qvec = jnp.asarray(enc.encode_queries(qs))
             ids, mask = bundle.bm25.query_term_ids(qs, maxlen)
             q_tok = q_mask = None
             if use_late:
                 qt, qm = enc.encode_tokens(qs, maxlen)
                 q_tok = jnp.asarray(qt, bundle.tokens._query_dtype)
                 q_mask = jnp.asarray(qm)
-            out = fused_channels_topk(
-                bundle.dense.emb, bundle.bm25.impact,
-                bundle.tokens.tok if use_late else None,
-                bundle.tokens.mask if use_late else None,
-                qvec, (jnp.asarray(ids), jnp.asarray(mask)), q_tok, q_mask,
-                jnp.int32(bundle.dense.n), kb)
+            if views is not None:
+                from legalrag_tpu.parallel.sharded_search import (
+                    sharded_channels_topk,
+                )
+
+                out = sharded_channels_topk(
+                    bundle.mesh, kb, views["emb"], views["impact"],
+                    views.get("tok") if use_late else None,
+                    views.get("mask") if use_late else None,
+                    qvec, (jnp.asarray(ids), jnp.asarray(mask)),
+                    q_tok, q_mask, jnp.int32(bundle.dense.n))
+            else:
+                out = fused_channels_topk(
+                    bundle.dense.emb, bundle.bm25.impact,
+                    bundle.tokens.tok if use_late else None,
+                    bundle.tokens.mask if use_late else None,
+                    qvec, (jnp.asarray(ids), jnp.asarray(mask)), q_tok, q_mask,
+                    jnp.int32(bundle.dense.n), kb)
         qvec_out = out.pop("qvec")
         res = {name: (np.asarray(s)[:, :eff_k], np.asarray(i)[:, :eff_k])
                for name, (s, i) in out.items()}

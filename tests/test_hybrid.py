@@ -162,3 +162,58 @@ def test_one_shot_channels_match_per_channel(hybrid):
     assert (one["bm25"][1][0] == br[0]).all()
     np.testing.assert_allclose(one["colbert"][0][0], ls[0], rtol=1e-3, atol=1e-3)
     assert (one["colbert"][1][0] == lr[0]).all()
+
+
+@pytest.fixture(scope="module")
+def bert_hybrid(en_chunks, tmp_path_factory):
+    """Bundle over a tiny random-init BERT checkpoint — the bert backend must
+    take the SAME one-shot fused path as the hash backend (VERDICT r1 #4)."""
+    torch = pytest.importorskip("torch")
+    from transformers import BertConfig, BertModel, BertTokenizerFast
+
+    ckpt = tmp_path_factory.mktemp("tiny_bert")
+    torch.manual_seed(0)
+    BertModel(BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                         num_attention_heads=2, intermediate_size=64,
+                         max_position_embeddings=64)).save_pretrained(ckpt)
+    vocab = ckpt / "vocab.txt"
+    vocab.write_text("\n".join(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "the", "seller",
+         "buyer", "goods", "security", "interest", "of", "a", "delivery"]))
+    BertTokenizerFast(vocab_file=str(vocab)).save_pretrained(ckpt)
+
+    from legalrag_tpu.models.bert import FlaxBertEncoder
+
+    cfg = AppConfig()
+    cfg.engine.capacity_round = 256
+    cfg.engine.late_doc_maxlen = 32
+    cfg.engine.late_dim = 16
+    cfg.engine.max_query_tokens = 24
+    enc = FlaxBertEncoder.from_pretrained(
+        str(ckpt), instruction="Represent this question: ",
+        max_length=48, token_dim=16)
+    bundle = IndexBundle.build_from_chunks(en_chunks[:80], cfg, "en",
+                                           encoder=enc)
+    return HybridRetriever(bundle, cfg)
+
+
+def test_bert_backend_takes_one_shot_path(bert_hybrid):
+    q = "security interest attaches when value is given"
+    one = bert_hybrid._channels_topk_all(q, 16)
+    assert one is not None, "bert backend must not fall back to per-channel"
+    assert set(one) == {"dense", "bm25", "colbert", "qvec"}
+    ds, dr = bert_hybrid.dense.search_rows([q], 16)
+    bs, br = bert_hybrid.bm25.search_rows([q], 16)
+    ls, lr = bert_hybrid.late.search_rows([q], 16)
+    np.testing.assert_allclose(one["dense"][0][0], ds[0], rtol=1e-4, atol=1e-4)
+    assert (one["dense"][1][0] == dr[0]).all()
+    np.testing.assert_allclose(one["bm25"][0][0], bs[0], rtol=1e-4, atol=1e-4)
+    assert (one["bm25"][1][0] == br[0]).all()
+    np.testing.assert_allclose(one["colbert"][0][0], ls[0], rtol=1e-3,
+                               atol=1e-3)
+    assert (one["colbert"][1][0] == lr[0]).all()
+
+
+def test_bert_backend_full_search(bert_hybrid):
+    hits = bert_hybrid.search("the seller must deliver the goods", top_k=5)
+    assert hits and hits[0].score_breakdown.get("per_channel")
