@@ -60,3 +60,48 @@ def test_sentence_split():
     assert sentence_split("甲。乙！丙？") == ["甲。", "乙！", "丙？"]
     assert sentence_split("One. Two! ") == ["One.", "Two!"]
     assert sentence_split("") == []
+
+
+def test_sse_event_stream_ordering_golden():
+    """Golden, JS-free ordering contract for the SSE protocol the UI
+    consumes (VERDICT r1 #5): for a fixed payload in fixed 7-char chunks,
+    the exact event-kind sequence is stable — structure events fire as soon
+    as (and only after) the token completing them, indices are monotonic."""
+    from legalrag_tpu.api.answer_scanner import StructuredAnswerScanner
+
+    payload = ('{"sections": [{"title": "结论", "items": ["可以解除。"]}, '
+               '{"title": "分析", "items": ["理由一。理由二。"]}]}')
+    sc = StructuredAnswerScanner()
+    seq, events = [], []
+    for i in range(0, len(payload), 7):
+        seq.append("token")
+        for ev, p in sc.feed(payload[i:i + 7]):
+            seq.append(ev)
+            events.append((ev, p))
+
+    assert seq == [
+        "token", "token", "token", "token", "token", "token", "token",
+        "section", "item", "sentence",
+        "token", "token", "token", "token", "token", "token",
+        "section", "item", "sentence", "sentence",
+    ]
+    # index monotonicity invariants
+    sections = [p["index"] for ev, p in events if ev == "section"]
+    assert sections == sorted(sections) == [0, 1]
+    for s_idx in (0, 1):
+        items = [p["item_index"] for ev, p in events
+                 if ev == "item" and p["section_index"] == s_idx]
+        assert items == sorted(items)
+        for i_idx in set(items):
+            js = [p["sentence_index"] for ev, p in events
+                  if ev == "sentence" and p["section_index"] == s_idx
+                  and p["item_index"] == i_idx]
+            assert js == sorted(js) == list(range(len(js)))
+    # payload contracts the UI relies on
+    assert all(set(p) == {"index", "section"}
+               for ev, p in events if ev == "section")
+    assert all(set(p) == {"section_index", "item_index", "item"}
+               for ev, p in events if ev == "item")
+    assert all(set(p) == {"section_index", "item_index", "sentence_index",
+                          "sentence"}
+               for ev, p in events if ev == "sentence")
