@@ -70,6 +70,10 @@ class EngineConfig(BaseModel):
     # late interaction
     late_doc_maxlen: int = 220  # token budget per doc (reference config.py:108)
     late_dim: int = 128
+    # token-store storage: "" = engine dtype; "int8" halves HBM; "nbit4" is
+    # the PLAID-class residual compression (~4x vs bf16, reference
+    # colbert_builder.py:119-134 nbits=4)
+    token_dtype: str = ""
     late_candidates: int = 128  # dense-prefiltered candidate count for MaxSim
     # query batching for the serving engine
     max_query_batch: int = 64

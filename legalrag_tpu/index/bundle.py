@@ -43,6 +43,20 @@ log = get_logger("index.bundle")
 SCHEMA_VERSION = 1
 
 
+def _make_token_index(token_dim: int, e, device):
+    """Token store per ``engine.token_dtype``: bf16/int8 TokenIndex or the
+    PLAID-class nbit4 residual store."""
+    td = e.token_dtype or e.dtype
+    if td == "nbit4":
+        from legalrag_tpu.index.token_index import Residual4TokenIndex
+
+        return Residual4TokenIndex(token_dim, e.late_doc_maxlen,
+                                   capacity_round=e.capacity_round,
+                                   device=device)
+    return TokenIndex(token_dim, e.late_doc_maxlen, td, e.capacity_round,
+                      device)
+
+
 class IndexBundle:
     def __init__(self, lang: str, cfg: AppConfig, device=None):
         self.lang = lang
@@ -54,8 +68,7 @@ class IndexBundle:
         self.encoder: HashEncoder | object = None  # set in build/load
         self.dense = DenseIndex(r.embedding_dim, e.dtype, e.capacity_round, device)
         self.bm25 = BM25Index(lang, r.bm25_k1, r.bm25_b, r.bm25_epsilon, device)
-        self.tokens = TokenIndex(e.late_dim, e.late_doc_maxlen, e.dtype,
-                                 e.capacity_round, device)
+        self.tokens = _make_token_index(e.late_dim, e, device)
         self.generation = 0
         # multi-chip serving: set via enable_sharding(); shard_views() then
         # serves doc-axis-sharded copies of the index arrays
@@ -78,8 +91,7 @@ class IndexBundle:
             b.dense = DenseIndex(b.encoder.dim, e.dtype, e.capacity_round,
                                  device)
         if getattr(b.encoder, "token_dim", b.tokens.token_dim) != b.tokens.token_dim:
-            b.tokens = TokenIndex(b.encoder.token_dim, e.late_doc_maxlen,
-                                  e.dtype, e.capacity_round, device)
+            b.tokens = _make_token_index(b.encoder.token_dim, e, device)
         texts = [c.text for c in chunks]
         if hasattr(b.encoder, "fit_idf"):
             b.encoder.fit_idf(texts)
@@ -173,11 +185,19 @@ class IndexBundle:
         }
         if (self.cfg.retrieval.enable_colbert and self.tokens.n
                 and self.tokens.n == self.dense.n):
+            if hasattr(self.tokens, "dequantized"):
+                # compressed (nbit4) stores shard as reconstructed values;
+                # per-shard HBM is 1/S of the corpus so the blowup is bounded
+                tok_arr, mask_arr = self.tokens.dequantized()
+                tok_arr = jnp.asarray(tok_arr, jnp.dtype(self.cfg.engine.dtype))
+                mask_arr = jnp.asarray(mask_arr)
+            else:
+                tok_arr, mask_arr = self.tokens.tok, self.tokens.mask
             views["tok"] = jax.device_put(
-                pad_rows(self.tokens.tok, cap),
+                pad_rows(tok_arr, cap),
                 NamedSharding(self.mesh, P(MODEL_AXIS, None, None)))
             views["mask"] = jax.device_put(
-                pad_rows(self.tokens.mask, cap),
+                pad_rows(mask_arr, cap),
                 NamedSharding(self.mesh, P(MODEL_AXIS, None)))
         self._shard_views = (key, views)
         log.info("[%s] sharded index views over %d devices (cap=%d)",

@@ -69,7 +69,12 @@ def _extract_pdf(path: Path, *, enable_ocr: bool) -> str:
                 words = page.extract_words() or []
             except Exception:
                 words = []
-            layout_pages.append(_lines_from_words(words))
+            lines = _lines_from_words(words)
+            if not lines and text.strip():
+                # no word boxes (OCR'd / image page): keep the raw lines so
+                # the layout path never silently drops recovered content
+                lines = [l for l in text.splitlines() if l.strip()]
+            layout_pages.append(lines)
     raw = "\n".join(pages)
     layout = _layout_text(layout_pages)
     if layout and len(layout) >= 0.6 * len(raw):

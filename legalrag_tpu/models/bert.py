@@ -206,6 +206,22 @@ class FlaxBertEncoder:
         self.token_proj = token_proj  # optional ColBERT linear head
         self._fwd = jax.jit(lambda p, ids, mask: bert_forward(p, cfg, ids, mask))
 
+        def bundle_fwd(p, proj, ids_q, mask_q, ids_t, mask_t):
+            # two forwards in ONE program: CLS query embedding (instructed
+            # input) + per-token late-interaction embeddings (bare input).
+            # Identical math to the separate calls; remote backends save a
+            # per-execution round trip.
+            cls = bert_forward(p, cfg, ids_q, mask_q)[:, 0]
+            cls = cls / jnp.maximum(
+                jnp.linalg.norm(cls, axis=-1, keepdims=True), 1e-9)
+            h = bert_forward(p, cfg, ids_t, mask_t)
+            h = _linear(h, proj) if proj is not None else h[..., : self.token_dim]
+            h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True),
+                                1e-9)
+            return cls, h
+
+        self._bundle_fwd = jax.jit(bundle_fwd)
+
     @classmethod
     def from_pretrained(cls, name_or_path: str, instruction: str = "",
                         device=None, **kw) -> "FlaxBertEncoder":
@@ -244,6 +260,20 @@ class FlaxBertEncoder:
         if self.instruction:
             texts = [self.instruction + t for t in texts]
         return self._encode(texts)
+
+    def encode_query_bundle(self, texts: List[str], token_maxlen: int
+                            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(query embeddings, query token embeddings, token mask) from ONE
+        device execution — the serving fast path's encoder call."""
+        q_texts = ([self.instruction + t for t in texts]
+                   if self.instruction else texts)
+        ids_q, mask_q = self._tokenize(q_texts, self.max_length)
+        ids_t, mask_t = self._tokenize(texts, token_maxlen)
+        with on_device(self.device):
+            cls, tok = self._bundle_fwd(self.params, self.token_proj,
+                                        ids_q, mask_q, ids_t, mask_t)
+        return (np.asarray(cls, np.float32), np.asarray(tok, np.float32),
+                np.asarray(mask_t).astype(bool))
 
     def encode_tokens(self, texts: List[str], maxlen: int
                       ) -> Tuple[np.ndarray, np.ndarray]:

@@ -24,7 +24,7 @@ from typing import Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from legalrag_tpu.ops.maxsim import maxsim_full
+from legalrag_tpu.ops.maxsim import doc_len as _doc_len, maxsim_full
 from legalrag_tpu.ops.topk import NEG_INF
 
 
@@ -150,7 +150,7 @@ def fused_hybrid_topk(emb: jax.Array, impact: jax.Array,
     elif doc_tok is not None:
         # cap the [B, tile, Lq, L] similarity intermediate at ~256 MB f32
         b, lq = q_tok.shape[0], q_tok.shape[1]
-        l_doc = doc_tok.shape[1]
+        l_doc = _doc_len(doc_tok)
         budget = (256 << 20) // 4
         tile = max(32, min(256, budget // max(b * lq * l_doc, 1)))
         while n % tile:
@@ -251,7 +251,7 @@ def fused_channels_topk(emb: jax.Array, impact: jax.Array,
     if doc_tok is not None:
         b, lq = q_tok.shape[0], q_tok.shape[1]
         budget = (256 << 20) // 4
-        tile = max(32, min(256, budget // max(b * lq * doc_tok.shape[1], 1)))
+        tile = max(32, min(256, budget // max(b * lq * _doc_len(doc_tok), 1)))
         while n % tile:
             tile //= 2
         late_s = mask_invalid(maxsim_full(doc_tok, doc_mask, q_tok, q_mask,

@@ -16,7 +16,7 @@ Two modes (SURVEY.md §7.2 step 7):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,10 +25,58 @@ import jax.numpy as jnp
 INT8_SCALE = 127.0
 
 
-def _dequant(x: jax.Array) -> jax.Array:
-    """int8 token stores hold round(v·127) of unit-norm vectors; dequantize
-    on the fly inside the einsum producer (int8 halves HBM vs bf16 —
-    SURVEY.md §7.4.5)."""
+class Residual4Store(NamedTuple):
+    """PLAID-class nbits=4 residual-compressed token store (reference
+    ``colbert_builder.py:119-134`` builds the torch equivalent).
+
+    Token ≈ centroids[codes_c] + unpack4(packed) · (scales / 7).
+    Memory per token: 1 + dt/2 bytes vs 2·dt (bf16) — ~4× compression.
+    ``packed`` holds two signed 4-bit residual codes per byte
+    (dim 2k → high nibble, 2k+1 → low nibble, biased by +8)."""
+
+    codes_c: jax.Array    # [N, L] uint8 centroid ids (K ≤ 256)
+    packed: jax.Array     # [N, L, dt//2] uint8 packed residual nibbles
+    centroids: jax.Array  # [K, dt] f32
+    scales: jax.Array     # [dt] f32 per-dim residual scale
+
+
+def n_docs(store) -> int:
+    return store.codes_c.shape[0] if isinstance(store, Residual4Store) \
+        else store.shape[0]
+
+
+def doc_len(store) -> int:
+    return store.codes_c.shape[1] if isinstance(store, Residual4Store) \
+        else store.shape[1]
+
+
+def _gather_docs(store, rows):
+    if isinstance(store, Residual4Store):
+        return Residual4Store(store.codes_c[rows], store.packed[rows],
+                              store.centroids, store.scales)
+    return store[rows]
+
+
+def _slice_docs(store, start, size):
+    if isinstance(store, Residual4Store):
+        return Residual4Store(
+            jax.lax.dynamic_slice_in_dim(store.codes_c, start, size, 0),
+            jax.lax.dynamic_slice_in_dim(store.packed, start, size, 0),
+            store.centroids, store.scales)
+    return jax.lax.dynamic_slice_in_dim(store, start, size, 0)
+
+
+def _dequant(x) -> jax.Array:
+    """Dequantize a token tile on the fly inside the einsum producer:
+    int8 stores hold round(v·127) of unit-norm vectors; Residual4Store
+    reconstructs centroid + 4-bit residual (SURVEY.md §7.4.5)."""
+    if isinstance(x, Residual4Store):
+        hi = jnp.right_shift(x.packed, 4).astype(jnp.int32) - 8
+        lo = (x.packed & 0xF).astype(jnp.int32) - 8
+        codes = jnp.stack([hi, lo], axis=-1).reshape(
+            x.packed.shape[:-1] + (2 * x.packed.shape[-1],))
+        res = codes.astype(jnp.float32) * (x.scales / 7.0)
+        return jnp.take(x.centroids, x.codes_c.astype(jnp.int32), axis=0) + res
     if x.dtype == jnp.int8:
         return x.astype(jnp.float32) * (1.0 / INT8_SCALE)
     return x
@@ -45,8 +93,8 @@ def maxsim_candidates(doc_tok: jax.Array, doc_mask: jax.Array,
     """
 
     def per_query(qt, qm, cd):
-        dt = _dequant(doc_tok[cd])  # [C, L, d]
-        dm = doc_mask[cd]           # [C, L]
+        dt = _dequant(_gather_docs(doc_tok, cd))  # [C, L, d]
+        dm = doc_mask[cd]                         # [C, L]
         sim = jnp.einsum("qd,cld->cql", qt, dt,
                          preferred_element_type=jnp.float32)
         sim = jnp.where(dm[:, None, :], sim, -jnp.inf)
@@ -63,13 +111,12 @@ def maxsim_full(doc_tok: jax.Array, doc_mask: jax.Array,
                 q_tok: jax.Array, q_mask: jax.Array,
                 tile_n: int = 256) -> jax.Array:
     """Exact full-corpus MaxSim → [B, N] f32, tiled over the doc axis."""
-    n = doc_tok.shape[0]
+    n = n_docs(doc_tok)
     assert n % tile_n == 0, "pad N to tile_n"
     num_tiles = n // tile_n
 
     def tile_body(i, acc):
-        dt = _dequant(jax.lax.dynamic_slice_in_dim(doc_tok, i * tile_n,
-                                                   tile_n, 0))
+        dt = _dequant(_slice_docs(doc_tok, i * tile_n, tile_n))
         dm = jax.lax.dynamic_slice_in_dim(doc_mask, i * tile_n, tile_n, 0)
         sim = jnp.einsum("bqd,cld->bcql", q_tok, dt,
                          preferred_element_type=jnp.float32)

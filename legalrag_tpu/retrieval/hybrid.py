@@ -86,14 +86,21 @@ class HybridRetriever:
         maxlen = self.cfg.engine.max_query_tokens
         views = bundle.shard_views()
         with on_device(bundle.device):
+            q_tok = q_mask = None
             if hasattr(enc, "_sketch"):
                 qvec = (jnp.asarray(enc._sketch(qs)), enc._projection())
+                if use_late:
+                    qt, qm = enc.encode_tokens(qs, maxlen)
+            elif use_late and hasattr(enc, "encode_query_bundle"):
+                # one encoder execution for BOTH query views (bert backend)
+                qv, qt, qm = enc.encode_query_bundle(qs, maxlen)
+                qvec = jnp.asarray(qv)
             else:
                 qvec = jnp.asarray(enc.encode_queries(qs))
+                if use_late:
+                    qt, qm = enc.encode_tokens(qs, maxlen)
             ids, mask = bundle.bm25.query_term_ids(qs, maxlen)
-            q_tok = q_mask = None
             if use_late:
-                qt, qm = enc.encode_tokens(qs, maxlen)
                 q_tok = jnp.asarray(qt, bundle.tokens._query_dtype)
                 q_mask = jnp.asarray(qm)
             if views is not None:

@@ -1,0 +1,143 @@
+"""Pallas-vs-XLA kernel quantification (VERDICT r1 #9).
+
+Measures, on the current accelerator, the two ops that carry first-party
+Pallas kernels against their XLA formulations at production scales:
+
+- dense top-k (``ops.topk``: fused score+topk Pallas kernel vs XLA
+  matmul + lax.top_k)
+- MaxSim (``ops.maxsim_pallas2`` formulation-2 kernel vs
+  ``ops.maxsim.maxsim_full`` XLA tiling)
+
+Output: one JSON line per (op, n_docs, backend) on stdout — the evidence
+behind the production kernel-routing decision recorded in EVAL.md and the
+``ops.topk.default_backend`` comment.
+
+Usage: python -m scripts.bench_kernels [--sizes 65536,262144] [--iters 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timeit(fn, ready, iters):
+    fn_out = fn()
+    ready(fn_out)
+    for _ in range(3):
+        fn_out = fn()
+    ready(fn_out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fn_out = fn()
+    ready(fn_out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="65536,262144")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--dim", type=int, default=768)
+    ap.add_argument("--doc-len", type=int, default=64)
+    ap.add_argument("--token-dim", type=int, default=128)
+    ap.add_argument("--k", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from legalrag_tpu.utils.compile_cache import enable_compilation_cache
+    from legalrag_tpu.utils.device import apply_force_cpu
+
+    apply_force_cpu()
+    enable_compilation_cache()
+    from legalrag_tpu.ops.maxsim import maxsim_full
+    from legalrag_tpu.ops.topk import dense_topk
+
+    backend = jax.default_backend()
+    log(f"backend: {backend}")
+    rng = np.random.default_rng(0)
+    results = []
+
+    for n in [int(s) for s in args.sizes.split(",")]:
+        emb = rng.standard_normal((n, args.dim)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = jnp.asarray(emb, jnp.bfloat16)
+        q = jnp.asarray(rng.standard_normal(
+            (args.batch, args.dim)).astype(np.float32))
+        valid = jnp.int32(n - 7)
+
+        for kb in ("xla", "pallas"):
+            try:
+                dt = timeit(
+                    lambda: dense_topk(emb, q, valid, args.k, backend=kb),
+                    lambda o: jax.block_until_ready(o), args.iters)
+                row = {"op": "dense_topk", "n_docs": n, "backend": kb,
+                       "ms_per_batch": round(dt * 1e3, 3),
+                       "batch": args.batch}
+            except Exception as e:
+                row = {"op": "dense_topk", "n_docs": n, "backend": kb,
+                       "error": str(e)[:200]}
+            results.append(row)
+            log(row)
+
+        # MaxSim over an int8 token store (the production large-N config)
+        tok = jnp.asarray(rng.integers(-127, 128, (n, args.doc_len,
+                                                   args.token_dim),
+                                       dtype=np.int64).astype(np.int8))
+        mask = jnp.ones((n, args.doc_len), bool)
+        q_tok = rng.standard_normal((args.batch, 16, args.token_dim)
+                                    ).astype(np.float32)
+        q_tok /= np.linalg.norm(q_tok, axis=-1, keepdims=True)
+        q_tok = jnp.asarray(q_tok)
+        q_mask = jnp.ones((args.batch, 16), bool)
+
+        try:
+            dt = timeit(lambda: maxsim_full(tok, mask, q_tok, q_mask,
+                                            tile_n=256),
+                        lambda o: jax.block_until_ready(o), args.iters)
+            row = {"op": "maxsim_full", "n_docs": n, "backend": "xla",
+                   "ms_per_batch": round(dt * 1e3, 3), "batch": args.batch}
+        except Exception as e:
+            row = {"op": "maxsim_full", "n_docs": n, "backend": "xla",
+                   "error": str(e)[:200]}
+        results.append(row)
+        log(row)
+
+        try:
+            from legalrag_tpu.ops.maxsim_pallas2 import maxsim_scores_pallas2
+
+            # kernel consumes float tiles; feed the dequantized store view
+            tok_f = (tok.astype(jnp.float32) / 127.0).astype(jnp.bfloat16)
+            dt = timeit(lambda: maxsim_scores_pallas2(tok_f, mask, q_tok,
+                                                      q_mask),
+                        lambda o: jax.block_until_ready(o), args.iters)
+            row = {"op": "maxsim_full", "n_docs": n, "backend": "pallas2",
+                   "ms_per_batch": round(dt * 1e3, 3), "batch": args.batch}
+        except Exception as e:
+            row = {"op": "maxsim_full", "n_docs": n, "backend": "pallas2",
+                   "error": str(e)[:200]}
+        results.append(row)
+        log(row)
+        del tok, emb
+
+    for row in results:
+        print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

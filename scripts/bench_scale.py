@@ -28,6 +28,14 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--candidates", type=int, default=128)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--token-dtype", choices=("int8", "nbit4", "bfloat16"),
+                    default="int8",
+                    help="token-store storage (nbit4 = PLAID-class "
+                    "residual compression)")
+    ap.add_argument("--recall-queries", type=int, default=0,
+                    help="also measure late-channel self-retrieval "
+                    "Recall@10 with this many noisy queries (quantifies "
+                    "the compression recall cost at scale)")
     args = ap.parse_args()
 
     import jax
@@ -35,7 +43,9 @@ def main() -> None:
 
     from legalrag_tpu.ops.fused_query import FusedParams, fused_hybrid_topk
     from legalrag_tpu.utils.compile_cache import enable_compilation_cache
+    from legalrag_tpu.utils.device import apply_force_cpu
 
+    apply_force_cpu()
     enable_compilation_cache()
     n, v, d = args.n_docs, args.vocab, args.dim
     rng = np.random.default_rng(0)
@@ -47,10 +57,35 @@ def main() -> None:
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
     emb = jnp.asarray(emb).astype(jnp.bfloat16)
 
-    tok = rng.integers(-127, 128, (n, args.doc_len, args.token_dim),
-                       dtype=np.int64).astype(np.int8)
-    doc_tok = jnp.asarray(tok)
-    doc_mask = jnp.ones((n, args.doc_len), bool)
+    # cluster-structured unit token vectors (quantization behaves like real
+    # embeddings; iid noise would understate compression error)
+    centers = rng.standard_normal((1024, args.token_dim)).astype(np.float32)
+    assign = rng.integers(0, 1024, n * args.doc_len)
+    tok_f = centers[assign] + 0.35 * rng.standard_normal(
+        (n * args.doc_len, args.token_dim)).astype(np.float32)
+    tok_f /= np.linalg.norm(tok_f, axis=1, keepdims=True)
+    tok_f = tok_f.reshape(n, args.doc_len, args.token_dim)
+    mask_np = np.ones((n, args.doc_len), bool)
+    store_bytes = 0
+    if args.token_dtype == "nbit4":
+        from legalrag_tpu.index.token_index import Residual4TokenIndex
+
+        t0 = time.perf_counter()
+        idx = Residual4TokenIndex(args.token_dim, args.doc_len,
+                                  capacity_round=n)
+        idx.add(tok_f, mask_np)
+        print(f"nbit4 encode: {time.perf_counter() - t0:.1f}s "
+              f"({idx.nbytes / 1e9:.2f} GB)", file=sys.stderr, flush=True)
+        doc_tok = idx.tok
+        store_bytes = idx.nbytes
+    elif args.token_dtype == "int8":
+        doc_tok = jnp.asarray(np.clip(np.round(tok_f * 127), -127,
+                                      127).astype(np.int8))
+        store_bytes = doc_tok.nbytes
+    else:
+        doc_tok = jnp.asarray(tok_f, jnp.bfloat16)
+        store_bytes = doc_tok.nbytes
+    doc_mask = jnp.asarray(mask_np)
 
     # Zipf-ish postings: term t appears in ~n/(t+10) docs, capped
     sizes = np.minimum((n // (np.arange(v) + 10)).astype(np.int64), 2048)
@@ -98,9 +133,39 @@ def main() -> None:
     jax.block_until_ready(out["rows"])
     dt = (time.perf_counter() - t0) / args.iters
     print(f"{n} docs: {dt * 1e3:.2f} ms/batch{b} -> {b / dt:.0f} q/s "
-          f"(device-side hybrid)", file=sys.stderr, flush=True)
+          f"(device-side hybrid, tokens={args.token_dtype})",
+          file=sys.stderr, flush=True)
+
+    recall = None
+    if args.recall_queries:
+        # late-channel self-retrieval: queries are noisy copies of gold-doc
+        # tokens; Recall@10 quantifies the compression recall cost
+        from legalrag_tpu.ops.maxsim import maxsim_topk
+
+        g = args.recall_queries
+        gold = rng.choice(n, g, replace=False)
+        qs = tok_f[gold, :16] + 0.15 * rng.standard_normal(
+            (g, 16, args.token_dim)).astype(np.float32)
+        qs /= np.linalg.norm(qs, axis=-1, keepdims=True)
+        hits = 0
+        for s in range(0, g, b):
+            qb = jnp.asarray(qs[s:s + b])
+            qm = jnp.ones(qb.shape[:2], bool)
+            _, rows = maxsim_topk(doc_tok, doc_mask, qb, qm, n, 16)
+            rows = np.asarray(rows)[:, :10]
+            hits += sum(int(gd in r) for gd, r in
+                        zip(gold[s:s + b].tolist(), rows.tolist()))
+        recall = hits / g
+        print(f"late-channel self-retrieval Recall@10 "
+              f"({args.token_dtype}): {recall:.4f}", file=sys.stderr,
+              flush=True)
+
+    extra = (f', "late_recall@10": {recall:.4f}' if recall is not None
+             else "")
     print(f'{{"metric": "scale_hybrid_qps", "n_docs": {n}, '
-          f'"value": {b / dt:.1f}, "unit": "queries/s"}}')
+          f'"value": {b / dt:.1f}, "unit": "queries/s", '
+          f'"token_dtype": "{args.token_dtype}", '
+          f'"token_store_gb": {store_bytes / 1e9:.3f}{extra}}}')
 
 
 if __name__ == "__main__":
