@@ -163,6 +163,9 @@ class LLMConfig(BaseModel):
     request_timeout: float = 30.0
     max_retries: int = 2
     retry_backoff: float = 0.6
+    # local-jax: tokens decoded per device execution (lax.scan chunk) —
+    # each execution costs a host round trip on remote backends
+    decode_chunk: int = 8
 
 
 class RoutingConfig(BaseModel):

@@ -238,7 +238,13 @@ class LLMClient:
             try:
                 from legalrag_tpu.models.decoder import JaxDecoderLM
 
-                self._local = JaxDecoderLM.from_pretrained(self.cfg.model)
+                # cache sized so a full-context prompt can still generate
+                # max_new_tokens (generation clamps at capacity otherwise)
+                self._local = JaxDecoderLM.from_pretrained(
+                    self.cfg.model,
+                    max_len=self.cfg.max_context_tokens
+                    + self.cfg.max_new_tokens,
+                    decode_chunk=getattr(self.cfg, "decode_chunk", 8))
             except Exception as e:
                 raise LLMUnavailable(f"jax decoder load failed: {e}") from e
         return self._local

@@ -186,6 +186,25 @@ def resolve_model_dir(name_or_path: str) -> Path:
         f"model '{name_or_path}' not found locally (zero-egress image?)")
 
 
+def bert_query_views(params, cfg: BertConfig, proj, token_dim: int,
+                     ids_q, mask_q, ids_t=None, mask_t=None):
+    """Traceable: both query views from the same weights — CLS query
+    embedding (instructed input) and, when ``ids_t`` is given, per-token
+    late-interaction embeddings (bare input), both L2-normalized. Used by
+    the one-execution serving programs (encoder fused INTO the search
+    program) and by ``FlaxBertEncoder._bundle_fwd``; identical math to the
+    separate ``encode_queries``/``encode_tokens`` calls (tested)."""
+    cls = bert_forward(params, cfg, ids_q, mask_q)[:, 0]
+    cls = cls / jnp.maximum(jnp.linalg.norm(cls, axis=-1, keepdims=True),
+                            1e-9)
+    if ids_t is None:
+        return cls, None
+    h = bert_forward(params, cfg, ids_t, mask_t)
+    h = _linear(h, proj) if proj is not None else h[..., :token_dim]
+    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-9)
+    return cls, h
+
+
 # ---------------------------------------------------------------------------
 # public encoders
 
@@ -206,21 +225,9 @@ class FlaxBertEncoder:
         self.token_proj = token_proj  # optional ColBERT linear head
         self._fwd = jax.jit(lambda p, ids, mask: bert_forward(p, cfg, ids, mask))
 
-        def bundle_fwd(p, proj, ids_q, mask_q, ids_t, mask_t):
-            # two forwards in ONE program: CLS query embedding (instructed
-            # input) + per-token late-interaction embeddings (bare input).
-            # Identical math to the separate calls; remote backends save a
-            # per-execution round trip.
-            cls = bert_forward(p, cfg, ids_q, mask_q)[:, 0]
-            cls = cls / jnp.maximum(
-                jnp.linalg.norm(cls, axis=-1, keepdims=True), 1e-9)
-            h = bert_forward(p, cfg, ids_t, mask_t)
-            h = _linear(h, proj) if proj is not None else h[..., : self.token_dim]
-            h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True),
-                                1e-9)
-            return cls, h
-
-        self._bundle_fwd = jax.jit(bundle_fwd)
+        self._bundle_fwd = jax.jit(
+            lambda p, proj, ids_q, mask_q, ids_t, mask_t: bert_query_views(
+                p, cfg, proj, self.token_dim, ids_q, mask_q, ids_t, mask_t))
 
     @classmethod
     def from_pretrained(cls, name_or_path: str, instruction: str = "",

@@ -209,13 +209,21 @@ class JaxDecoderLM:
     """Greedy / sampled generation with a jitted KV-cache decode step."""
 
     def __init__(self, params: Dict, cfg: DecoderConfig, tokenizer=None,
-                 device=None, max_len: int = 4096):
+                 device=None, max_len: int = 4096, decode_chunk: int = 8):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.device = device
         self.max_len = max_len
+        # tokens generated per device execution: each execution costs a
+        # host round trip (~200 ms on remote-relay backends), so decoding
+        # runs a lax.scan of `decode_chunk` steps per launch and streams
+        # chunk-by-chunk (1 = per-token, the reference-style loop)
+        self.decode_chunk = max(1, decode_chunk)
         self._decode_step = jax.jit(self._step)
+        self._decode_chunk_fn = jax.jit(self._chunk,
+                                        static_argnames=("n_steps",
+                                                         "greedy"))
 
     @classmethod
     def from_pretrained(cls, name_or_path: str, device=None, **kw
@@ -251,6 +259,31 @@ class JaxDecoderLM:
                                         kv_cache=cache, cache_len=pos)
         return logits[:, -1], cache
 
+    def _chunk(self, params, last, pos0, cache, key, temperature, top_p,
+               n_steps: int, greedy: bool):
+        """``n_steps`` sample+decode steps in ONE program (lax.scan):
+        returns (tokens [n_steps, B], last logits, cache, key). Token
+        semantics match the per-token loop exactly for greedy decoding and
+        for sampling given the same key sequence."""
+
+        def step(carry, _):
+            last, pos, cache, key = carry
+            if greedy:
+                tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
+            else:
+                key, sub = jax.random.split(key)
+                tok = _sample_top_p(last / temperature, top_p, sub)
+            positions = jnp.full((tok.shape[0], 1), pos, jnp.int32)
+            logits, cache = decoder_forward(params, self.cfg, tok[:, None],
+                                            positions, kv_cache=cache,
+                                            cache_len=pos)
+            return (logits[:, -1], pos + 1, cache, key), tok
+
+        (last, _, cache, key), toks = jax.lax.scan(
+            step, (last, jnp.asarray(pos0, jnp.int32), cache, key), None,
+            length=n_steps)
+        return toks, last, cache, key
+
     def generate_stream(self, prompt_ids: List[int], max_new_tokens: int = 256,
                         temperature: float = 0.0, top_p: float = 0.9,
                         eos_id: Optional[int] = None, seed: int = 0
@@ -280,19 +313,36 @@ class JaxDecoderLM:
                                             cache_len=jnp.int32(0))
             last = logits[:, -1]
             key = jax.random.PRNGKey(seed)
-            for i in range(max_new_tokens):
-                if temperature > 0:
-                    key, sub = jax.random.split(key)
-                    tok = _sample_top_p(last / temperature, top_p, sub)
-                else:
+            greedy = not temperature > 0
+            temp = jnp.float32(max(temperature, 1e-6))
+            tp = jnp.float32(top_p)
+            pos, produced = t, 0
+            # full chunks via ONE scan program per launch; the sub-chunk
+            # tail falls back to per-token steps so the program set stays
+            # {chunk, 1} regardless of max_new_tokens
+            while produced + self.decode_chunk <= max_new_tokens:
+                toks, last, cache, key = self._decode_chunk_fn(
+                    self.params, last, pos, cache, key, temp, tp,
+                    n_steps=self.decode_chunk, greedy=greedy)
+                pos += self.decode_chunk
+                produced += self.decode_chunk
+                for tok_host in np.asarray(toks)[:, 0].tolist():
+                    if eos_id is not None and tok_host == eos_id:
+                        return
+                    yield int(tok_host)
+            for i in range(max_new_tokens - produced):
+                if greedy:
                     tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
+                else:
+                    key, sub = jax.random.split(key)
+                    tok = _sample_top_p(last / temp, tp, sub)
                 tok_host = int(tok[0])
                 if eos_id is not None and tok_host == eos_id:
                     return
                 yield tok_host
-                if i + 1 < max_new_tokens:   # last step's logits are unused
+                if produced + i + 1 < max_new_tokens:  # final logits unused
                     last, cache = self._decode_step(
-                        self.params, tok[:, None], jnp.int32(t + i), cache)
+                        self.params, tok[:, None], jnp.int32(pos + i), cache)
 
 
 def _sample_top_p(logits: jax.Array, top_p: float, key) -> jax.Array:

@@ -34,6 +34,40 @@ class FusedQueryEngine:
     def __init__(self, bundle: IndexBundle, cfg: Optional[AppConfig] = None):
         self.bundle = bundle
         self.cfg = cfg or bundle.cfg
+        self._bert_e2e = None
+
+    def _bert_e2e_program(self):
+        """Encoder forward(s) fused INTO the hybrid program: a query batch
+        is ONE device execution end-to-end (bert backend)."""
+        if self._bert_e2e is not None:
+            return self._bert_e2e
+        import functools
+
+        import jax
+
+        from legalrag_tpu.models.bert import bert_query_views
+
+        enc = self.bundle.encoder
+        bcfg, token_dim = enc.cfg, enc.token_dim
+        q_dtype = self.bundle.tokens._query_dtype
+
+        @functools.partial(jax.jit, static_argnames=("fp", "use_late"))
+        def fn(params, proj, ids_q, mask_q, ids_t, mask_t, emb, impact,
+               doc_tok, doc_mask, term_ids, term_mask, valid_n, fp,
+               use_late):
+            qvec, q_tok = bert_query_views(
+                params, bcfg, proj, token_dim, ids_q, mask_q,
+                ids_t if use_late else None, mask_t if use_late else None)
+            if q_tok is not None:
+                q_tok = q_tok.astype(q_dtype)
+            return fused_hybrid_topk(
+                emb, impact, doc_tok if use_late else None,
+                doc_mask if use_late else None, qvec,
+                (term_ids, term_mask), q_tok,
+                mask_t.astype(bool) if use_late else None, valid_n, fp)
+
+        self._bert_e2e = fn
+        return fn
 
     def _params(self, top_k: int) -> FusedParams:
         r = self.cfg.retrieval
@@ -53,6 +87,23 @@ class FusedQueryEngine:
         bp = bucket_batch(b)
         qs = list(questions) + [""] * (bp - b)
         enc = self.bundle.encoder
+        use_late = (self.cfg.retrieval.enable_colbert
+                    and self.bundle.tokens.n == self.bundle.dense.n
+                    and self.bundle.tokens.n > 0)
+        maxq = self.cfg.engine.max_query_tokens
+        term_ids, term_mask = self.bundle.bm25.query_term_ids(qs, maxq)
+        if hasattr(enc, "_bundle_fwd") and hasattr(enc, "_tokenize"):
+            # bert backend: ship token ids; the e2e program runs the encoder
+            # forward(s) inside the search program — ONE execution per batch
+            q_texts = ([enc.instruction + t for t in qs]
+                       if enc.instruction else qs)
+            ids_q, mask_q = enc._tokenize(q_texts, enc.max_length)
+            ids_t, mask_t = enc._tokenize(qs, maxq)
+            with on_device(self.bundle.device):
+                inputs = ("bert", ids_q, mask_q, ids_t, mask_t,
+                          (jnp.asarray(term_ids), jnp.asarray(term_mask)),
+                          use_late)
+            return inputs, b, top_k
         with on_device(self.bundle.device):
             if hasattr(enc, "_sketch"):
                 # hash backend: ship the raw sketch; the fused program
@@ -60,31 +111,40 @@ class FusedQueryEngine:
                 qvec = (jnp.asarray(enc._sketch(qs)), enc._projection())
             else:
                 qvec = jnp.asarray(enc.encode_queries(qs))
-            term_ids, term_mask = self.bundle.bm25.query_term_ids(
-                qs, self.cfg.engine.max_query_tokens)
-            use_late = (self.cfg.retrieval.enable_colbert
-                        and self.bundle.tokens.n == self.bundle.dense.n
-                        and self.bundle.tokens.n > 0)
             q_tok = q_mask = None
             if use_late:
-                qt, qm = enc.encode_tokens(qs, self.cfg.engine.max_query_tokens)
+                qt, qm = enc.encode_tokens(qs, maxq)
                 q_tok = jnp.asarray(qt, self.bundle.tokens._query_dtype)
                 q_mask = jnp.asarray(qm)
-            inputs = (qvec, (jnp.asarray(term_ids), jnp.asarray(term_mask)),
+            inputs = ("plain", qvec,
+                      (jnp.asarray(term_ids), jnp.asarray(term_mask)),
                       q_tok, q_mask, use_late)
         return inputs, b, top_k
 
     def execute(self, prepared):
         """Launch the fused program on prepared inputs (async)."""
-        (qvec, qtf, q_tok, q_mask, use_late), b, top_k = prepared
+        inputs, b, top_k = prepared
         params = self._params(top_k)
-        with on_device(self.bundle.device):
-            out = fused_hybrid_topk(
-                self.bundle.dense.emb, self.bundle.bm25.impact,
-                self.bundle.tokens.tok if use_late else None,
-                self.bundle.tokens.mask if use_late else None,
-                qvec, qtf, q_tok, q_mask,
-                jnp.int32(self.bundle.dense.n), params)
+        bundle = self.bundle
+        with on_device(bundle.device):
+            if inputs[0] == "bert":
+                _, ids_q, mask_q, ids_t, mask_t, qtf, use_late = inputs
+                enc = bundle.encoder
+                out = self._bert_e2e_program()(
+                    enc.params, enc.token_proj, ids_q, mask_q, ids_t, mask_t,
+                    bundle.dense.emb, bundle.bm25.impact,
+                    bundle.tokens.tok if use_late else None,
+                    bundle.tokens.mask if use_late else None,
+                    qtf[0], qtf[1], jnp.int32(bundle.dense.n), params,
+                    use_late)
+            else:
+                _, qvec, qtf, q_tok, q_mask, use_late = inputs
+                out = fused_hybrid_topk(
+                    bundle.dense.emb, bundle.bm25.impact,
+                    bundle.tokens.tok if use_late else None,
+                    bundle.tokens.mask if use_late else None,
+                    qvec, qtf, q_tok, q_mask,
+                    jnp.int32(bundle.dense.n), params)
         return out, b, top_k
 
     def dispatch(self, questions: Sequence[str], top_k: int = 10):

@@ -51,6 +51,42 @@ class HybridRetriever:
         self.graph: Optional[GraphRetriever] = None
         if cfg.retrieval.enable_graph and graph_store is not None:
             self.graph = GraphRetriever(bundle, graph_store, cfg)
+        self._bert_e2e = None  # lazily-built encoder-fused one-shot program
+
+    def _bert_oneshot_program(self):
+        """ONE jitted program for the bert backend: encoder forward(s) fused
+        INTO the channels program — a query is a single device execution
+        (remote backends: one round trip instead of two)."""
+        if self._bert_e2e is not None:
+            return self._bert_e2e
+        import functools
+
+        import jax
+
+        from legalrag_tpu.models.bert import bert_query_views
+        from legalrag_tpu.ops.fused_query import fused_channels_topk
+
+        enc = self.bundle.encoder
+        bcfg, token_dim = enc.cfg, enc.token_dim
+        q_dtype = self.bundle.tokens._query_dtype  # match per-channel casts
+
+        @functools.partial(jax.jit, static_argnames=("eff_k", "use_late"))
+        def fn(params, proj, ids_q, mask_q, ids_t, mask_t, emb, impact,
+               doc_tok, doc_mask, term_ids, term_mask, valid_n, eff_k,
+               use_late):
+            qvec, q_tok = bert_query_views(
+                params, bcfg, proj, token_dim, ids_q, mask_q,
+                ids_t if use_late else None, mask_t if use_late else None)
+            if q_tok is not None:
+                q_tok = q_tok.astype(q_dtype)
+            return fused_channels_topk(
+                emb, impact, doc_tok if use_late else None,
+                doc_mask if use_late else None, qvec,
+                (term_ids, term_mask), q_tok,
+                mask_t.astype(bool) if use_late else None, valid_n, eff_k)
+
+        self._bert_e2e = fn
+        return fn
 
     def _channels_topk_all(self, question: str, eff_k: int):
         """All channels' top-eff_k from ONE device execution.
@@ -85,6 +121,27 @@ class HybridRetriever:
         qs = [question]
         maxlen = self.cfg.engine.max_query_tokens
         views = bundle.shard_views()
+        is_bert = hasattr(enc, "_bundle_fwd") and hasattr(enc, "_tokenize")
+        if views is None and is_bert:
+            # bert backend, unsharded: encoder + all channels in ONE program
+            ids, mask = bundle.bm25.query_term_ids(qs, maxlen)
+            q_texts = ([enc.instruction + t for t in qs]
+                       if enc.instruction else qs)
+            ids_q, mask_q = enc._tokenize(q_texts, enc.max_length)
+            ids_t, mask_t = enc._tokenize(qs, maxlen)
+            with on_device(bundle.device):
+                out = self._bert_oneshot_program()(
+                    enc.params, enc.token_proj, ids_q, mask_q, ids_t, mask_t,
+                    bundle.dense.emb, bundle.bm25.impact,
+                    bundle.tokens.tok if use_late else None,
+                    bundle.tokens.mask if use_late else None,
+                    jnp.asarray(ids), jnp.asarray(mask),
+                    jnp.int32(bundle.dense.n), kb, use_late)
+            qvec_out = out.pop("qvec")
+            res = {name: (np.asarray(s)[:, :eff_k], np.asarray(i)[:, :eff_k])
+                   for name, (s, i) in out.items()}
+            res["qvec"] = np.asarray(qvec_out)
+            return res
         with on_device(bundle.device):
             q_tok = q_mask = None
             if hasattr(enc, "_sketch"):

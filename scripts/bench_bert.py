@@ -126,22 +126,53 @@ def main() -> None:
             jnp.asarray(qt, dtype), jnp.asarray(qm),
             jnp.int32(n_docs), params)
 
+    # fully-fused: encoder forward(s) INSIDE the search program (the
+    # production serving path, engine._bert_e2e_program analogue)
+    import functools
+
+    from legalrag_tpu.models.bert import bert_query_views
+
+    @functools.partial(jax.jit, static_argnames=("fp",))
+    def e2e(p, proj, ids_q, mask_q, ids_t, mask_t, term_ids, term_mask, fp):
+        qv, qt = bert_query_views(p, enc.cfg, proj, enc.token_dim,
+                                  ids_q, mask_q, ids_t, mask_t)
+        return fused_hybrid_topk(emb_d, impact_d, doc_tok_d, doc_mask_d, qv,
+                                 (term_ids, term_mask), qt.astype(dtype),
+                                 mask_t.astype(bool), jnp.int32(n_docs), fp)
+
+    def run_batch_e2e(batch):
+        q_texts = [enc.instruction + t for t in batch]
+        ids_q, mask_q = enc._tokenize(q_texts, enc.max_length)
+        ids_t, mask_t = enc._tokenize(batch, cfg.engine.max_query_tokens)
+        term_ids = jnp.zeros((len(batch), 8), jnp.int32)
+        term_mask = jnp.ones((len(batch), 8), jnp.float32)
+        return e2e(enc.params, enc.token_proj, ids_q, mask_q, ids_t, mask_t,
+                   term_ids, term_mask, params)
+
     t0 = time.perf_counter()
     out = run_batch(batches[0])
-    jax.block_until_ready(out)
+    np.asarray(out["rows"])
+    out = run_batch_e2e(batches[0])
+    np.asarray(out["rows"])
     log(f"compile+warmup: {time.perf_counter() - t0:.1f}s "
         f"on {jax.default_backend()}")
 
-    def one_pass():
+    def one_pass(runner):
         t0 = time.perf_counter()
-        in_flight = [run_batch(b) for b in batches]
+        in_flight = [runner(b) for b in batches]
         np.asarray(jnp.stack([o["rows"] for o in in_flight]))
         return time.perf_counter() - t0
 
-    passes = [one_pass() for _ in range(3)]
-    dt = min(passes)
+    dt = min(one_pass(run_batch) for _ in range(3))
     qps = len(queries) / dt
-    log(f"bert backend: {len(queries)} queries in {dt:.2f}s (best of 3)")
+    log(f"bert backend (2-exec): {len(queries)} queries in {dt:.2f}s "
+        f"(best of 3) -> {qps:.1f} q/s")
+    dt_e2e = min(one_pass(run_batch_e2e) for _ in range(3))
+    qps = len(queries) / dt_e2e
+    log(f"bert backend (fused e2e, 1-exec): {len(queries)} queries in "
+        f"{dt_e2e:.2f}s (best of 3) -> {qps:.1f} q/s")
+    dt = min(dt, dt_e2e)
+    qps = len(queries) / dt
 
     # encode-only split for the diagnosis (the bundled two-view forward —
     # the program the serving path actually runs)

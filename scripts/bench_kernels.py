@@ -34,16 +34,29 @@ def log(*a):
 
 
 def timeit(fn, ready, iters):
-    fn_out = fn()
-    ready(fn_out)
-    for _ in range(3):
-        fn_out = fn()
-    ready(fn_out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        fn_out = fn()
-    ready(fn_out)
-    return (time.perf_counter() - t0) / iters
+    """Two-pass slope timing: ``jax.block_until_ready`` does NOT drain the
+    queue on remote relay backends (it returns at dispatch), so each pass
+    ends with a HOST FETCH of the first output leaf, and the constant
+    sync/fetch overhead cancels in the slope (t_2N − t_N) / N."""
+    import jax
+    import numpy as np
+
+    def drain(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf)
+
+    def one_pass(m):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(m):
+            out = fn()
+        drain(out)
+        return time.perf_counter() - t0
+
+    one_pass(3)  # warm (post-compile steady state)
+    t1 = one_pass(iters)
+    t2 = one_pass(2 * iters)
+    return max((t2 - t1) / iters, 1e-9)
 
 
 def main() -> None:
@@ -110,10 +123,25 @@ def main() -> None:
             dt = timeit(lambda: maxsim_full(tok, mask, q_tok, q_mask,
                                             tile_n=256),
                         lambda o: jax.block_until_ready(o), args.iters)
-            row = {"op": "maxsim_full", "n_docs": n, "backend": "xla",
+            row = {"op": "maxsim_full", "n_docs": n, "backend": "xla-int8",
                    "ms_per_batch": round(dt * 1e3, 3), "batch": args.batch}
         except Exception as e:
-            row = {"op": "maxsim_full", "n_docs": n, "backend": "xla",
+            row = {"op": "maxsim_full", "n_docs": n, "backend": "xla-int8",
+                   "error": str(e)[:200]}
+        results.append(row)
+        log(row)
+
+        tok_f = (tok.astype(jnp.float32) / 127.0).astype(jnp.bfloat16)
+        try:
+            # same bf16 operand as the Pallas kernel (apples-to-apples HBM
+            # traffic; the int8 row above has half the bytes)
+            dt = timeit(lambda: maxsim_full(tok_f, mask, q_tok, q_mask,
+                                            tile_n=256),
+                        lambda o: jax.block_until_ready(o), args.iters)
+            row = {"op": "maxsim_full", "n_docs": n, "backend": "xla-bf16",
+                   "ms_per_batch": round(dt * 1e3, 3), "batch": args.batch}
+        except Exception as e:
+            row = {"op": "maxsim_full", "n_docs": n, "backend": "xla-bf16",
                    "error": str(e)[:200]}
         results.append(row)
         log(row)
@@ -121,8 +149,6 @@ def main() -> None:
         try:
             from legalrag_tpu.ops.maxsim_pallas2 import maxsim_scores_pallas2
 
-            # kernel consumes float tiles; feed the dequantized store view
-            tok_f = (tok.astype(jnp.float32) / 127.0).astype(jnp.bfloat16)
             dt = timeit(lambda: maxsim_scores_pallas2(tok_f, mask, q_tok,
                                                       q_mask),
                         lambda o: jax.block_until_ready(o), args.iters)
@@ -133,7 +159,7 @@ def main() -> None:
                    "error": str(e)[:200]}
         results.append(row)
         log(row)
-        del tok, emb
+        del tok, tok_f, emb
 
     for row in results:
         print(json.dumps(row))

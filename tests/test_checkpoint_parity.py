@@ -272,3 +272,23 @@ def test_explicit_head_dim_honored(tmp_path):
 
     with pytest.raises(ValueError, match="head_dim"):
         load_hf_decoder_params(tmp_path)
+
+
+def test_chunked_decode_matches_per_token(qwen_ckpt):
+    """decode_chunk>1 runs a lax.scan of sample+decode steps per device
+    execution (one round trip per chunk instead of per token); the emitted
+    token sequence must be identical to the per-token loop for greedy AND
+    sampled decoding (same key-split sequence)."""
+    tmp, _ = qwen_ckpt
+    from legalrag_tpu.models.decoder import JaxDecoderLM, load_hf_decoder_params
+
+    params, cfg = load_hf_decoder_params(tmp)
+    prompt = [1, 5, 9, 2]
+    per_tok = JaxDecoderLM(params, cfg, max_len=64, decode_chunk=1)
+    chunked = JaxDecoderLM(params, cfg, max_len=64, decode_chunk=8)
+    # 19 = 2 full chunks + a 3-token per-token tail
+    for kw in (dict(temperature=0.0),
+               dict(temperature=0.8, top_p=0.9, seed=7)):
+        a = list(per_tok.generate_stream(prompt, max_new_tokens=19, **kw))
+        b = list(chunked.generate_stream(prompt, max_new_tokens=19, **kw))
+        assert a == b and len(a) == 19
