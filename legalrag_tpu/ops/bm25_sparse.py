@@ -146,6 +146,56 @@ def bm25_sparse_scores_xla(term_ids: jax.Array, term_counts: jax.Array,
     return jax.vmap(one_query)(term_ids, term_counts)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "max_postings"))
+def bm25_sparse_topk_sorted(term_ids: jax.Array, term_counts: jax.Array,
+                            offsets: jax.Array, post_docs: jax.Array,
+                            post_w: jax.Array, k: int,
+                            max_postings: int = 16384
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """Scatter-FREE sparse BM25 top-k: (scores [B, k], doc ids [B, k]).
+
+    XLA's scatter-add serializes on TPU (measured: it dominated the whole
+    large-corpus fused program). This formulation uses only TPU-fast dense
+    ops: gather postings (static two-level index), ``lax.sort`` pairs by
+    doc id, segment-sum via cumsum + first-position cummax propagation,
+    segment totals at last positions, ``lax.top_k``. No [B, N] score map
+    is materialized — candidates only (absent docs simply aren't
+    candidates, matching the reference's list-based fusion).
+    """
+    b, max_terms = term_ids.shape
+    per_term = max_postings // max_terms
+    sentinel = jnp.int32(2 ** 30)
+
+    def one_query(ids, counts):
+        starts = offsets[ids]
+        sizes = offsets[ids + 1] - starts
+        pos = jnp.arange(per_term)[None, :]
+        gather_idx = starts[:, None] + pos
+        valid = (pos < sizes[:, None]) & (counts[:, None] > 0)
+        docs = jnp.where(valid, post_docs[gather_idx], sentinel).ravel()
+        w = jnp.where(valid,
+                      post_w[gather_idx] * counts[:, None].astype(jnp.float32),
+                      0.0).ravel()
+        docs_s, w_s = jax.lax.sort((docs, w), num_keys=1)
+        cum = jnp.cumsum(w_s)
+        is_last = docs_s != jnp.concatenate(
+            [docs_s[1:], jnp.full((1,), -1, docs_s.dtype)])
+        is_first = docs_s != jnp.concatenate(
+            [jnp.full((1,), -1, docs_s.dtype), docs_s[:-1]])
+        prev_cum = jnp.concatenate([jnp.zeros((1,), cum.dtype), cum[:-1]])
+        # propagate each segment's starting prefix to all its positions
+        # (contributions are ≥ 0, so prev_cum is nondecreasing and cummax
+        # of first-position values is exact)
+        seg_start = jax.lax.cummax(
+            jnp.where(is_first, prev_cum, -jnp.inf))
+        seg_total = cum - seg_start
+        score = jnp.where(is_last & (docs_s < sentinel), seg_total, -1e30)
+        s, i = jax.lax.top_k(score, k)
+        return s.astype(jnp.float32), docs_s[i]
+
+    return jax.vmap(one_query)(term_ids, term_counts)
+
+
 def bm25_sparse_scores_auto(term_ids, term_counts, offsets, post_docs,
                             post_w, n_docs_pad: int, chunk: int = 512,
                             max_postings: int = 16384):

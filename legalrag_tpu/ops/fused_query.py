@@ -116,19 +116,14 @@ def fused_hybrid_topk(emb: jax.Array, impact: jax.Array,
                                    preferred_element_type=jnp.float32))
 
     if sparse_bm25:
-        # large-corpus mode: CSR postings scored with XLA scatter-add
-        # (the [V, N] impact matrix would not fit HBM); qtf must be the
-        # (term_ids, term_counts) pair
-        offsets, post_docs, post_w = impact
-        term_ids, term_counts = qtf
-        from legalrag_tpu.ops.bm25_sparse import bm25_sparse_scores_xla
-
-        bm25_s = mask_invalid(bm25_sparse_scores_xla(
-            term_ids, term_counts.astype(jnp.int32), offsets, post_docs,
-            post_w, n, max_postings=params.max_postings))
-    else:
-        bm25_s = mask_invalid(jnp.dot(qtf.astype(impact.dtype), impact,
-                                      preferred_element_type=jnp.float32))
+        # large-corpus mode: CSR postings + candidate-LIST fusion — no
+        # [B, N] fusion maps and NO scatters (XLA scatter-add serializes on
+        # TPU and dominated this program; measured). qtf must be the
+        # (term_ids, term_counts) pair.
+        return _fused_lists(dense_s, impact, doc_tok, doc_mask, qtf,
+                            q_tok, q_mask, params)
+    bm25_s = mask_invalid(jnp.dot(qtf.astype(impact.dtype), impact,
+                                  preferred_element_type=jnp.float32))
 
     channels = [(dense_s, params.w_dense), (bm25_s, params.w_bm25)]
     late_s = None
@@ -195,6 +190,93 @@ def fused_hybrid_topk(emb: jax.Array, impact: jax.Array,
 # only when the late channel ran)
 PACKED_NAMES = ("scores", "dense", "bm25", "rrf_norm", "weighted_sum",
                 "colbert")
+
+
+def _fused_lists(dense_s, sparse_impact, doc_tok, doc_mask, qtf_pair,
+                 q_tok, q_mask, params: FusedParams):
+    """Candidate-list fusion for the large-corpus mode: every channel
+    contributes a top-eff_k (scores, ids) LIST; fusion (RRF + min-max blend)
+    runs over the concatenated lists per query — the only [B, N]-sized
+    tensor in the program is the dense matmul output. List semantics match
+    the reference host fusion (channels contribute components only for docs
+    in their own top list, ``hybrid_retriever.py:389-551``) with one
+    deliberate divergence: a channel with fewer than eff_k positive-score
+    docs contributes only its REAL matches — the map path (and reference)
+    pads with arbitrary zero-score docs, which shifts min-max statistics by
+    ~1e-3 in that starved regime and never occurs at production scale."""
+    from legalrag_tpu.ops.bm25_sparse import bm25_sparse_topk_sorted
+
+    n = dense_s.shape[1]
+    eff_k = min(params.eff_k, n)
+    offsets, post_docs, post_w = sparse_impact
+    term_ids, term_counts = qtf_pair
+
+    d_s, d_i = jax.lax.top_k(dense_s, eff_k)
+    b_s, b_i = bm25_sparse_topk_sorted(
+        term_ids, term_counts.astype(jnp.int32), offsets, post_docs, post_w,
+        eff_k, max_postings=params.max_postings)
+    lists = [(params.w_dense, d_s, d_i), (params.w_bm25, b_s, b_i)]
+    if doc_tok is not None:
+        from legalrag_tpu.ops.maxsim import maxsim_candidates
+
+        c = min(params.late_candidates or 128, n)
+        cand = d_i[:, :c] if c <= eff_k else jax.lax.top_k(dense_s, c)[1]
+        cand_scores = maxsim_candidates(doc_tok, doc_mask, q_tok, q_mask,
+                                        cand)
+        l_s, pos = jax.lax.top_k(cand_scores, min(eff_k, c))
+        l_i = jnp.take_along_axis(cand, pos, axis=1)
+        lists.append((params.w_late, l_s, l_i))
+
+    final_k = min(params.final_k, n)
+
+    def fuse_row(*flat):
+        per = [(w, s, i) for (w, _, _), s, i
+               in zip(lists, flat[0::2], flat[1::2])]
+        ids = jnp.concatenate([i for _, _, i in per])
+        valid = jnp.concatenate([s > NEG_INF / 2 for _, s, _ in per])
+        ranks = jnp.arange(1, per[0][1].shape[0] + 1, dtype=jnp.float32)
+        rrf = jnp.where(valid, jnp.concatenate(
+            [w / (params.rrf_k + ranks) for w, _, _ in per]), 0.0)
+
+        def minmax(s, v):
+            lo = jnp.min(jnp.where(v, s, jnp.inf))
+            hi = jnp.max(jnp.where(v, s, -jnp.inf))
+            norm = jnp.where(hi > lo,
+                             (s - lo) / jnp.maximum(hi - lo, 1e-12), 1.0)
+            return jnp.where(v, norm, 0.0)
+
+        norms = jnp.concatenate([w * minmax(s, s > NEG_INF / 2)
+                                 for w, s, _ in per])
+        eq = (ids[None, :] == ids[:, None]) & valid[None, :] & valid[:, None]
+        first = (jnp.argmax(eq, axis=1) == jnp.arange(ids.shape[0])) & valid
+        rrf_m = jnp.where(first, jnp.sum(jnp.where(eq, rrf[None, :], 0.0),
+                                         axis=1), 0.0)
+        wsum_m = jnp.where(first, jnp.sum(jnp.where(eq, norms[None, :], 0.0),
+                                          axis=1), 0.0)
+        rrf_n = minmax(rrf_m, first)
+        score = jnp.where(first,
+                          params.alpha * rrf_n
+                          + (1 - params.alpha) * wsum_m, NEG_INF)
+        top_s, pos = jax.lax.top_k(score, final_k)
+        rows = ids[pos]
+
+        def lookup(s_list, i_list):
+            hit = (rows[:, None] == i_list[None, :]) \
+                & (s_list[None, :] > NEG_INF / 2)
+            val = jnp.max(jnp.where(hit, s_list[None, :], NEG_INF), axis=1)
+            return jnp.where(val > NEG_INF / 2, val, 0.0)
+
+        comps = [top_s, lookup(per[0][1], per[0][2]),
+                 lookup(per[1][1], per[1][2]), rrf_n[pos], wsum_m[pos]]
+        if len(per) > 2:
+            comps.append(lookup(per[2][1], per[2][2]))
+        return rows, jnp.stack(comps, axis=-1)
+
+    flat = []
+    for _, s, i in lists:
+        flat += [s, i]
+    rows, packed = jax.vmap(fuse_row)(*flat)
+    return {"rows": rows, "packed": packed}
 
 
 @functools.partial(jax.jit, static_argnames=("eff_k",))

@@ -71,12 +71,16 @@ def main() -> None:
         from legalrag_tpu.index.token_index import Residual4TokenIndex
 
         t0 = time.perf_counter()
+        # build on CPU (eager store construction on a remote accelerator
+        # pays one compile per op), then ship the packed store once
         idx = Residual4TokenIndex(args.token_dim, args.doc_len,
-                                  capacity_round=n)
+                                  capacity_round=n,
+                                  device=jax.devices("cpu")[0])
         idx.add(tok_f, mask_np)
+        store = idx.tok
+        doc_tok = type(store)(*(jax.device_put(np.asarray(x)) for x in store))
         print(f"nbit4 encode: {time.perf_counter() - t0:.1f}s "
               f"({idx.nbytes / 1e9:.2f} GB)", file=sys.stderr, flush=True)
-        doc_tok = idx.tok
         store_bytes = idx.nbytes
     elif args.token_dtype == "int8":
         doc_tok = jnp.asarray(np.clip(np.round(tok_f * 127), -127,

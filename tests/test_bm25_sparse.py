@@ -95,3 +95,44 @@ def test_xla_scatter_variant_matches(index):
         max_postings=maxlen * 32))[:, : index.n]
     want = index.scores(queries)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sorted_topk_matches_scatter_map():
+    """Scatter-free sorted-segment BM25 top-k must reproduce the scatter
+    map's candidates and scores (the scatter path serialized on TPU and
+    dominated the large-corpus program — this is its replacement)."""
+    import jax.numpy as jnp
+
+    from legalrag_tpu.ops.bm25_sparse import (
+        bm25_sparse_scores_xla,
+        bm25_sparse_topk_sorted,
+        build_postings,
+    )
+
+    rng = np.random.default_rng(0)
+    V, N, B, T, k = 200, 500, 4, 8, 16
+    doc_ids, doc_tfs = [], []
+    for _ in range(N):
+        n_terms = rng.integers(3, 20)
+        doc_ids.append(rng.choice(V, n_terms, replace=False).astype(np.int64))
+        doc_tfs.append(rng.integers(1, 5, n_terms).astype(np.float64))
+    offsets, post_docs, post_w = build_postings(doc_ids, doc_tfs, V)
+    term_ids = rng.integers(0, V, (B, T)).astype(np.int32)
+    term_counts = np.ones((B, T), np.int32)
+    term_counts[0, 5:] = 0  # padded query slots
+
+    args = (jnp.asarray(term_ids), jnp.asarray(term_counts),
+            jnp.asarray(offsets), jnp.asarray(post_docs),
+            jnp.asarray(post_w))
+    full = np.asarray(bm25_sparse_scores_xla(*args, 512,
+                                             max_postings=4096))[:, :N]
+    s, i = (np.asarray(x) for x in
+            bm25_sparse_topk_sorted(*args, k, max_postings=4096))
+    ref_i = np.argsort(-full, axis=1, kind="stable")[:, :k]
+    for q in range(B):
+        want = full[q][ref_i[q]]
+        pos = want > 1e-9
+        # cumsum vs scatter accumulation order: f32 noise ~1e-5
+        np.testing.assert_allclose(np.sort(s[q][s[q] > 1e-9]),
+                                   np.sort(want[pos]), rtol=1e-5, atol=1e-4)
+        assert set(i[q][s[q] > 1e-9]) == set(ref_i[q][pos])
