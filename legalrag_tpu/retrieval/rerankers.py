@@ -47,6 +47,25 @@ class MaxSimReranker:
     def __init__(self, bundle: IndexBundle):
         self.bundle = bundle
 
+    def score_hits(self, question: str,
+                   hits: List[RetrievalHit]) -> Optional[List[float]]:
+        """Score from the token STORE (one candidate-gather execution)
+        instead of re-encoding candidate texts — for the bert backend the
+        text path costs a full 30-doc encoder forward per query. Returns
+        None when a hit is not in the store (text fallback applies)."""
+        bundle = self.bundle
+        if bundle.tokens.n == 0:
+            return None
+        rows = [bundle.id2row.get(h.chunk.id, -1) for h in hits]
+        if any(r < 0 or r >= bundle.tokens.n for r in rows):
+            return None
+        enc = bundle.encoder
+        q_tok, q_mask = enc.encode_tokens(
+            [question], bundle.cfg.engine.max_query_tokens)
+        s = bundle.tokens.score_candidates(
+            q_tok, q_mask, np.asarray([rows], np.int32))
+        return [float(x) for x in s[0]]
+
     def score(self, question: str, docs: List[str]) -> List[float]:
         enc = self.bundle.encoder
         maxlen = self.bundle.cfg.engine.late_doc_maxlen
@@ -162,8 +181,11 @@ def rerank_candidates(question: str, hits: List[RetrievalHit],
     ``hybrid_retriever.py:348-355``). Hits are updated in place and re-sorted."""
     if not hits:
         return hits
-    docs = [h.chunk.text for h in hits]
-    raw = reranker.score(question, docs)
+    raw = None
+    if hasattr(reranker, "score_hits"):
+        raw = reranker.score_hits(question, hits)
+    if raw is None:
+        raw = reranker.score(question, [h.chunk.text for h in hits])
     normed = normalize_scores(raw, norm)
     for h, r_raw, r_norm in zip(hits, raw, normed):
         fused = h.score

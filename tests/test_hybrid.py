@@ -217,3 +217,24 @@ def test_bert_backend_takes_one_shot_path(bert_hybrid):
 def test_bert_backend_full_search(bert_hybrid):
     hits = bert_hybrid.search("the seller must deliver the goods", top_k=5)
     assert hits and hits[0].score_breakdown.get("per_channel")
+
+
+def test_store_reranker_matches_text_path(hybrid):
+    """MaxSimReranker.score_hits (token-store gather, one execution) must
+    match the text re-encoding path up to store quantization."""
+    from legalrag_tpu.retrieval.rerankers import MaxSimReranker
+
+    q = "security interest attaches when value is given"
+    hits = hybrid.search(q, top_k=8)
+    rr = MaxSimReranker(hybrid.bundle)
+    store = rr.score_hits(q, hits)
+    text = rr.score(q, [h.chunk.text for h in hits])
+    assert store is not None
+    np.testing.assert_allclose(store, text, rtol=0.03, atol=0.05)
+
+    # a hit outside the store falls back to the text path
+    from legalrag_tpu.schemas import LawChunk
+    fake = RetrievalHit(chunk=LawChunk(id="nope", law_name="x", text="y",
+                                       article_no="§ 0-000", article_id="0",
+                                       lang="en"), score=0.1)
+    assert rr.score_hits(q, hits + [fake]) is None
