@@ -78,6 +78,13 @@ class EngineConfig(BaseModel):
     # query batching for the serving engine
     max_query_batch: int = 64
     max_query_tokens: int = 64
+    # serving micro-batch: concurrent request threads' channel executions
+    # are coalesced into ONE device program (retrieval/batcher.py). The
+    # window is how long a leader waits for followers before launching;
+    # 0 keeps latency untouched and still coalesces requests that arrive
+    # while an execution is in flight.
+    microbatch_window_ms: float = 2.0
+    microbatch_max: int = 32
     # device mesh: axis names are fixed; shape chosen at engine init
     mesh_data_axis: str = "data"
     mesh_model_axis: str = "model"

@@ -1,0 +1,149 @@
+"""Dynamic micro-batching for concurrent single-query channel searches.
+
+The serving substrate is a threaded HTTP server (``api/webcore.py``): each
+``/rag/retrieve`` request runs ``HybridRetriever.search`` on its own thread,
+and each search costs one device execution (~one tunnel round trip on remote
+TPU backends, CLAUDE.md). Under concurrent load, N requests would cost N
+round trips even though the fused channels program is fully batched over
+queries (``ops/fused_query.py:283``).
+
+``MicroBatcher`` coalesces those concurrent executions: the first arriving
+thread becomes the *leader*, waits one small window for followers, then runs
+the batched program ONCE for every pending question and distributes row
+slices. Requests arriving while the leader is executing are picked up in its
+next drain round, so the device execution time itself acts as a natural
+batching window. The reference has no analogue (its FastAPI workers each run
+the full CPU stack per request); this is the TPU-native replacement for
+"scale out by adding HTTP replicas" (reference docker-compose.yml:1-23).
+
+Semantics are unchanged: the channels program is row-independent (pure
+matmul + top-k per query row), so a coalesced execution returns the same
+rankings as solo executions; scores agree to float tolerance (XLA may tile
+the matmul reduction differently across batch shapes). Tested in
+tests/test_microbatch.py.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# res dict: {"dense"|"bm25"|"colbert": (scores [B,k], rows [B,k]),
+#            "qvec": [B,d]} — see HybridRetriever._channels_topk_batch
+Result = Optional[Dict[str, object]]
+RunBatch = Callable[[Sequence[str], int], Result]
+
+
+class _Slot:
+    __slots__ = ("question", "eff_k", "event", "value", "error", "done")
+
+    def __init__(self, question: str, eff_k: int):
+        self.question = question
+        self.eff_k = eff_k
+        self.event = threading.Event()
+        self.value: Result = None
+        self.error: Optional[BaseException] = None
+        self.done = False
+
+
+def _slice_result(res: Result, i: int, eff_k: int) -> Result:
+    """One question's view of a batched result, keeping the leading batch
+    dim of 1 so downstream ``[0]`` indexing is unchanged."""
+    if res is None:
+        return None
+    out: Dict[str, object] = {}
+    for name, val in res.items():
+        if name == "qvec":
+            out[name] = np.asarray(val)[i:i + 1]
+        else:
+            s, rows = val
+            out[name] = (np.asarray(s)[i:i + 1, :eff_k],
+                         np.asarray(rows)[i:i + 1, :eff_k])
+    return out
+
+
+class MicroBatcher:
+    """Leader/follower coalescing of concurrent ``run_batch`` calls.
+
+    ``run_batch(questions, eff_k)`` must be row-independent over questions.
+    Mixed ``eff_k`` values are served from one execution at the batch max
+    (each request slices its own prefix — top-k lists nest).
+    """
+
+    def __init__(self, run_batch: RunBatch, window_s: float = 0.002,
+                 max_batch: int = 32, wait_timeout_s: float = 300.0):
+        self._run = run_batch
+        self._window = max(float(window_s), 0.0)
+        self._max = max(int(max_batch), 1)
+        self._timeout = wait_timeout_s
+        self._lock = threading.Lock()
+        self._pending: List[_Slot] = []
+        self._leader_active = False
+        # observability (read by tests and /metrics)
+        self.executions = 0
+        self.coalesced = 0
+
+    # ------------------------------------------------------------- public
+    def run(self, question: str, eff_k: int) -> Result:
+        slot = _Slot(question, eff_k)
+        with self._lock:
+            self._pending.append(slot)
+            lead = not self._leader_active
+            if lead:
+                self._leader_active = True
+        if lead:
+            self._lead()
+            # the leader's own slot is always in its first drained batch
+            # (it was appended before leadership was taken)
+        ok = slot.event.wait(self._timeout)
+        if not ok or not slot.done:
+            # leader vanished (should not happen — _lead never abandons a
+            # non-empty queue) or timed out: fall back to a solo execution
+            with self._lock:
+                if slot in self._pending:
+                    self._pending.remove(slot)
+            res = self._run([question], eff_k)
+            return _slice_result(res, 0, eff_k)
+        if slot.error is not None:
+            raise slot.error
+        return slot.value
+
+    # ------------------------------------------------------------ leader
+    def _lead(self) -> None:
+        if self._window > 0:
+            threading.Event().wait(self._window)  # interrupt-safe sleep
+        while True:
+            with self._lock:
+                batch = self._pending[: self._max]
+                del self._pending[: len(batch)]
+                if not batch:
+                    self._leader_active = False
+                    return
+            self._execute(batch)
+
+    def _execute(self, batch: List[_Slot]) -> None:
+        eff_k = max(s.eff_k for s in batch)
+        try:
+            res = self._run([s.question for s in batch], eff_k)
+        except BaseException as e:  # propagate to every waiter
+            for s in batch:
+                s.error, s.done = e, True
+                s.event.set()
+            return
+        self.executions += 1
+        self.coalesced += len(batch) - 1
+        try:
+            from legalrag_tpu.utils.metrics import METRICS
+
+            METRICS.inc("legalrag_microbatch_executions")
+            if len(batch) > 1:
+                METRICS.inc("legalrag_microbatch_coalesced",
+                            value=len(batch) - 1)
+        except Exception:
+            pass
+        for i, s in enumerate(batch):
+            s.value = _slice_result(res, i, s.eff_k)
+            s.done = True
+            s.event.set()

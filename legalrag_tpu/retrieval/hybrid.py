@@ -52,6 +52,13 @@ class HybridRetriever:
         if cfg.retrieval.enable_graph and graph_store is not None:
             self.graph = GraphRetriever(bundle, graph_store, cfg)
         self._bert_e2e = None  # lazily-built encoder-fused one-shot program
+        from legalrag_tpu.retrieval.batcher import MicroBatcher
+
+        e = cfg.engine
+        self._batcher = MicroBatcher(
+            self._channels_topk_batch,
+            window_s=e.microbatch_window_ms / 1000.0,
+            max_batch=min(e.microbatch_max, e.max_query_batch))
 
     def _bert_oneshot_program(self):
         """ONE jitted program for the bert backend: encoder forward(s) fused
@@ -89,12 +96,22 @@ class HybridRetriever:
         return fn
 
     def _channels_topk_all(self, question: str, eff_k: int):
-        """All channels' top-eff_k from ONE device execution.
+        """All channels' top-eff_k for ONE question — via the micro-batcher,
+        so concurrent request threads share a single device execution
+        (``retrieval/batcher.py``). Result arrays keep a leading batch dim
+        of 1; semantics are identical to a solo ``_channels_topk_batch``."""
+        return self._batcher.run(question, eff_k)
+
+    def _channels_topk_batch(self, questions, eff_k: int):
+        """All channels' top-eff_k for a question batch from ONE device
+        execution.
 
         Remote backends pay a per-execution round trip (~70 ms); the
-        per-channel path costs three. Results are identical to the
-        per-channel calls (same programs' math; tested), so fusion and
-        explainability downstream are unchanged.
+        per-channel path costs three *per question*. This program computes
+        every channel's score map and top-k for the whole batch in one
+        launch; results are identical to the per-channel calls (same
+        programs' math; tested), so fusion and explainability downstream
+        are unchanged.
 
         Works for BOTH encoder backends: the hash backend ships its cheap
         host sketch and projects on device; the bert backend runs its (one)
@@ -107,6 +124,7 @@ class HybridRetriever:
 
         from legalrag_tpu.ops.fused_query import fused_channels_topk
         from legalrag_tpu.ops.topk import bucket_k
+        from legalrag_tpu.retrieval.engine import bucket_batch
         from legalrag_tpu.utils.device import on_device
 
         bundle = self.bundle
@@ -118,7 +136,9 @@ class HybridRetriever:
                     and bundle.tokens.n > 0)
         eff_k = min(eff_k, bundle.dense.n)
         kb = bucket_k(eff_k, bundle.dense.capacity)
-        qs = [question]
+        nb = len(questions)
+        # pad to a batch bucket so the compiled-program set stays small
+        qs = list(questions) + [""] * (bucket_batch(nb) - nb)
         maxlen = self.cfg.engine.max_query_tokens
         views = bundle.shard_views()
         is_bert = hasattr(enc, "_bundle_fwd") and hasattr(enc, "_tokenize")
@@ -138,9 +158,10 @@ class HybridRetriever:
                     jnp.asarray(ids), jnp.asarray(mask),
                     jnp.int32(bundle.dense.n), kb, use_late)
             qvec_out = out.pop("qvec")
-            res = {name: (np.asarray(s)[:, :eff_k], np.asarray(i)[:, :eff_k])
+            res = {name: (np.asarray(s)[:nb, :eff_k],
+                          np.asarray(i)[:nb, :eff_k])
                    for name, (s, i) in out.items()}
-            res["qvec"] = np.asarray(qvec_out)
+            res["qvec"] = np.asarray(qvec_out)[:nb]
             return res
         with on_device(bundle.device):
             q_tok = q_mask = None
@@ -179,9 +200,9 @@ class HybridRetriever:
                     qvec, (jnp.asarray(ids), jnp.asarray(mask)), q_tok, q_mask,
                     jnp.int32(bundle.dense.n), kb)
         qvec_out = out.pop("qvec")
-        res = {name: (np.asarray(s)[:, :eff_k], np.asarray(i)[:, :eff_k])
+        res = {name: (np.asarray(s)[:nb, :eff_k], np.asarray(i)[:nb, :eff_k])
                for name, (s, i) in out.items()}
-        res["qvec"] = np.asarray(qvec_out)
+        res["qvec"] = np.asarray(qvec_out)[:nb]
         return res
 
     def _hyde_expansion(self, question: str) -> Optional[str]:

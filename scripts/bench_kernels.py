@@ -131,7 +131,13 @@ def main() -> None:
         results.append(row)
         log(row)
 
-        tok_f = (tok.astype(jnp.float32) / 127.0).astype(jnp.bfloat16)
+        # chunked int8→bf16 conversion: one whole-array astype materializes
+        # an f32 intermediate (~8.6 GB at n=262k) and OOMs the chip
+        conv = jax.jit(lambda x: (x.astype(jnp.float32) / 127.0
+                                  ).astype(jnp.bfloat16))
+        step = 32768
+        tok_f = jnp.concatenate(
+            [conv(tok[i:i + step]) for i in range(0, n, step)], axis=0)
         try:
             # same bf16 operand as the Pallas kernel (apples-to-apples HBM
             # traffic; the int8 row above has half the bytes)

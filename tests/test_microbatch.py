@@ -1,0 +1,134 @@
+"""Micro-batcher: concurrent searches coalesce into fewer device executions
+with results identical to the serial path (retrieval/batcher.py)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from legalrag_tpu.config import AppConfig
+from legalrag_tpu.index.bundle import IndexBundle
+from legalrag_tpu.retrieval.batcher import MicroBatcher, _slice_result
+from legalrag_tpu.retrieval.hybrid import HybridRetriever
+
+
+@pytest.fixture(scope="module")
+def hybrid(en_chunks):
+    cfg = AppConfig()
+    cfg.engine.capacity_round = 256
+    cfg.engine.late_doc_maxlen = 64
+    cfg.engine.microbatch_window_ms = 20.0  # generous window: force overlap
+    bundle = IndexBundle.build_from_chunks(en_chunks[:120], cfg, "en")
+    return HybridRetriever(bundle, cfg)
+
+
+QUESTIONS = [
+    "buyer in ordinary course of business",
+    "negotiable instrument payable to bearer",
+    "security interest perfection filing",
+    "letter of credit issuer obligations",
+    "lease contract default remedies",
+    "warranty of merchantability goods",
+]
+
+
+def test_concurrent_searches_match_serial_and_coalesce(hybrid):
+    serial = {q: hybrid.search(q, top_k=5) for q in QUESTIONS}
+    base_exec = hybrid._batcher.executions
+
+    results = {}
+    errors = []
+
+    def worker(q):
+        try:
+            results[q] = hybrid.search(q, top_k=5)
+        except Exception as e:  # surfaces in the main thread
+            errors.append(e)
+
+    # barrier-released threads so arrivals overlap the leader's window
+    threads = [threading.Thread(target=worker, args=(q,)) for q in QUESTIONS]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+
+    for q in QUESTIONS:
+        got, want = results[q], serial[q]
+        assert [h.chunk.id for h in got] == [h.chunk.id for h in want]
+        # matmul reduction tiling differs across batch shapes, so scores
+        # agree to float tolerance, not bitwise
+        assert np.allclose([h.score for h in got], [h.score for h in want],
+                           atol=1e-4)
+
+    used = hybrid._batcher.executions - base_exec
+    assert used < len(QUESTIONS), (
+        f"no coalescing happened ({used} executions for {len(QUESTIONS)} "
+        "concurrent queries)")
+    assert hybrid._batcher.coalesced > 0
+
+
+def test_mixed_eff_k_slices_nest(hybrid):
+    # a small-k request served from a larger batched execution must see
+    # exactly the prefix of its own solo top-k list
+    solo = hybrid._channels_topk_batch(["security interest filing"], 8)
+
+    def run_both():
+        out = {}
+
+        def small():
+            out["small"] = hybrid._batcher.run("security interest filing", 8)
+
+        def big():
+            out["big"] = hybrid._batcher.run("lease default remedies", 32)
+
+        ts = [threading.Thread(target=small), threading.Thread(target=big)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        return out
+
+    out = run_both()
+    for name in ("dense", "bm25"):
+        np.testing.assert_array_equal(out["small"][name][1],
+                                      solo[name][1])
+        assert out["small"][name][0].shape[1] == 8
+        assert out["big"][name][0].shape[1] == 32
+
+
+def test_batcher_error_propagates_to_all_waiters():
+    calls = {"n": 0}
+
+    def boom(questions, eff_k):
+        calls["n"] += 1
+        raise RuntimeError("device on fire")
+
+    mb = MicroBatcher(boom, window_s=0.02, max_batch=8)
+    errs = []
+
+    def worker():
+        try:
+            mb.run("q", 4)
+        except RuntimeError as e:
+            errs.append(str(e))
+
+    ts = [threading.Thread(target=worker) for _ in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == ["device on fire"] * 3
+
+
+def test_slice_result_none_passthrough():
+    assert _slice_result(None, 0, 4) is None
+
+
+def test_empty_index_returns_none(en_chunks):
+    cfg = AppConfig()
+    cfg.engine.capacity_round = 256
+    bundle = IndexBundle.build_from_chunks(en_chunks[:10], cfg, "en")
+    hybrid = HybridRetriever(bundle, cfg)
+    bundle.dense.n = 0  # simulate an empty index
+    assert hybrid._channels_topk_all("anything", 8) is None
