@@ -251,20 +251,36 @@ class Residual4TokenIndex:
         Chunked: the [tokens, K] assignment sims would be tens of GB at
         corpus scale."""
         m = token_emb.shape[0]
-        flat = token_emb.reshape(-1, self.token_dim).astype(np.float32)
+        flat = np.asarray(token_emb, np.float32).reshape(
+            -1, self.token_dim)
         half_norms = 0.5 * (self.centroids ** 2).sum(1)
         codes_c = np.empty(flat.shape[0], np.uint8)
         packed = np.empty((flat.shape[0], self.token_dim // 2), np.uint8)
-        step = 1 << 20
+        # Preallocated scratch reused across chunks with out= everywhere:
+        # freed multi-hundred-MB temporaries are returned to the OS and
+        # refaulted at ~20 MB/s on this image, which made the naive loop
+        # ~10× slower than the arithmetic itself.
+        step = 1 << 19
+        cT = np.ascontiguousarray(self.centroids.T)
+        sims = np.empty((step, cT.shape[1]), np.float32)
+        res = np.empty((step, self.token_dim), np.float32)
+        cen = np.empty((step, self.token_dim), np.float32)
+        inv_scale = 7.0 / self.scales
         for s in range(0, flat.shape[0], step):
             chunk = flat[s:s + step]
-            cc = np.argmax(chunk @ self.centroids.T - half_norms, 1)
-            res = chunk - self.centroids[cc]
-            q = np.clip(np.round(res / (self.scales / 7.0)), -8, 7).astype(
-                np.int32) + 8
+            b = chunk.shape[0]
+            np.matmul(chunk, cT, out=sims[:b])
+            sims[:b] -= half_norms
+            cc = np.argmax(sims[:b], 1)
+            np.take(self.centroids, cc, axis=0, out=cen[:b])
+            np.subtract(chunk, cen[:b], out=res[:b])
+            res[:b] *= inv_scale
+            np.round(res[:b], out=res[:b])
+            np.clip(res[:b], -8, 7, out=res[:b])
+            res[:b] += 8
+            q = res[:b].astype(np.uint8)
             codes_c[s:s + step] = cc.astype(np.uint8)
-            packed[s:s + step] = ((q[:, 0::2] << 4) | q[:, 1::2]).astype(
-                np.uint8)
+            packed[s:s + step] = (q[:, 0::2] << 4) | q[:, 1::2]
         return (codes_c.reshape(m, self.doc_maxlen),
                 packed.reshape(m, self.doc_maxlen, self.token_dim // 2))
 

@@ -49,15 +49,17 @@ def bucket_k(k: int, n: int) -> int:
 
 
 def default_backend(n: int = 0) -> str:
-    """Measured on v5e (bf16, B=32, k=40): XLA's fused dot+top_k wins below
-    ~10^5 rows (2.3× at N=4k — the unrolled in-kernel selection dominates
-    tiny corpora); at N=262k both paths are compute-bound and identical
-    (0.19 ms, exact index agreement). The Pallas kernel's remaining edge is
-    memory-capped regimes — large B where the [B, N] f32 score tensor
-    (B=256, N=1M → 1 GB) would pressure HBM."""
-    if jax.default_backend() != "tpu":
-        return "xla"
-    return "pallas" if n >= (1 << 17) else "xla"
+    """Routing decision (VERDICT r1 #9), re-measured on the v5e with
+    queue-draining slope timing (``scripts.bench_kernels``, round 2 — the
+    round-1 ``block_until_ready`` numbers measured dispatch only and are
+    retracted, EVAL.md): XLA's fused dot+top_k wins at every production
+    size — B=32/d=768/k=64: 0.62 ms vs 1.74 ms Pallas at N=65k, 2.25 ms vs
+    6.41 ms at N=262k (2.8× both). Production therefore routes XLA
+    everywhere; the Pallas kernel stays as a measured alternative for
+    memory-capped regimes (large B where the [B, N] f32 score tensor —
+    B=256, N=1M → 1 GB — would pressure HBM; it never materializes [B, N])."""
+    _ = n  # size no longer changes the decision; kept for call-site compat
+    return "xla"
 
 
 # ---------------------------------------------------------------------------

@@ -54,9 +54,17 @@ def timeit(fn, ready, iters):
         return time.perf_counter() - t0
 
     one_pass(3)  # warm (post-compile steady state)
-    t1 = one_pass(iters)
-    t2 = one_pass(2 * iters)
-    return max((t2 - t1) / iters, 1e-9)
+    slopes = []
+    for _ in range(3):
+        t1 = one_pass(iters)
+        t2 = one_pass(2 * iters)
+        s = (t2 - t1) / iters
+        if s > 0:
+            slopes.append(s)
+    if not slopes:  # host hiccup inflated every t1; fall back to raw mean
+        return one_pass(iters) / iters
+    slopes.sort()
+    return slopes[len(slopes) // 2]
 
 
 def main() -> None:

@@ -50,19 +50,25 @@ def main() -> None:
     n, v, d = args.n_docs, args.vocab, args.dim
     rng = np.random.default_rng(0)
     print(f"synthesizing {n} docs (d={d}, tokens {args.doc_len}x"
-          f"{args.token_dim} int8, vocab {v}) on "
+          f"{args.token_dim} {args.token_dtype}, vocab {v}) on "
           f"{jax.default_backend()}", file=sys.stderr, flush=True)
 
-    emb = rng.standard_normal((n, d)).astype(np.float32)
+    # generate float32 directly and mutate in place: page faulting on this
+    # image is ~20 MB/s, so every avoidable multi-GB temporary (f64
+    # standard_normal, out-of-place arithmetic) costs minutes of wall
+    emb = rng.standard_normal((n, d), dtype=np.float32)
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
     emb = jnp.asarray(emb).astype(jnp.bfloat16)
 
     # cluster-structured unit token vectors (quantization behaves like real
     # embeddings; iid noise would understate compression error)
-    centers = rng.standard_normal((1024, args.token_dim)).astype(np.float32)
+    centers = rng.standard_normal((1024, args.token_dim),
+                                  dtype=np.float32)
     assign = rng.integers(0, 1024, n * args.doc_len)
-    tok_f = centers[assign] + 0.35 * rng.standard_normal(
-        (n * args.doc_len, args.token_dim)).astype(np.float32)
+    tok_f = rng.standard_normal((n * args.doc_len, args.token_dim),
+                                dtype=np.float32)
+    tok_f *= 0.35
+    tok_f += centers[assign]
     tok_f /= np.linalg.norm(tok_f, axis=1, keepdims=True)
     tok_f = tok_f.reshape(n, args.doc_len, args.token_dim)
     mask_np = np.ones((n, args.doc_len), bool)
@@ -83,8 +89,11 @@ def main() -> None:
               f"({idx.nbytes / 1e9:.2f} GB)", file=sys.stderr, flush=True)
         store_bytes = idx.nbytes
     elif args.token_dtype == "int8":
-        doc_tok = jnp.asarray(np.clip(np.round(tok_f * 127), -127,
-                                      127).astype(np.int8))
+        q = tok_f * 127  # one f32 temporary; round/clip in place
+        np.round(q, out=q)
+        np.clip(q, -127, 127, out=q)
+        doc_tok = jnp.asarray(q.astype(np.int8))
+        del q
         store_bytes = doc_tok.nbytes
     else:
         doc_tok = jnp.asarray(tok_f, jnp.bfloat16)

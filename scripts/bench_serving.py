@@ -1,0 +1,135 @@
+"""Serving load benchmark: concurrent HTTP /rag/retrieve throughput.
+
+Quantifies the dynamic micro-batcher (``retrieval/batcher.py``): the same
+real-socket server is loaded with K concurrent clients, once with
+coalescing disabled (``microbatch_max=1`` — every request is its own device
+execution, the round-1 behavior) and once enabled. The reference's answer
+to concurrency is process replication behind docker-compose
+(reference docker-compose.yml:1-23); here one process shares one chip
+across requests.
+
+Usage: python -m scripts.bench_serving [--clients 16] [--requests 8]
+Prints one JSON line per mode on stdout; diagnostics on stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+import urllib.request
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def log(*a) -> None:
+    print(*a, file=sys.stderr, flush=True)
+
+
+QUESTIONS_ZH = [
+    "买卖合同的标的物质量要求", "抵押权的设立与登记", "租赁合同解除的条件",
+    "无权代理的法律后果", "保证人的追偿权", "不当得利的返还范围",
+    "侵权责任的构成要件", "夫妻共同财产的认定", "遗嘱继承的效力",
+    "建设工程合同价款优先受偿", "格式条款无效的情形", "诉讼时效中断的事由",
+    "质权与留置权的区别", "赠与合同的任意撤销", "居住权的设立",
+    "承揽合同中的瑕疵担保",
+]
+
+
+def run_mode(url: str, clients: int, per_client: int) -> dict:
+    lat: list = []
+    errors: list = []
+    lock = threading.Lock()
+    barrier = threading.Barrier(clients)
+
+    def worker(ci: int):
+        barrier.wait()
+        for ri in range(per_client):
+            q = QUESTIONS_ZH[(ci * per_client + ri) % len(QUESTIONS_ZH)]
+            body = json.dumps({"question": q, "top_k": 10}).encode()
+            req = urllib.request.Request(
+                url + "/rag/retrieve", data=body,
+                headers={"Content-Type": "application/json"})
+            t0 = time.perf_counter()
+            try:
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    d = json.loads(r.read().decode())
+                    assert d.get("hits"), "empty hits"
+            except Exception as e:
+                with lock:
+                    errors.append(str(e))
+                continue
+            with lock:
+                lat.append(time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    arr = np.asarray(sorted(lat))
+    return {
+        "requests": len(lat), "errors": len(errors),
+        "wall_s": round(wall, 3),
+        "qps": round(len(lat) / wall, 1),
+        "p50_ms": round(float(arr[len(arr) // 2]) * 1e3, 1) if len(arr) else None,
+        "p95_ms": round(float(arr[int(len(arr) * 0.95)]) * 1e3, 1) if len(arr) else None,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clients", type=int, default=16)
+    ap.add_argument("--requests", type=int, default=8,
+                    help="requests per client")
+    ap.add_argument("--window-ms", type=float, default=2.0)
+    ap.add_argument("--modes", default="off,on")
+    ap.add_argument("--device", choices=("cpu", "default"), default="cpu",
+                    help="cpu pins everything to host; default uses the "
+                    "session device (TPU) — the configuration the "
+                    "micro-batcher is built for")
+    args = ap.parse_args()
+
+    from legalrag_tpu.config import AppConfig
+    from legalrag_tpu.utils.device import apply_force_cpu
+
+    if args.device == "cpu":
+        apply_force_cpu()
+    from legalrag_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    for mode in args.modes.split(","):
+        cfg = AppConfig.load()
+        if mode == "off":
+            cfg.engine.microbatch_max = 1
+            cfg.engine.microbatch_window_ms = 0.0
+        else:
+            cfg.engine.microbatch_window_ms = args.window_ms
+        from legalrag_tpu.api.server import create_app
+
+        app = create_app(cfg, build_async=False)
+        server = app.serve("127.0.0.1", 0)
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        # warm the compiled program set (batch buckets up to the client count)
+        warm = run_mode(url, min(args.clients, 16), 2)
+        log(f"[{mode}] warmup: {warm}")
+        res = run_mode(url, args.clients, args.requests)
+        res.update({"metric": "serving_concurrent_qps", "mode": mode,
+                    "clients": args.clients})
+        log(f"[{mode}] {res}")
+        print(json.dumps(res), flush=True)
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()
