@@ -1,0 +1,452 @@
+"""Build (and optionally execute) the notebook deliverables.
+
+Parity with the reference's ``notebooks/`` (SURVEY.md §1 L10, VERDICT r1
+missing #6): four notebooks mirroring the reference set —
+
+  01_Launch_the_Server   ← reference 01_Launch_the_UI.ipynb
+  02_LegalRAG_Pipeline   ← reference 02_LegalRAG_Pipeline.ipynb
+  03_Retrieval_Performance_Evaluation ← reference 03_*.ipynb
+  04_Law_Graph_Visualization          ← reference 04_*.ipynb
+
+The reference notebooks bootstrap Colab/Kaggle GPU runtimes
+(``scripts/setup.py`` pip-installs, ``scripts/quiet.py`` silences HF/tqdm);
+here the runtime is self-contained, so each notebook starts with one setup
+cell that pins the repo root and (by default) the CPU backend — on a TPU
+VM, drop ``LEGALRAG_FORCE_CPU`` and the same cells run the device engine.
+
+Usage:
+  python -m scripts.make_notebooks             # (re)write the .ipynb files
+  python -m scripts.make_notebooks --execute   # also run them via nbclient
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+import nbformat
+from nbformat.v4 import new_code_cell, new_markdown_cell, new_notebook
+
+REPO = Path(__file__).resolve().parent.parent
+OUT = REPO / "notebooks"
+
+SETUP = '''\
+# Setup: run from the repo root, offline-reproducible on CPU.
+# On a TPU VM remove LEGALRAG_FORCE_CPU to run the device engine instead.
+import os, sys, logging
+from pathlib import Path
+
+ROOT = Path.cwd() if (Path.cwd() / "legalrag_tpu").exists() else Path.cwd().parent
+os.chdir(ROOT); sys.path.insert(0, str(ROOT))
+os.environ.setdefault("LEGALRAG_FORCE_CPU", "1")
+logging.getLogger("jax").setLevel(logging.ERROR)
+
+from legalrag_tpu.utils.device import apply_force_cpu
+apply_force_cpu()
+print("repo:", ROOT)'''
+
+
+# ---------------------------------------------------------------- notebook 01
+NB01 = [
+    ("md", """\
+# Launch the server
+
+Start the full serving stack in-process — the same `legalrag_tpu.api.server`
+application the `python -m legalrag_tpu.api.server` CLI runs (a stdlib HTTP
+core; the reference uses FastAPI + uvicorn) — and drive its endpoint
+contract: `/health`, `/ready`, the two-stage `/rag/retrieve` →
+`/rag/answer` flow, and the web UI.
+
+*Reference analogue: `notebooks/01_Launch_the_UI.ipynb`.*"""),
+    ("code", SETUP),
+    ("code", '''\
+from legalrag_tpu.config import AppConfig
+from legalrag_tpu.api.server import create_app
+
+cfg = AppConfig.load()
+app = create_app(cfg, build_async=False)   # build the pipeline synchronously
+server = app.serve("127.0.0.1", 0)         # ephemeral port
+BASE = f"http://127.0.0.1:{server.server_address[1]}"
+print("serving on", BASE)'''),
+    ("code", '''\
+import json, urllib.request
+
+def get(path):
+    with urllib.request.urlopen(BASE + path, timeout=30) as r:
+        return json.loads(r.read().decode())
+
+def post(path, payload):
+    req = urllib.request.Request(
+        BASE + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read().decode())
+
+print(get("/health"))
+print(get("/ready"))'''),
+    ("md", """\
+## Two-stage retrieval
+
+`POST /rag/retrieve` routes the query, runs the hybrid engine (dense +
+BM25 + late-interaction channels fused on device, optional graph
+expansion, rerank), caches the result under a `retrieval_id`, and returns
+the hits with their full per-channel `score_breakdown`."""),
+    ("code", '''\
+resp = post("/rag/retrieve", {"question": "承揽合同中定作人的任意解除权", "top_k": 5})
+print("routing:", resp["decision"]["mode"], "/", resp["decision"]["task_type"])
+print("retrieval_id:", resp["retrieval_id"])
+for h in resp["hits"]:
+    c = h["chunk"]
+    ch = ",".join(h["score_breakdown"].get("channels", []))
+    print(f'  #{h["rank"]}  {h["score"]:.3f}  {c["article_id"]:>6}  '
+          f'[{ch}]  {c["text"][:42]}…')'''),
+    ("code", '''\
+# With no LLM key configured the client returns the degraded
+# retrieval-only answer (the failure ladder's bottom rung) instead of 500ing.
+ans = post("/rag/answer", {"retrieval_id": resp["retrieval_id"], "stream": False})
+print(ans["answer"][:300])'''),
+    ("md", """\
+## The web UI
+
+The single-file UI at `BASE + "/ui"` (`ui/index.html`) renders the full
+SSE protocol the server streams on `/rag/answer`: `meta`, incremental
+`token`s, structured `section` / `item` / `sentence` events parsed from
+the JSON answer as it streams, citation chips built from the hits'
+`score_breakdown`, ingest progress, and `done`/`error`. Open it in a
+browser against a running server."""),
+    ("code", '''\
+html = urllib.request.urlopen(BASE + "/ui", timeout=30).read().decode()
+print(f"UI served: {len(html)} bytes;",
+      "SSE event handlers:", ", ".join(
+          e for e in ("meta", "token", "section", "item", "sentence",
+                      "done", "error") if f'"{e}"' in html or f"'{e}'" in html))
+server.shutdown()
+print("server stopped")'''),
+]
+
+# ---------------------------------------------------------------- notebook 02
+NB02 = [
+    ("md", """\
+# The LegalRAG pipeline, end to end
+
+Walk every stage of the system on the real corpora: corpus → routing →
+hybrid retrieval with per-channel explainability → graph expansion →
+prompt construction → (degraded) answer.
+
+*Reference analogue: `notebooks/02_LegalRAG_Pipeline.ipynb`.*"""),
+    ("code", SETUP),
+    ("md", "## Corpus\n\nStatute text parsed to one record per article "
+           "(`scripts.preprocess_law`): PRC Civil Code (zh) + UCC (en)."),
+    ("code", '''\
+from legalrag_tpu.config import AppConfig
+from legalrag_tpu.corpus import load_chunks_from_dir
+
+cfg = AppConfig.load()
+chunks = load_chunks_from_dir(cfg.paths.processed_dir)
+by_lang = {}
+for c in chunks:
+    by_lang.setdefault(c.lang, []).append(c)
+for lang, cs in sorted(by_lang.items()):
+    print(f"{lang}: {len(cs)} articles   e.g.", cs[0].article_id, cs[0].text[:40], "…")'''),
+    ("md", """\
+## Query routing
+
+The rule router classifies task type / legal issue and decides whether to
+expand through the law graph (`GRAPH_AUGMENTED` on explicit article
+references and interpretive phrasing). The LLM routing path exists too
+(`QueryRouter(llm, llm_based=True)`) — unlike the reference's, it runs
+(SURVEY §2.13.1)."""),
+    ("code", '''\
+from legalrag_tpu.routing import QueryRouter
+
+router = QueryRouter()
+for q in ("如何理解民法典第五百六十三条?",
+          "租赁合同中出租人的主要义务有哪些?",
+          "What remedies does a buyer have for breach of a sales contract?"):
+    d = router.route(q)
+    print(f"{q[:34]:<36} mode={d.mode.value:<15} task={d.task_type.value:<12} "
+          f"issue={d.issue_type.value}")'''),
+    ("md", """\
+## Hybrid retrieval with explainability
+
+One device execution computes all three channel top-k lists (dense inner
+product, BM25, token-level MaxSim), fuses them (`rrf_norm_blend`), and
+every hit carries its `score_breakdown` — which channels found it and how
+much each contributed."""),
+    ("code", '''\
+from legalrag_tpu.retrieval import ByLangRetriever
+
+retr = ByLangRetriever(cfg)
+hits = retr.search("买卖合同标的物毁损灭失的风险承担", top_k=5)
+for h in hits:
+    bd = h.score_breakdown
+    contrib = {k: round(v, 3) for k, v in (bd.get("channel_contrib") or {}).items()}
+    print(f"#{h.rank} {h.score:.3f} {h.chunk.article_id:>6} {contrib}")'''),
+    ("md", "## Graph expansion\n\nArticle-reference queries walk the law graph "
+           "(BFS with per-relation depth caps) and score walked candidates "
+           "with the query-instructed embedding; hits carry the edge "
+           "evidence they were reached by."),
+    ("code", '''\
+from legalrag_tpu.pipeline import RagPipeline
+
+pipe = RagPipeline(cfg)
+question = "如何理解民法典第五百六十三条关于合同解除的规定?"
+hits2, decision = pipe.retrieve(question)
+graph_hits = [h for h in hits2 if h.source == "graph"]
+print(f"mode={decision.mode.value}: {len(hits2)} hits, "
+      f"{len(graph_hits)} from the graph channel")
+for h in graph_hits[:4]:
+    print(f"  depth={h.graph_depth} rel={h.relations} seed={h.seed_article_id} "
+          f"→ {h.chunk.article_id}")'''),
+    ("md", """\
+## Answering
+
+Prompt construction selects the per-language task template and one
+tag-scored few-shot example; with no LLM configured the client returns
+the degraded retrieval-only answer (the failure ladder's bottom rung —
+the pipeline never hard-fails on a missing model)."""),
+    ("code", '''\
+ans = pipe.answer_from_hits(question, hits2, decision)
+print(ans.answer[:280])   # degraded retrieval-only answer: no LLM key here'''),
+    ("md", """\
+## What runs where
+
+Host code tokenizes, hydrates chunk metadata, and serves HTTP; one jitted
+XLA program per query batch does encode → three channel scores → fusion →
+top-k on the TPU (`legalrag_tpu/ops/fused_query.py`). The per-stage
+timing log line (`retrieval.hybrid`) is the perf interface: dense/bm25/
+colbert/fuse/graph/rerank ms per query, same format as the reference's."""),
+]
+
+# ---------------------------------------------------------------- notebook 03
+NB03 = [
+    ("md", """\
+# Retrieval performance evaluation
+
+Three stages, mirroring the reference notebook: (1) a synthetic legal
+question set built from the corpus, (2) per-system retrieval evaluation —
+single channels vs device fusion vs the full hybrid stack, (3) summary
+metrics and observations.
+
+*Reference analogue: `notebooks/03_Retrieval_Performance_Evaluation.ipynb`
+(the published baseline table in `BASELINE.md` comes from it).*"""),
+    ("code", SETUP),
+    ("md", """\
+## 1. Synthetic question set
+
+The generator's extractive mode needs no LLM: questions are
+clause-dropped article sentences passed through citation stripping and
+quality gates, deduplicated by embedding; `hardness` drops a fraction of
+the remaining tokens to degrade lexical overlap (the offline proxy for
+paraphrase queries). The LLM generator+judge mode
+(`scripts.generate_synthetic_data --mode llm`) adds role-conditioned
+questions and a 1–10 judge filter when a provider is configured."""),
+    ("code", '''\
+import random
+from scripts.generate_synthetic_data import extractive_queries
+from legalrag_tpu.config import AppConfig
+from legalrag_tpu.corpus import load_chunks_from_dir
+
+cfg = AppConfig.load()
+zh = [c for c in load_chunks_from_dir(cfg.paths.processed_dir) if c.lang == "zh"]
+rows = extractive_queries(zh, n=40, seed=7, hardness=0.35)
+for r in rows[:3]:
+    print(f'gold={r["article_id"]:>5}  {r["query"][:52]}')
+print(f"... {len(rows)} queries")'''),
+    ("md", "## 2. Evaluate each system\n\nSame harness as "
+           "`python -m scripts.evaluate_retrieval` (Hit@K, Recall@K, MRR@10, "
+           "nDCG@10)."),
+    ("code", '''\
+import pandas as pd
+from scripts.evaluate_retrieval import run_system
+from legalrag_tpu.evals import aggregate, evaluate_one
+from legalrag_tpu.graph import LawGraphStore
+from legalrag_tpu.index.bundle import IndexBundle
+from legalrag_tpu.retrieval.engine import FusedQueryEngine
+from legalrag_tpu.retrieval.hybrid import HybridRetriever
+
+lang_cfg = cfg.with_lang("zh")
+bundle = IndexBundle.load(lang_cfg.paths.lang_index_dir, lang_cfg, "zh")
+hybrid = HybridRetriever(bundle, lang_cfg,
+                         graph_store=LawGraphStore(lang_cfg.paths.graph_file))
+engine = FusedQueryEngine(bundle, lang_cfg)
+
+SYSTEMS = ("bm25", "dense", "colbert", "fused", "hybrid")
+per_system = {s: [] for s in SYSTEMS}
+for row in rows:
+    for s in SYSTEMS:
+        ranked = run_system(s, row["query"], hybrid, engine, k=20)
+        per_system[s].append(evaluate_one(ranked, str(row["article_id"])))
+
+summary = {s: aggregate(ms) for s, ms in per_system.items()}
+metrics = ("recall@5", "recall@10", "mrr@10", "ndcg@10", "hit@3", "hit@10")
+df = pd.DataFrame({s: {m: summary[s][m]["mean"] for m in metrics}
+                   for s in SYSTEMS}).T.round(3)
+df'''),
+    ("md", "## 3. Summary chart"),
+    ("code", '''\
+import matplotlib.pyplot as plt
+
+# Two series on the documented categorical palette (slots 1-2); identity
+# via legend + hue, values on one axis, recessive grid.
+C_R10, C_MRR = "#2a78d6", "#eb6834"
+x = range(len(SYSTEMS))
+fig, ax = plt.subplots(figsize=(7, 3.2), dpi=110)
+w = 0.36
+ax.bar([i - w / 2 for i in x], df["recall@10"], width=w, label="Recall@10",
+       color=C_R10, zorder=3)
+ax.bar([i + w / 2 for i in x], df["mrr@10"], width=w, label="MRR@10",
+       color=C_MRR, zorder=3)
+ax.set_xticks(list(x), df.index)
+ax.set_ylim(0, 1.0)
+ax.grid(axis="y", color="#e5e5e0", zorder=0)
+for s in ("top", "right"):
+    ax.spines[s].set_visible(False)
+ax.legend(frameon=False, loc="lower right")
+ax.set_title("Retrieval quality by system (zh, hardness 0.35, n=40)",
+             loc="left", fontsize=10)
+plt.tight_layout(); plt.show()'''),
+    ("md", """\
+## Observations
+
+Same qualitative structure as the reference's published table: fusion
+recovers what any single degraded channel loses (R@10 ≥ every channel),
+and the rerank stage buys early precision (MRR/Hit@3) at equal recall.
+The absolute numbers differ from `BASELINE.md` by construction — this
+image has no pretrained weights or LLM egress, so queries are extractive
+rather than LLM paraphrases (full caveats: `EVAL.md`). For the
+algorithm-level check that the device engine ranks exactly like a
+NumPy oracle on the real corpora, see `python -m scripts.parity_gate`."""),
+]
+
+# ---------------------------------------------------------------- notebook 04
+NB04 = [
+    ("md", """\
+# Law graph visualization
+
+The offline graph builder extracts `prev`/`next` adjacency, citation
+edges (第X条 / §-references, with confidences), and definition edges
+(所称X是指 / "X means") into one JSONL node per article. This notebook
+renders an ego subgraph around a seed article and prints walk evidence.
+
+*Reference analogue: `notebooks/04_Law_Graph_Visualization.ipynb`.*"""),
+    ("code", SETUP),
+    ("code", '''\
+from collections import Counter
+from legalrag_tpu.config import AppConfig
+from legalrag_tpu.graph import LawGraphStore
+
+cfg = AppConfig.load().with_lang("zh")
+store = LawGraphStore(cfg.paths.graph_file)
+store.load()
+rels = Counter(rel for edges in store.adj.values() for (_, rel, _, _) in edges)
+print(f"{len(store.nodes)} nodes")
+for rel, n in rels.most_common():
+    print(f"  {rel:<14} {n}")'''),
+    ("md", "## Walk from a seed article\n\nBFS with per-relation depth caps "
+           "(`graph_seed_k`/`relation_max_depth` semantics; each reached "
+           "node records the edge evidence it was reached by)."),
+    ("code", '''\
+seed = "563"   # 民法典第五百六十三条 (normalized numeric id)
+nodes = store.walk([seed], limit=40)
+for n in nodes[:10]:
+    ev = (n.meta or {}).get("_edge_evidence") or ""
+    print(f"depth={n.graph_depth} {','.join(n.relations or []):<12} "
+          f"{n.article_id:>6}  {str(ev)[:40]}")'''),
+    ("code", '''\
+import matplotlib.pyplot as plt
+import networkx as nx
+
+# Categorical palette slots in fixed relation order (identity = relation).
+REL_COLOR = {"cite": "#2a78d6", "cited_by": "#eb6834", "defined_by": "#1baf7a",
+             "defines_term": "#eda100", "prev": "#e87ba4", "next": "#008300"}
+
+G = nx.DiGraph()
+walked = {n.article_id: n for n in nodes}
+walked[seed] = store.nodes[seed]
+for nid in walked:
+    for (dst, rel, _conf, _ev) in store.adj.get(nid, []):
+        if dst in walked:
+            G.add_edge(nid, dst, rel=rel)
+
+pos = nx.spring_layout(G, seed=3)
+fig, ax = plt.subplots(figsize=(7.5, 6), dpi=110)
+nx.draw_networkx_nodes(G, pos, node_size=320, node_color="#e8eef7",
+                       edgecolors="#2a78d6", ax=ax)
+nx.draw_networkx_nodes(G, pos, nodelist=[seed], node_size=420,
+                       node_color="#2a78d6", ax=ax)
+nx.draw_networkx_labels(G, pos, font_size=7, ax=ax)
+for rel in sorted({d["rel"] for _, _, d in G.edges(data=True)}):
+    edges = [(u, v) for u, v, d in G.edges(data=True) if d["rel"] == rel]
+    nx.draw_networkx_edges(G, pos, edgelist=edges, width=1.2, arrowsize=8,
+                           edge_color=REL_COLOR.get(rel, "#777"),
+                           ax=ax, label=rel)
+ax.legend(frameon=False, fontsize=8, loc="upper left")
+ax.set_title(f"Ego graph around article {seed} ({G.number_of_nodes()} nodes, "
+             f"{G.number_of_edges()} edges)", loc="left", fontsize=10)
+ax.axis("off"); plt.tight_layout(); plt.show()'''),
+    ("md", """\
+## Interactive artifact
+
+`python -m scripts.graph_viz --lang zh` writes a self-contained
+force-directed HTML rendering of the whole graph (vanilla canvas JS, no
+CDN — works in zero-egress environments), the counterpart of the
+reference's `data/graph/law_graph.html`."""),
+]
+
+NOTEBOOKS = {
+    "01_Launch_the_Server.ipynb": NB01,
+    "02_LegalRAG_Pipeline.ipynb": NB02,
+    "03_Retrieval_Performance_Evaluation.ipynb": NB03,
+    "04_Law_Graph_Visualization.ipynb": NB04,
+}
+
+
+def build(name: str, cells) -> Path:
+    nb = new_notebook(cells=[
+        new_markdown_cell(src) if kind == "md" else new_code_cell(src)
+        for kind, src in cells])
+    nb.metadata["kernelspec"] = {
+        "display_name": "Python 3", "language": "python", "name": "python3"}
+    nb.metadata["language_info"] = {"name": "python"}
+    path = OUT / name
+    nbformat.write(nb, path)
+    return path
+
+
+def execute(path: Path) -> None:
+    from nbclient import NotebookClient
+
+    nb = nbformat.read(path, as_version=4)
+    env = dict(os.environ, LEGALRAG_FORCE_CPU="1")
+    client = NotebookClient(nb, timeout=1200, kernel_name="python3",
+                            resources={"metadata": {"path": str(OUT)}})
+    # the kernel inherits the env of this process
+    os.environ["LEGALRAG_FORCE_CPU"] = "1"
+    client.execute()
+    nbformat.write(nb, path)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--execute", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="substring filter on notebook names")
+    args = ap.parse_args()
+
+    OUT.mkdir(exist_ok=True)
+    for name, cells in NOTEBOOKS.items():
+        if args.only and args.only not in name:
+            continue
+        path = build(name, cells)
+        print("wrote", path.relative_to(REPO))
+        if args.execute:
+            print("  executing …", flush=True)
+            execute(path)
+            print("  executed ok")
+
+
+if __name__ == "__main__":
+    main()
