@@ -215,7 +215,39 @@ def main() -> None:
     large = measure_large_n()
     if large:
         out["large_n"] = large
+    bert = measure_bert_backend()
+    if bert:
+        out["bert_backend"] = bert
     print(json.dumps(out))
+
+
+def measure_bert_backend():
+    """Secondary figure: the production-parity configuration — a
+    BGE-base-shaped 12x768 encoder fused INTO the search program, one XLA
+    execution per batch (VERDICT r1 #4). Random-init weights; throughput
+    equals real BGE since shapes define the cost. Disable with
+    LEGALRAG_BENCH_BERT=0."""
+    import os
+    import subprocess
+
+    if os.environ.get("LEGALRAG_BENCH_BERT", "1") == "0":
+        return None
+    try:
+        p = subprocess.run(
+            [sys.executable, "-m", "scripts.bench_bert",
+             "--n-queries", "256"],
+            capture_output=True, text=True, timeout=2400, cwd=str(REPO))
+        lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            log(f"bert-backend skipped (no output; rc={p.returncode}): "
+                f"{p.stderr[-300:]}")
+            return None
+        d = json.loads(lines[-1])
+        log(f"bert-backend: {d}")
+        return {"qps": d["value"], "batch": d["batch"]}
+    except Exception as e:  # never fail the headline metric
+        log(f"bert-backend skipped: {e}")
+        return None
 
 
 def measure_large_n():

@@ -1,0 +1,168 @@
+"""Decoder (local-jax LLM provider) generation benchmark.
+
+Measures the TPU decode path of ``models/decoder.py`` — the replacement
+for the reference's qwen-local provider (reference ``client.py:306-369``,
+HF ``model.generate`` on CUDA) — at Qwen2-0.5B geometry (the
+``DecoderConfig`` defaults): prefill throughput and streaming decode
+tokens/s as a function of ``decode_chunk`` (tokens per device execution).
+On a remote-relay backend every execution costs a ~200 ms round trip, so
+chunked decode is the difference between dispatch-bound and
+compute-bound generation; this quantifies it.
+
+Weights are random-init **on device** (no checkpoints in this image, and
+generating host-side would push ~1 GB through the tunnel); throughput is
+identical to real weights since shapes/dtypes define the cost.
+
+Usage: python -m scripts.bench_decode [--prompt-len 512] [--new 128]
+       [--chunks 1,8,32] [--layers 24]
+Prints one JSON line on stdout; diagnostics on stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def log(*a) -> None:
+    print(*a, file=sys.stderr, flush=True)
+
+
+def device_random_params(cfg, dtype):
+    """Random-init parameters generated on the default device."""
+    import jax
+    import jax.numpy as jnp
+
+    h, ff, d = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim
+    hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    key = jax.random.PRNGKey(0)
+
+    def mat(i, o, scale=0.02):
+        nonlocal key
+        key, sub = jax.random.split(key)
+        return (jax.random.normal(sub, (i, o), jnp.float32) * scale
+                ).astype(dtype)
+
+    embed = mat(cfg.vocab_size, h, 0.05)
+    params = {
+        "embed": embed,
+        "lm_head": embed.T if cfg.tie_word_embeddings
+        else mat(h, cfg.vocab_size),
+        "final_norm": jnp.ones(h, dtype),
+        "layers": [
+            {"input_norm": jnp.ones(h, dtype),
+             "q": {"kernel": mat(h, hq * d), "bias": jnp.zeros(hq * d, dtype)},
+             "k": {"kernel": mat(h, hkv * d),
+                   "bias": jnp.zeros(hkv * d, dtype)},
+             "v": {"kernel": mat(h, hkv * d),
+                   "bias": jnp.zeros(hkv * d, dtype)},
+             "o": {"kernel": mat(hq * d, h)},
+             "post_norm": jnp.ones(h, dtype),
+             "gate": {"kernel": mat(h, ff)},
+             "up": {"kernel": mat(h, ff)},
+             "down": {"kernel": mat(ff, h)}}
+            for _ in range(cfg.num_hidden_layers)
+        ],
+    }
+    return params
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prompt-len", type=int, default=512)
+    ap.add_argument("--new", type=int, default=128)
+    ap.add_argument("--chunks", default="1,8,32")
+    ap.add_argument("--layers", type=int, default=24)
+    ap.add_argument("--max-len", type=int, default=1024)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from legalrag_tpu.models.decoder import DecoderConfig, JaxDecoderLM
+    from legalrag_tpu.utils.compile_cache import enable_compilation_cache
+    from legalrag_tpu.utils.device import apply_force_cpu
+
+    apply_force_cpu()
+    enable_compilation_cache()
+
+    import jax.numpy as jnp
+
+    cfg = DecoderConfig(num_hidden_layers=args.layers,
+                        max_position_embeddings=args.max_len)
+    n_params = (cfg.vocab_size * cfg.hidden_size
+                + cfg.num_hidden_layers * (
+                    cfg.hidden_size * cfg.num_attention_heads * cfg.head_dim
+                    * 2
+                    + cfg.hidden_size * cfg.num_key_value_heads * cfg.head_dim
+                    * 2
+                    + 3 * cfg.hidden_size * cfg.intermediate_size))
+    log(f"Qwen2-0.5B-shaped decoder: {cfg.num_hidden_layers} layers, "
+        f"H={cfg.hidden_size}, GQA {cfg.num_attention_heads}/"
+        f"{cfg.num_key_value_heads}, ~{n_params / 1e6:.0f}M params (bf16, "
+        f"device-random-init) on {jax.default_backend()}")
+    t0 = time.perf_counter()
+    params = device_random_params(cfg, jnp.bfloat16)
+    jax.block_until_ready(params["layers"][-1]["down"]["kernel"])
+    log(f"init: {time.perf_counter() - t0:.1f}s")
+
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(100, cfg.vocab_size - 100,
+                          args.prompt_len).tolist()
+
+    results = {}
+    for chunk in [int(c) for c in args.chunks.split(",") if c]:
+        lm = JaxDecoderLM(params, cfg, max_len=args.max_len,
+                          decode_chunk=chunk)
+        # warm (compile prefill + chunk program)
+        t0 = time.perf_counter()
+        n_warm = sum(1 for _ in lm.generate_stream(
+            prompt, max_new_tokens=max(2 * chunk, 2)))
+        log(f"[chunk={chunk}] compile+warmup: "
+            f"{time.perf_counter() - t0:.1f}s ({n_warm} tokens)")
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = sum(1 for _ in lm.generate_stream(
+                prompt, max_new_tokens=args.new))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        tps = n / best
+        results[chunk] = round(tps, 1)
+        log(f"[chunk={chunk}] {n} tokens in {best:.2f}s (best of 3) -> "
+            f"{tps:.1f} tok/s")
+
+    # prefill throughput (prompt tokens processed per second; first
+    # execution of a fresh generate includes it, so measure via a
+    # 1-new-token generation)
+    lm = JaxDecoderLM(params, cfg, max_len=args.max_len, decode_chunk=1)
+    next(iter(lm.generate_stream(prompt, max_new_tokens=1)))  # warm
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        next(iter(lm.generate_stream(prompt, max_new_tokens=1)))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    prefill_tps = args.prompt_len / best
+    log(f"prefill: {args.prompt_len} tokens in {best:.3f}s -> "
+        f"{prefill_tps:.0f} tok/s")
+
+    print(json.dumps({
+        "metric": "decode_tok_per_s",
+        "value": max(results.values()),
+        "unit": "tokens/s",
+        "by_chunk": results,
+        "prefill_tok_per_s": round(prefill_tps, 1),
+        "prompt_len": args.prompt_len,
+        "layers": cfg.num_hidden_layers,
+    }))
+
+
+if __name__ == "__main__":
+    main()
