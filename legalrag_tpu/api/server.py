@@ -90,6 +90,20 @@ class ServerState:
         self.error: Optional[str] = None
         self.cache = RetrieveCache(cfg.server.retrieve_cache_ttl)
         self.retrieval_url = os.environ.get("RETRIEVAL_URL")
+        self._engines: Dict[str, Any] = {}
+
+    def engine_for(self, lang: str, bundle):
+        """Per-language FusedQueryEngine cached on the server state: a
+        fresh engine per request would re-trace its jitted closure every
+        call (jit caches key on function identity), seconds-scale on
+        remote-compile backends. Invalidates when the bundle reloads."""
+        from legalrag_tpu.retrieval.engine import FusedQueryEngine
+
+        cached = self._engines.get(lang)
+        if cached is None or cached.bundle is not bundle:
+            cached = FusedQueryEngine(bundle, self.cfg.with_lang(lang))
+            self._engines[lang] = cached
+        return cached
 
     # ----------------------------------------------------------- lifecycle
     def build(self) -> None:
@@ -255,7 +269,6 @@ def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
         top_k = body.get("top_k") or cfg.retrieval.top_k
         METRICS.inc("legalrag_requests", endpoint="retrieve_batch")
         METRICS.inc("legalrag_batch_queries", value=len(questions))
-        from legalrag_tpu.retrieval.engine import FusedQueryEngine
         from legalrag_tpu.utils import detect_lang
 
         by_lang: Dict[str, list] = {}
@@ -264,7 +277,7 @@ def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
         results: list = [None] * len(questions)
         for lang, items in by_lang.items():
             bundle = st.pipeline.retriever.cache.get(lang)
-            engine = FusedQueryEngine(bundle, cfg.with_lang(lang))
+            engine = st.engine_for(lang, bundle)
             hits = engine.search_hits([q for _, q in items], top_k)
             for (i, _q), hs in zip(items, hits):
                 results[i] = [_hit_payload(h) for h in hs]
@@ -287,6 +300,7 @@ def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
     def _sse_stream(question, hits, decision, llm):
         loop = asyncio.new_event_loop()
         t0 = time.time()
+        fut = agen = None
         try:
             yield b":" + b" " * 2048 + b"\n\n"  # anti-buffering padding
             yield sse_event("meta", {
@@ -332,6 +346,20 @@ def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
             log.error("SSE stream failed: %s", e, exc_info=True)
             yield sse_event("error", {"detail": str(e)})
         finally:
+            # A disconnecting client raises GeneratorExit at a yield (not
+            # caught above): cancel the in-flight __anext__ and close the
+            # LLM stream generator BEFORE closing the loop, else the
+            # pending task and the provider's HTTP stream leak per
+            # dropped streaming client.
+            try:
+                if fut is not None and not fut.done():
+                    fut.cancel()
+                    loop.run_until_complete(
+                        asyncio.gather(fut, return_exceptions=True))
+                if agen is not None:
+                    loop.run_until_complete(agen.aclose())
+            except Exception:
+                log.debug("SSE cleanup error", exc_info=True)
             loop.close()
 
     @app.post("/rag/answer")

@@ -185,20 +185,43 @@ class IndexBundle:
         }
         if (self.cfg.retrieval.enable_colbert and self.tokens.n
                 and self.tokens.n == self.dense.n):
-            if hasattr(self.tokens, "dequantized"):
-                # compressed (nbit4) stores shard as reconstructed values;
-                # per-shard HBM is 1/S of the corpus so the blowup is bounded
-                tok_arr, mask_arr = self.tokens.dequantized()
-                tok_arr = jnp.asarray(tok_arr, jnp.dtype(self.cfg.engine.dtype))
-                mask_arr = jnp.asarray(mask_arr)
+            if isinstance(self.tokens.tok, tuple):
+                # compressed (nbit4) store: reconstruct PER SHARD on the
+                # host via make_array_from_callback — each shard
+                # dequantizes only its own row slice, so the full-size f32
+                # tensor (~100x the packed store at corpus scale) never
+                # materializes on any one device or in one host buffer
+                L, dt = self.tokens.doc_maxlen, self.tokens.token_dim
+                dtype = jnp.dtype(self.cfg.engine.dtype)
+
+                def _slice(index, which):
+                    rows = index[0]
+                    start = rows.start or 0
+                    stop = rows.stop if rows.stop is not None else cap
+                    tok_np, mask_np = self.tokens.dequantized_rows(
+                        start, stop)
+                    out = tok_np if which == "tok" else mask_np
+                    if out.shape[0] < stop - start:  # beyond store capacity
+                        pad = [(0, stop - start - out.shape[0])] \
+                            + [(0, 0)] * (out.ndim - 1)
+                        out = np.pad(out, pad)
+                    return out.astype(dtype) if which == "tok" else out
+
+                views["tok"] = jax.make_array_from_callback(
+                    (cap, L, dt),
+                    NamedSharding(self.mesh, P(MODEL_AXIS, None, None)),
+                    lambda idx: _slice(idx, "tok"))
+                views["mask"] = jax.make_array_from_callback(
+                    (cap, L),
+                    NamedSharding(self.mesh, P(MODEL_AXIS, None)),
+                    lambda idx: _slice(idx, "mask"))
             else:
-                tok_arr, mask_arr = self.tokens.tok, self.tokens.mask
-            views["tok"] = jax.device_put(
-                pad_rows(tok_arr, cap),
-                NamedSharding(self.mesh, P(MODEL_AXIS, None, None)))
-            views["mask"] = jax.device_put(
-                pad_rows(mask_arr, cap),
-                NamedSharding(self.mesh, P(MODEL_AXIS, None)))
+                views["tok"] = jax.device_put(
+                    pad_rows(self.tokens.tok, cap),
+                    NamedSharding(self.mesh, P(MODEL_AXIS, None, None)))
+                views["mask"] = jax.device_put(
+                    pad_rows(self.tokens.mask, cap),
+                    NamedSharding(self.mesh, P(MODEL_AXIS, None)))
         self._shard_views = (key, views)
         log.info("[%s] sharded index views over %d devices (cap=%d)",
                  self.lang, s, cap)

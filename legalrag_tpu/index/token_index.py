@@ -113,6 +113,20 @@ class TokenIndex:
                                self.n, kb, tile_n=min(tile_n, self.capacity))
         return np.asarray(s)[:, :k], np.asarray(i)[:, :k]
 
+    def dequantized_rows(self, start: int, stop: int
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+        """Host f32 values of rows [start, stop) (int8 stores rescale by
+        1/127, mirroring ``ops.maxsim._dequant``). Uniform across token
+        index classes so eval tooling never branches on storage dtype."""
+        stop = min(stop, self.capacity)
+        tok = np.asarray(self.tok[start:stop], np.float32)
+        if self.dtype == jnp.int8:
+            tok *= 1.0 / 127.0
+        return tok, np.asarray(self.mask[start:stop])
+
+    def dequantized(self) -> Tuple[np.ndarray, np.ndarray]:
+        return self.dequantized_rows(0, self.capacity)
+
     # -------------------------------------------------------------- persist
     def save(self, path: str | Path) -> None:
         is_int8 = self.dtype == jnp.int8
@@ -350,13 +364,25 @@ class Residual4TokenIndex:
                                self.n, kb, tile_n=min(tile_n, self.capacity))
         return np.asarray(s)[:, :k], np.asarray(i)[:, :k]
 
-    def dequantized(self) -> Tuple[np.ndarray, np.ndarray]:
-        """Host f32 reconstruction (sharded views, eval tooling)."""
-        from legalrag_tpu.ops.maxsim import Residual4Store, _dequant
+    def dequantized_rows(self, start: int, stop: int
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+        """Host f32 reconstruction of rows [start, stop) — pure NumPy
+        (mirrors ``ops.maxsim._dequant`` bit-for-bit) so callers can
+        rebuild slice-by-slice without materializing the full store on
+        any device (sharding ships one slice per shard)."""
+        stop = min(stop, self.capacity)
+        cc = np.asarray(self.codes_c[start:stop])
+        pk = np.asarray(self.packed[start:stop]).astype(np.int32)
+        q = np.empty(cc.shape + (self.token_dim,), np.float32)
+        q[..., 0::2] = (pk >> 4) - 8
+        q[..., 1::2] = (pk & 0xF) - 8
+        tok = self.centroids[cc] + q * (self.scales / 7.0)
+        return tok.astype(np.float32), np.asarray(self.mask[start:stop])
 
-        store = Residual4Store(self.codes_c, self.packed,
-                               self._centroids_dev, self._scales_dev)
-        return np.asarray(_dequant(store), np.float32), np.asarray(self.mask)
+    def dequantized(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Host f32 reconstruction (eval tooling; prefer
+        ``dequantized_rows`` at scale)."""
+        return self.dequantized_rows(0, self.capacity)
 
     @property
     def nbytes(self) -> int:

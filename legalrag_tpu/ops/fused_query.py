@@ -192,6 +192,47 @@ PACKED_NAMES = ("scores", "dense", "bm25", "rrf_norm", "weighted_sum",
                 "colbert")
 
 
+def fuse_candidate_lists(per, rrf_k: float, alpha: float, final_k: int):
+    """ONE row of candidate-list fusion, shared by the single-device
+    large-corpus program (``_fused_lists``) and the sharded step
+    (``parallel.sharded_search``) so the ranking math cannot diverge.
+
+    ``per`` is a list of ``(weight, scores[k_ch], ids[k_ch])`` per channel
+    (lists may have different lengths; invalid slots carry ``NEG_INF``).
+    Each list contributes RRF at its own in-list rank and weighted
+    min-max-normalized scores; duplicate ids merge onto their first valid
+    occurrence (reference fusion semantics, ``hybrid_retriever.py:389-551``).
+    Returns top_s/rows plus the intermediates callers need for
+    explainability components. Callers vmap this over the batch."""
+    ids = jnp.concatenate([i for _, _, i in per])
+    valid = jnp.concatenate([s > NEG_INF / 2 for _, s, _ in per])
+    rrf = jnp.where(valid, jnp.concatenate(
+        [w / (rrf_k + jnp.arange(1, s.shape[0] + 1, dtype=jnp.float32))
+         for w, s, _ in per]), 0.0)
+
+    def minmax(s, v):
+        lo = jnp.min(jnp.where(v, s, jnp.inf))
+        hi = jnp.max(jnp.where(v, s, -jnp.inf))
+        norm = jnp.where(hi > lo,
+                         (s - lo) / jnp.maximum(hi - lo, 1e-12), 1.0)
+        return jnp.where(v, norm, 0.0)
+
+    norms = jnp.concatenate([w * minmax(s, s > NEG_INF / 2)
+                             for w, s, _ in per])
+    eq = (ids[None, :] == ids[:, None]) & valid[None, :] & valid[:, None]
+    first = (jnp.argmax(eq, axis=1) == jnp.arange(ids.shape[0])) & valid
+    rrf_m = jnp.where(first, jnp.sum(jnp.where(eq, rrf[None, :], 0.0),
+                                     axis=1), 0.0)
+    wsum_m = jnp.where(first, jnp.sum(jnp.where(eq, norms[None, :], 0.0),
+                                      axis=1), 0.0)
+    rrf_n = minmax(rrf_m, first)
+    score = jnp.where(first,
+                      alpha * rrf_n + (1 - alpha) * wsum_m, NEG_INF)
+    top_s, pos = jax.lax.top_k(score, final_k)
+    return {"top_s": top_s, "rows": ids[pos], "pos": pos,
+            "rrf_n": rrf_n, "wsum_m": wsum_m}
+
+
 def _fused_lists(dense_s, sparse_impact, doc_tok, doc_mask, qtf_pair,
                  q_tok, q_mask, params: FusedParams):
     """Candidate-list fusion for the large-corpus mode: every channel
@@ -232,33 +273,8 @@ def _fused_lists(dense_s, sparse_impact, doc_tok, doc_mask, qtf_pair,
     def fuse_row(*flat):
         per = [(w, s, i) for (w, _, _), s, i
                in zip(lists, flat[0::2], flat[1::2])]
-        ids = jnp.concatenate([i for _, _, i in per])
-        valid = jnp.concatenate([s > NEG_INF / 2 for _, s, _ in per])
-        ranks = jnp.arange(1, per[0][1].shape[0] + 1, dtype=jnp.float32)
-        rrf = jnp.where(valid, jnp.concatenate(
-            [w / (params.rrf_k + ranks) for w, _, _ in per]), 0.0)
-
-        def minmax(s, v):
-            lo = jnp.min(jnp.where(v, s, jnp.inf))
-            hi = jnp.max(jnp.where(v, s, -jnp.inf))
-            norm = jnp.where(hi > lo,
-                             (s - lo) / jnp.maximum(hi - lo, 1e-12), 1.0)
-            return jnp.where(v, norm, 0.0)
-
-        norms = jnp.concatenate([w * minmax(s, s > NEG_INF / 2)
-                                 for w, s, _ in per])
-        eq = (ids[None, :] == ids[:, None]) & valid[None, :] & valid[:, None]
-        first = (jnp.argmax(eq, axis=1) == jnp.arange(ids.shape[0])) & valid
-        rrf_m = jnp.where(first, jnp.sum(jnp.where(eq, rrf[None, :], 0.0),
-                                         axis=1), 0.0)
-        wsum_m = jnp.where(first, jnp.sum(jnp.where(eq, norms[None, :], 0.0),
-                                          axis=1), 0.0)
-        rrf_n = minmax(rrf_m, first)
-        score = jnp.where(first,
-                          params.alpha * rrf_n
-                          + (1 - params.alpha) * wsum_m, NEG_INF)
-        top_s, pos = jax.lax.top_k(score, final_k)
-        rows = ids[pos]
+        r = fuse_candidate_lists(per, params.rrf_k, params.alpha, final_k)
+        top_s, rows, pos = r["top_s"], r["rows"], r["pos"]
 
         def lookup(s_list, i_list):
             hit = (rows[:, None] == i_list[None, :]) \
@@ -267,7 +283,8 @@ def _fused_lists(dense_s, sparse_impact, doc_tok, doc_mask, qtf_pair,
             return jnp.where(val > NEG_INF / 2, val, 0.0)
 
         comps = [top_s, lookup(per[0][1], per[0][2]),
-                 lookup(per[1][1], per[1][2]), rrf_n[pos], wsum_m[pos]]
+                 lookup(per[1][1], per[1][2]),
+                 r["rrf_n"][pos], r["wsum_m"][pos]]
         if len(per) > 2:
             comps.append(lookup(per[2][1], per[2][2]))
         return rows, jnp.stack(comps, axis=-1)

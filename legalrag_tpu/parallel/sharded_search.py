@@ -118,38 +118,17 @@ def make_sharded_hybrid_step(mesh: Mesh, k: int, eff_k: int,
                 _maxsim_local(doc_tok_l, doc_mask_l, q_tok_l, q_mask_l),
                 eff_k, offset, valid_n)))
 
-        # fuse the gathered candidate lists (n_channels·eff_k per query);
-        # masking rules mirror ops.fused_query exactly (valid = non-NEG_INF
-        # candidates; min-max statistics exclude masked and duplicate slots)
+        # fuse the gathered candidate lists (n_channels·eff_k per query)
+        # with the SAME row kernel as the single-device large-corpus
+        # program — the ranking math cannot diverge between the paths
         def fuse_row(*flat):
+            from legalrag_tpu.ops.fused_query import fuse_candidate_lists
+
             per = [(w, s, i) for (w, _, _), s, i
                    in zip(lists, flat[0::2], flat[1::2])]
-            ids = jnp.concatenate([i for _, _, i in per])
-            valid = jnp.concatenate([s > -1e29 for _, s, _ in per])
-            ranks = jnp.arange(1, per[0][1].shape[0] + 1, dtype=jnp.float32)
-            rrf = jnp.where(valid, jnp.concatenate(
-                [w / (rrf_k + ranks) for w, _, _ in per]), 0.0)
-
-            def minmax(s, v):
-                lo = jnp.min(jnp.where(v, s, jnp.inf))
-                hi = jnp.max(jnp.where(v, s, -jnp.inf))
-                norm = jnp.where(hi > lo,
-                                 (s - lo) / jnp.maximum(hi - lo, 1e-12), 1.0)
-                return jnp.where(v, norm, 0.0)
-
-            wsum = jnp.concatenate([w * minmax(s, s > -1e29)
-                                    for w, s, _ in per])
-            # merge duplicate ids: first valid occurrence accumulates all
-            eq = (ids[None, :] == ids[:, None]) & valid[None, :] & valid[:, None]
-            first = (jnp.argmax(eq, axis=1) == jnp.arange(ids.shape[0])) & valid
-            rrf_m = jnp.where(first, jnp.sum(jnp.where(eq, rrf[None, :], 0.0),
-                                             axis=1), 0.0)
-            wsum_m = jnp.where(first, jnp.sum(jnp.where(eq, wsum[None, :], 0.0),
-                                              axis=1), 0.0)
-            score = alpha * minmax(rrf_m, first) + (1 - alpha) * wsum_m
-            score = jnp.where(first, score, -1e30)
-            top_s, pos = jax.lax.top_k(score, min(k, score.shape[0]))
-            return top_s, ids[pos]
+            n_cand = sum(s.shape[0] for _, s, _ in per)
+            r = fuse_candidate_lists(per, rrf_k, alpha, min(k, n_cand))
+            return r["top_s"], r["rows"]
 
         flat = []
         for _, s, i in lists:

@@ -23,7 +23,7 @@ from __future__ import annotations
 import asyncio
 import threading
 import time
-from queue import Queue
+from queue import Empty, Queue
 from typing import AsyncGenerator, Dict, List, Optional, Tuple
 
 from legalrag_tpu.config import AppConfig
@@ -153,10 +153,14 @@ class RagPipeline:
         messages = self._build_messages(question, hits, decision)
         client = llm or self.llm
         q: Queue = Queue(maxsize=256)
+        stop = threading.Event()
 
         def worker() -> None:
             try:
-                for chunk in client.chat_stream(messages, tag="answer"):
+                gen = client.chat_stream(messages, tag="answer")
+                for chunk in gen:
+                    if stop.is_set():  # consumer gone: close the LLM stream
+                        break
                     q.put(chunk)
             except Exception as e:  # surface stream errors to the consumer
                 q.put(e)
@@ -167,17 +171,29 @@ class RagPipeline:
         t0 = time.perf_counter()
         first = True
         loop = asyncio.get_running_loop()
-        while True:
-            item = await loop.run_in_executor(None, q.get)
-            if item is _STREAM_END:
-                break
-            if isinstance(item, Exception):
-                raise item
-            if first:
-                log.info("[TIMING] first_token=%.1fms",
-                         (time.perf_counter() - t0) * 1e3)
-                first = False
-            yield item
+        try:
+            while True:
+                item = await loop.run_in_executor(None, q.get)
+                if item is _STREAM_END:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                if first:
+                    log.info("[TIMING] first_token=%.1fms",
+                             (time.perf_counter() - t0) * 1e3)
+                    first = False
+                yield item
+        finally:
+            # aclose()/GeneratorExit (client disconnect) lands here: tell
+            # the worker to stop and drain the queue so a put() blocked on
+            # a full queue can complete — otherwise the thread (and the
+            # provider's HTTP stream it holds) leaks per dropped client
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except Empty:
+                pass
 
     def answer(self, question: str, top_k: Optional[int] = None) -> RagAnswer:
         hits, decision = self.retrieve(question, top_k=top_k)

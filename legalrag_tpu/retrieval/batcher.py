@@ -98,14 +98,22 @@ class MicroBatcher:
             # the leader's own slot is always in its first drained batch
             # (it was appended before leadership was taken)
         ok = slot.event.wait(self._timeout)
-        if not ok or not slot.done:
-            # leader vanished (should not happen — _lead never abandons a
-            # non-empty queue) or timed out: fall back to a solo execution
+        if not ok:
             with self._lock:
-                if slot in self._pending:
+                unclaimed = slot in self._pending
+                if unclaimed:
                     self._pending.remove(slot)
-            res = self._run([question], eff_k)
-            return _slice_result(res, 0, eff_k)
+            if unclaimed:
+                # leader vanished before draining us (should not happen —
+                # _lead never abandons a non-empty queue): solo execution
+                res = self._run([question], eff_k)
+                return _slice_result(res, 0, eff_k)
+            # Our slot is inside an in-flight execution (first-compile
+            # storms routinely exceed the timeout on remote-compile
+            # backends): the leader WILL complete it (errors propagate
+            # too) — a duplicate solo run would pile more device work on
+            # the slowest moment. Wait it out.
+            slot.event.wait()
         if slot.error is not None:
             raise slot.error
         return slot.value

@@ -33,7 +33,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timeit(fn, ready, iters):
+def timeit(fn, iters):
     """Two-pass slope timing: ``jax.block_until_ready`` does NOT drain the
     queue on remote relay backends (it returns at dispatch), so each pass
     ends with a HOST FETCH of the first output leaf, and the constant
@@ -105,8 +105,7 @@ def main() -> None:
         for kb in ("xla", "pallas"):
             try:
                 dt = timeit(
-                    lambda: dense_topk(emb, q, valid, args.k, backend=kb),
-                    lambda o: jax.block_until_ready(o), args.iters)
+                    lambda: dense_topk(emb, q, valid, args.k, backend=kb), args.iters)
                 row = {"op": "dense_topk", "n_docs": n, "backend": kb,
                        "ms_per_batch": round(dt * 1e3, 3),
                        "batch": args.batch}
@@ -129,8 +128,7 @@ def main() -> None:
 
         try:
             dt = timeit(lambda: maxsim_full(tok, mask, q_tok, q_mask,
-                                            tile_n=256),
-                        lambda o: jax.block_until_ready(o), args.iters)
+                                            tile_n=256), args.iters)
             row = {"op": "maxsim_full", "n_docs": n, "backend": "xla-int8",
                    "ms_per_batch": round(dt * 1e3, 3), "batch": args.batch}
         except Exception as e:
@@ -150,8 +148,7 @@ def main() -> None:
             # same bf16 operand as the Pallas kernel (apples-to-apples HBM
             # traffic; the int8 row above has half the bytes)
             dt = timeit(lambda: maxsim_full(tok_f, mask, q_tok, q_mask,
-                                            tile_n=256),
-                        lambda o: jax.block_until_ready(o), args.iters)
+                                            tile_n=256), args.iters)
             row = {"op": "maxsim_full", "n_docs": n, "backend": "xla-bf16",
                    "ms_per_batch": round(dt * 1e3, 3), "batch": args.batch}
         except Exception as e:
@@ -164,8 +161,7 @@ def main() -> None:
             from legalrag_tpu.ops.maxsim_pallas2 import maxsim_scores_pallas2
 
             dt = timeit(lambda: maxsim_scores_pallas2(tok_f, mask, q_tok,
-                                                      q_mask),
-                        lambda o: jax.block_until_ready(o), args.iters)
+                                                      q_mask), args.iters)
             row = {"op": "maxsim_full", "n_docs": n, "backend": "pallas2",
                    "ms_per_batch": round(dt * 1e3, 3), "batch": args.batch}
         except Exception as e:

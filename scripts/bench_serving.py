@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import threading
 import time
@@ -103,6 +104,9 @@ def main() -> None:
     from legalrag_tpu.utils.device import apply_force_cpu
 
     if args.device == "cpu":
+        # apply_force_cpu is env-gated; set the env first or the flag
+        # silently benchmarks the TPU default device under a "cpu" label
+        os.environ["LEGALRAG_FORCE_CPU"] = "1"
         apply_force_cpu()
     from legalrag_tpu.utils.compile_cache import enable_compilation_cache
 

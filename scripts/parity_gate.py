@@ -63,11 +63,10 @@ class NumpyOracle:
         self.doc_tokens = [tokenize(c.text, bundle.lang)
                            for c in bundle.chunks]
         self.lang = bundle.lang
-        self.tok = np.asarray(bundle.tokens.tok[: bundle.tokens.n],
-                              np.float32)
-        if hasattr(bundle.tokens, "_dequant_np"):
-            self.tok = bundle.tokens._dequant_np(self.tok)
-        self.mask = np.asarray(bundle.tokens.mask[: bundle.tokens.n])
+        # uniform across bf16/int8/nbit4 stores: host f32 reconstruction
+        # matching what the device MaxSim producers score
+        self.tok, self.mask = bundle.tokens.dequantized_rows(
+            0, bundle.tokens.n)
         self.maxq = cfg.engine.max_query_tokens
         r = cfg.retrieval
         self.k1, self.b, self.eps = r.bm25_k1, r.bm25_b, r.bm25_epsilon

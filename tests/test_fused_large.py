@@ -101,3 +101,30 @@ def test_candidate_mode_prefilters(setup):
     assert (rows < bundle.dense.n).all()
     scores = np.asarray(out["packed"])[..., 0]
     assert (np.diff(scores[0]) <= 1e-6).all()
+
+
+def test_candidate_mode_eff_k_exceeds_late_candidates(setup):
+    """Regression: fuse_row built RRF ranks from the FIRST list's length,
+    so a late-channel list shorter than eff_k (late_candidates < eff_k —
+    any top_k >= 33 with the default 128-candidate prefilter) crashed at
+    trace time with a broadcast ValueError."""
+    bundle, cfg = setup
+    queries = ["firm offer by a merchant in a signed writing"]
+    qvec, ids, mask, qt, qm = _query_inputs(bundle, cfg, queries)
+    params = FusedParams(eff_k=32, final_k=10, rrf_k=60.0, alpha=0.5,
+                         w_dense=0.6, w_bm25=0.4, w_late=0.35,
+                         late_candidates=8)
+    offsets, post_docs, post_w = build_postings(
+        bundle.bm25.doc_term_ids, bundle.bm25.doc_term_freqs,
+        len(bundle.bm25.vocab))
+    out = fused_hybrid_topk(
+        bundle.dense.emb,
+        (jnp.asarray(offsets), jnp.asarray(post_docs), jnp.asarray(post_w)),
+        bundle.tokens.tok, bundle.tokens.mask, qvec,
+        (jnp.asarray(ids), jnp.asarray(mask)), qt, qm,
+        jnp.int32(bundle.dense.n), params)
+    rows = np.asarray(out["rows"])
+    assert rows.shape == (1, 10)
+    assert (rows < bundle.dense.n).all()
+    scores = np.asarray(out["packed"])[..., 0]
+    assert (np.diff(scores[0]) <= 1e-6).all()

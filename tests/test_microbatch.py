@@ -2,6 +2,7 @@
 with results identical to the serial path (retrieval/batcher.py)."""
 
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -132,3 +133,40 @@ def test_empty_index_returns_none(en_chunks):
     hybrid = HybridRetriever(bundle, cfg)
     bundle.dense.n = 0  # simulate an empty index
     assert hybrid._channels_topk_all("anything", 8) is None
+
+
+def test_slow_execution_does_not_trigger_duplicate_solo_runs():
+    """Regression: followers whose slot was already drained into an
+    in-flight batch used to time out (wait_timeout) and launch their own
+    solo executions — exactly during first-compile storms when the device
+    is slowest. A claimed slot must wait for the leader's result."""
+    calls = []
+    release = threading.Event()
+
+    def slow_run(questions, eff_k):
+        calls.append(list(questions))
+        release.wait(5.0)  # longer than the batcher timeout below
+        return {"x": (np.zeros((len(questions), eff_k), np.float32),
+                      np.zeros((len(questions), eff_k), np.int32))}
+
+    mb = MicroBatcher(slow_run, window_s=0.05, max_batch=8,
+                      wait_timeout_s=0.2)
+    out, errs = [], []
+
+    def worker(q):
+        try:
+            out.append(mb.run(q, 4))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(f"q{i}",)) for i in range(4)]
+    for t in ts:
+        t.start()
+    time.sleep(1.0)          # all four slots claimed, execution in flight
+    release.set()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert len(out) == 4 and all(o is not None for o in out)
+    assert len(calls) == 1   # ONE device execution, no solo duplicates
+    assert sorted(calls[0]) == ["q0", "q1", "q2", "q3"]

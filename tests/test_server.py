@@ -265,3 +265,52 @@ def test_sse_pings_flow_during_llm_stall(client, app):
         assert [e for e, _ in s.sse_events()][-1] == "done"
     finally:
         app.state.pipeline.llm = old
+
+
+def test_sse_client_disconnect_cleans_up(client, app):
+    """Dropping the SSE stream mid-answer (GeneratorExit at a yield) must
+    cancel the in-flight LLM iteration and release the worker: the stub's
+    stream generator sees close/break instead of pumping forever."""
+    import threading as _threading
+
+    state = {"closed": False, "yielded": 0}
+    release = _threading.Event()
+
+    class EndlessLLM:
+        is_degraded = False
+
+        def chat(self, messages, tag="chat", **kw):
+            return "x"
+
+        def chat_stream(self, messages, tag="chat", **kw):
+            try:
+                while True:
+                    state["yielded"] += 1
+                    yield "tok "
+            finally:
+                state["closed"] = True
+                release.set()
+
+        def degraded_answer(self, messages):
+            return "degraded"
+
+    old = app.state.pipeline.llm
+    app.state.pipeline.llm = EndlessLLM()
+    try:
+        r = client.post("/rag/retrieve", json_body={"question": "解除合同"})
+        rid = r.json()["retrieval_id"]
+        from legalrag_tpu.api.webcore import Request as WebRequest
+
+        req = WebRequest(method="POST", path="/rag/answer",
+                         headers={"content-type": "application/json"},
+                         query={}, body=json.dumps(
+                             {"retrieval_id": rid, "stream": True}).encode())
+        resp = app.dispatch(req)
+        it = resp.iterator
+        for _ in range(4):          # consume a few SSE chunks...
+            next(it)
+        it.close()                  # ...then disconnect
+        assert release.wait(5.0), "LLM stream generator never closed"
+        assert state["closed"]
+    finally:
+        app.state.pipeline.llm = old

@@ -185,3 +185,38 @@ def test_sharded_hybrid_step_with_late_channel():
     ref_s = np.asarray(ref["packed"])[..., 0]
     np.testing.assert_array_equal(i, ref_i)
     np.testing.assert_allclose(s, ref_s, atol=1e-5)
+
+
+def test_sharded_nbit4_store(corpus, tmp_path_factory):
+    """A compressed (nbit4) token store must shard via per-slice host
+    reconstruction (regression: shard_views dequantized the WHOLE store
+    on the default device first) and agree with the unsharded engine's
+    in-kernel dequant scoring."""
+    root = tmp_path_factory.mktemp("shard4")
+    cfg = _cfg(root)
+    cfg.engine.token_dtype = "nbit4"
+    from legalrag_tpu.retrieval.hybrid import HybridRetriever
+
+    bundle = IndexBundle.build_from_chunks(corpus, cfg.with_lang("zh"), "zh")
+    sharded = IndexBundle.build_from_chunks(corpus, cfg.with_lang("zh"), "zh")
+    mesh = make_mesh(local_devices("cpu")[:4], data=1, model=4)
+    sharded.enable_sharding(mesh)
+    views = sharded.shard_views()
+    assert views["tok"].shape[0] % 4 == 0
+
+    plain = HybridRetriever(bundle, cfg.with_lang("zh"))
+    shard = HybridRetriever(sharded, cfg.with_lang("zh"))
+    for q in QUERIES:
+        a = plain._channels_topk_all(q, 16)
+        b = shard._channels_topk_all(q, 16)
+        # reconstruction math is identical; the sharded copy stores the
+        # engine dtype (bf16) so scores match to bf16 resolution and the
+        # top lists agree as sets (ties may reorder)
+        ids_a = np.asarray(a["colbert"][1]).ravel().tolist()
+        ids_b = np.asarray(b["colbert"][1]).ravel().tolist()
+        assert len(set(ids_a) & set(ids_b)) >= 15
+        np.testing.assert_allclose(
+            np.sort(np.asarray(a["colbert"][0]).ravel()),
+            np.sort(np.asarray(b["colbert"][0]).ravel()),
+            atol=2e-2, err_msg=f"colbert scores for {q!r}")
+        np.testing.assert_array_equal(a["dense"][1], b["dense"][1])
