@@ -89,9 +89,11 @@ class EngineConfig(BaseModel):
     mesh_data_axis: str = "data"
     mesh_model_axis: str = "model"
     # multi-chip serving: shard every index's doc axis over this many
-    # devices (model axis); 1 = single-device. Replaces the reference's
-    # docker-compose HTTP fan-out (docker-compose.yml:1-23) with ICI
-    # all_gather candidate merges.
+    # devices (model axis); 1 = single-device; -1 = every visible device
+    # (with JAX_COORDINATOR_ADDRESS set, jax.distributed makes that a
+    # whole pod slice — slice-major layout via parallel.mesh). Replaces
+    # the reference's docker-compose HTTP fan-out
+    # (docker-compose.yml:1-23) with ICI all_gather candidate merges.
     n_index_shards: int = 1
 
 

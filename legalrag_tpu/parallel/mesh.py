@@ -51,6 +51,53 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def init_multihost() -> bool:
+    """Initialize ``jax.distributed`` from the standard coordinator env
+    (``JAX_COORDINATOR_ADDRESS`` [+ ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID`` where the platform can't infer them]). No-op —
+    returns False — when the env is absent or it is already initialized,
+    so single-host flows never pay anything. After this,
+    ``jax.devices()`` is GLOBAL across hosts and the serving mesh can
+    span a full pod slice."""
+    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return False
+    try:
+        jax.distributed.initialize()
+    except RuntimeError:
+        return False  # already initialized
+    return True
+
+
+def slice_major_order(devices: Sequence) -> tuple:
+    """Order devices (slice, process, id)-major and return
+    ``(n_slices, ordered)``.
+
+    Layout policy for the index engine (the scaling-book recipe): chips
+    WITHIN a pod slice are ICI-connected — the corpus (``model``) axis
+    lives there, so the per-query all_gather top-k merges ride ICI.
+    Separate slices only reach each other over DCN — that boundary gets
+    the ``data`` (query-batch) axis, whose only collective is the batch
+    scatter/gather. Pure function (testable with stub devices)."""
+    order = sorted(devices, key=lambda d: (getattr(d, "slice_index", 0) or 0,
+                                           d.process_index, d.id))
+    n_slices = len({getattr(d, "slice_index", 0) or 0 for d in order})
+    return n_slices, order
+
+
+def make_global_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """``(data, model)`` mesh over ALL visible devices: ``data`` = pod
+    slices (DCN), ``model`` = chips within a slice (ICI). Single-slice
+    (including single-host) degenerates to ``(1, n)`` — identical to the
+    default ``make_mesh``. Call ``init_multihost()`` first so
+    ``jax.devices()`` is global."""
+    devs = list(devices) if devices is not None else local_devices()
+    n_slices, order = slice_major_order(devs)
+    assert len(order) % n_slices == 0, \
+        f"{len(order)} devices do not tile {n_slices} slices"
+    arr = np.asarray(order).reshape(n_slices, len(order) // n_slices)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -40,12 +40,19 @@ class BundleCache:
         self._mesh = None
 
     def _serving_mesh(self):
-        """Lazy (1, n_index_shards) mesh for multi-chip serving."""
+        """Lazy (1, n_index_shards) mesh for multi-chip serving
+        (n_index_shards=-1: slice-major mesh over every visible device —
+        multi-host when jax.distributed is up, see parallel.mesh)."""
         if self._mesh is None:
-            from legalrag_tpu.parallel.mesh import local_devices, make_mesh
+            from legalrag_tpu.parallel.mesh import (
+                init_multihost, local_devices, make_global_mesh, make_mesh)
 
+            init_multihost()  # no-op without JAX_COORDINATOR_ADDRESS
             s = self.cfg.engine.n_index_shards
             devs = local_devices()
+            if s == -1:
+                self._mesh = make_global_mesh(devs)
+                return self._mesh
             if len(devs) < s:
                 raise RuntimeError(
                     f"engine.n_index_shards={s} but only {len(devs)} "
@@ -72,14 +79,14 @@ class BundleCache:
             lang_cfg = self.cfg.with_lang(lang)
             log.info("[%s] (re)loading index generation=%s from %s", lang, gen, d)
             bundle = IndexBundle.load(d, lang_cfg, lang, device=self.device)
-            if self.cfg.engine.n_index_shards > 1:
+            if self.cfg.engine.n_index_shards != 1:
                 bundle.enable_sharding(self._serving_mesh())
             self._bundles[lang] = bundle
         return bundle
 
     def put(self, lang: str, bundle: IndexBundle) -> None:
         """Install a live bundle (in-process ingest path)."""
-        if self.cfg.engine.n_index_shards > 1 and bundle.mesh is None:
+        if self.cfg.engine.n_index_shards != 1 and bundle.mesh is None:
             bundle.enable_sharding(self._serving_mesh())
         self._bundles[lang] = bundle
         self._last_check[lang] = time.monotonic()

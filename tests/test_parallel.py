@@ -97,3 +97,65 @@ def test_contrastive_train_step_learns(mesh):
     assert losses[0] > 0.5  # non-trivial at init
     assert losses[-1] < losses[0] - 0.05  # it optimizes
     assert np.isfinite(losses).all()
+
+
+class _StubDev:
+    def __init__(self, slice_index, process_index, id_):
+        self.slice_index = slice_index
+        self.process_index = process_index
+        self.id = id_
+
+
+def test_slice_major_order_policy():
+    """model axis (ICI) = chips within a slice, data axis (DCN) = slices:
+    ordering is slice-major so the reshape puts each slice's chips in one
+    mesh row."""
+    from legalrag_tpu.parallel.mesh import slice_major_order
+
+    devs = [_StubDev(s, p, i) for i in (1, 0) for p in (1, 0) for s in (1, 0)]
+    n_slices, order = slice_major_order(devs)
+    assert n_slices == 2
+    assert [(d.slice_index, d.process_index, d.id) for d in order] == [
+        (0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
+        (1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1)]
+
+
+def test_make_global_mesh_single_slice_cpu():
+    from legalrag_tpu.parallel.mesh import (
+        DATA_AXIS, MODEL_AXIS, local_devices, make_global_mesh)
+
+    mesh = make_global_mesh(local_devices("cpu"))
+    assert mesh.shape[DATA_AXIS] == 1          # one slice on CPU
+    assert mesh.shape[MODEL_AXIS] == len(local_devices("cpu"))
+
+
+def test_init_multihost_noop_without_env(monkeypatch):
+    from legalrag_tpu.parallel import mesh as m
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert m.init_multihost() is False
+
+
+def test_n_index_shards_all_devices(zh_chunks, tmp_path_factory):
+    """engine.n_index_shards=-1 shards over every visible device."""
+    from legalrag_tpu.retrieval.by_lang import BundleCache
+    from legalrag_tpu.index.bundle import IndexBundle
+    from legalrag_tpu.config import AppConfig
+    from legalrag_tpu.parallel.mesh import MODEL_AXIS, local_devices
+
+    root = tmp_path_factory.mktemp("allshards")
+    cfg = AppConfig()
+    cfg.engine.capacity_round = 64
+    cfg.engine.late_doc_maxlen = 32
+    cfg.engine.n_index_shards = -1
+    for name in ("data_dir", "raw_dir", "processed_dir", "index_dir",
+                 "graph_dir", "eval_dir", "upload_dir"):
+        setattr(cfg.paths, name, root / name)
+    cfg.paths.ensure_tree()
+    bundle = IndexBundle.build_from_chunks(zh_chunks[:60],
+                                           cfg.with_lang("zh"), "zh")
+    bundle.save(root / "index_dir" / "zh")
+    cache = BundleCache(cfg)
+    loaded = cache.get("zh")
+    assert loaded.mesh is not None
+    assert loaded.mesh.shape[MODEL_AXIS] == len(local_devices("cpu"))
