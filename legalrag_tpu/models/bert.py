@@ -219,7 +219,9 @@ class FlaxBertEncoder:
         self.tokenizer = tokenizer
         self.instruction = instruction
         self.device = device
-        self.max_length = max_length
+        # a max_length past the checkpoint's position table would index
+        # nonexistent position embeddings (shape error at trace time)
+        self.max_length = min(max_length, cfg.max_position_embeddings)
         self.dim = cfg.hidden_size
         self.token_dim = token_dim
         self.token_proj = token_proj  # optional ColBERT linear head

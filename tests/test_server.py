@@ -314,3 +314,59 @@ def test_sse_client_disconnect_cleans_up(client, app):
         assert state["closed"]
     finally:
         app.state.pipeline.llm = old
+
+
+def test_server_bert_backend_end_to_end(en_chunks, tmp_path_factory):
+    """embedding_backend=bert through the FULL server path: config-driven
+    bundle build, /rag/retrieve (one-shot fused program with the encoder
+    forward inside) and /rag/retrieve_batch (FusedQueryEngine cached on
+    server state)."""
+    torch = pytest.importorskip("torch")
+    from transformers import BertConfig, BertModel, BertTokenizerFast
+
+    root = tmp_path_factory.mktemp("srv_bert")
+    ckpt = root / "tiny_bert"
+    torch.manual_seed(0)
+    BertModel(BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                         num_attention_heads=2, intermediate_size=64,
+                         max_position_embeddings=64)).save_pretrained(ckpt)
+    vocab = ckpt / "vocab.txt"
+    vocab.write_text("\n".join(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "the", "seller",
+         "buyer", "goods", "security", "interest", "of", "a", "delivery"]))
+    BertTokenizerFast(vocab_file=str(vocab)).save_pretrained(ckpt)
+
+    cfg = AppConfig()
+    cfg.llm.provider = "disabled"
+    cfg.llm.api_key = None
+    cfg.engine.capacity_round = 256
+    cfg.engine.late_doc_maxlen = 32
+    cfg.engine.late_dim = 16
+    cfg.engine.max_query_tokens = 24
+    cfg.retrieval.embedding_backend = "bert"
+    cfg.retrieval.embedding_model_en = str(ckpt)
+    cfg.retrieval.embedding_model_zh = str(ckpt)
+    for name in ("data_dir", "raw_dir", "processed_dir", "index_dir",
+                 "graph_dir", "eval_dir", "upload_dir"):
+        setattr(cfg.paths, name, root / name)
+    cfg.paths.ensure_tree()
+    bundle = IndexBundle.build_from_chunks(en_chunks[:60],
+                                           cfg.with_lang("en"), "en")
+    bundle.save(root / "index_dir" / "en")
+
+    client = TestClient(create_app(cfg, build_async=False))
+    r = client.post("/rag/retrieve",
+                    json_body={"question": "security interest of the buyer",
+                               "top_k": 5})
+    assert r.status == 200
+    hits = r.json()["hits"]
+    assert hits and hits[0]["chunk"]["article_id"]
+
+    b = client.post("/rag/retrieve_batch", json_body={
+        "questions": ["security interest of the buyer",
+                      "delivery of the goods"], "top_k": 5})
+    assert b.status == 200
+    results = b.json()["results"]
+    assert len(results) == 2 and all(res for res in results)
+    # single-path and batch-path agree on the top hit
+    assert results[0][0]["chunk"]["id"] == hits[0]["chunk"]["id"]
