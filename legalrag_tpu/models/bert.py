@@ -37,7 +37,8 @@ class BertConfig:
     def __init__(self, vocab_size=30522, hidden_size=768,
                  num_hidden_layers=12, num_attention_heads=12,
                  intermediate_size=3072, max_position_embeddings=512,
-                 type_vocab_size=2, layer_norm_eps=1e-12, **_ignored):
+                 type_vocab_size=2, layer_norm_eps=1e-12,
+                 model_type="bert", pad_token_id=0, **_ignored):
         self.vocab_size = vocab_size
         self.hidden_size = hidden_size
         self.num_hidden_layers = num_hidden_layers
@@ -46,6 +47,22 @@ class BertConfig:
         self.max_position_embeddings = max_position_embeddings
         self.type_vocab_size = type_vocab_size
         self.layer_norm_eps = layer_norm_eps
+        self.model_type = model_type or "bert"
+        self.pad_token_id = 0 if pad_token_id is None else int(pad_token_id)
+
+    @property
+    def roberta_positions(self) -> bool:
+        """Roberta-family (incl. XLMRoberta — bge-reranker-v2-m3, bge-m3)
+        position ids start at pad_token_id+1 and skip padded slots
+        (HF ``create_position_ids_from_input_ids``)."""
+        return self.model_type in ("roberta", "xlm-roberta", "camembert")
+
+    @property
+    def usable_positions(self) -> int:
+        """Longest sequence the position table supports (roberta tables
+        carry pad_token_id+1 unused leading rows)."""
+        off = self.pad_token_id + 2 if self.roberta_positions else 0
+        return self.max_position_embeddings - off
 
     @classmethod
     def from_json(cls, path: Path) -> "BertConfig":
@@ -73,8 +90,15 @@ def bert_forward(params: Dict, cfg: BertConfig, input_ids: jax.Array,
     if token_type_ids is None:
         token_type_ids = jnp.zeros_like(input_ids)
     emb = params["embeddings"]
-    x = (jnp.take(emb["word_embeddings"], input_ids, axis=0)
-         + emb["position_embeddings"][None, :l]
+    if cfg.roberta_positions:
+        # bit-exact HF create_position_ids_from_input_ids: count from
+        # pad_token_id+1, padded slots index the pad row
+        m = (input_ids != cfg.pad_token_id).astype(jnp.int32)
+        pos_ids = jnp.cumsum(m, axis=1) * m + cfg.pad_token_id
+        pos = jnp.take(emb["position_embeddings"], pos_ids, axis=0)
+    else:
+        pos = emb["position_embeddings"][None, :l]
+    x = (jnp.take(emb["word_embeddings"], input_ids, axis=0) + pos
          + jnp.take(emb["token_type_embeddings"], token_type_ids, axis=0))
     x = _layer_norm(x, emb["LayerNorm"]["weight"], emb["LayerNorm"]["bias"],
                     cfg.layer_norm_eps)
@@ -113,7 +137,7 @@ def load_hf_bert_params(model_dir: Path) -> Tuple[Dict, BertConfig]:
     tensors = _load_safetensors(model_dir)
 
     def get(name):
-        for prefix in ("", "bert.", "model."):
+        for prefix in ("", "bert.", "roberta.", "model."):
             key = prefix + name
             if key in tensors:
                 return jnp.asarray(tensors[key])
@@ -125,11 +149,16 @@ def load_hf_bert_params(model_dir: Path) -> Tuple[Dict, BertConfig]:
     def ln(name):
         return {"weight": get(f"{name}.weight"), "bias": get(f"{name}.bias")}
 
+    try:
+        # roberta-family checkpoints may omit the (size-1) token-type table
+        token_type = get("embeddings.token_type_embeddings.weight")
+    except KeyError:
+        token_type = jnp.zeros((1, cfg.hidden_size), jnp.float32)
     params: Dict = {
         "embeddings": {
             "word_embeddings": get("embeddings.word_embeddings.weight"),
             "position_embeddings": get("embeddings.position_embeddings.weight"),
-            "token_type_embeddings": get("embeddings.token_type_embeddings.weight"),
+            "token_type_embeddings": token_type,
             "LayerNorm": ln("embeddings.LayerNorm"),
         },
         "layers": [],
@@ -219,9 +248,10 @@ class FlaxBertEncoder:
         self.tokenizer = tokenizer
         self.instruction = instruction
         self.device = device
-        # a max_length past the checkpoint's position table would index
-        # nonexistent position embeddings (shape error at trace time)
-        self.max_length = min(max_length, cfg.max_position_embeddings)
+        # a max_length past the checkpoint's usable position table would
+        # index nonexistent position embeddings (roberta tables carry
+        # pad+2 unused leading rows)
+        self.max_length = min(max_length, cfg.usable_positions)
         self.dim = cfg.hidden_size
         self.token_dim = token_dim
         self.token_proj = token_proj  # optional ColBERT linear head
@@ -361,14 +391,20 @@ class FlaxBertCrossEncoder:
 
     def score_pairs(self, pairs: List[Tuple[str, str]],
                     max_length: int = 512) -> List[float]:
+        max_length = min(max_length, self.cfg.usable_positions)
         out = self.tokenizer([a for a, _ in pairs], [b for _, b in pairs],
                              padding="max_length", truncation=True,
                              max_length=max_length, return_tensors="np")
+        types = out.get("token_type_ids")
+        if types is None or self.cfg.type_vocab_size < 2:
+            # roberta-family models have no segment embeddings (table size
+            # 1) — segment ids from a pair-encoding tokenizer must not
+            # index past it
+            types = np.zeros_like(out["input_ids"])
         with on_device(self.device):
             logits = self._fwd(
                 self.params, self.head,
                 jnp.asarray(out["input_ids"], jnp.int32),
                 jnp.asarray(out["attention_mask"], jnp.int32),
-                jnp.asarray(out.get("token_type_ids",
-                                    np.zeros_like(out["input_ids"])), jnp.int32))
+                jnp.asarray(types, jnp.int32))
         return np.asarray(logits, np.float32).tolist()

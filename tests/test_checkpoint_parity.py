@@ -292,3 +292,78 @@ def test_chunked_decode_matches_per_token(qwen_ckpt):
         a = list(per_tok.generate_stream(prompt, max_new_tokens=19, **kw))
         b = list(chunked.generate_stream(prompt, max_new_tokens=19, **kw))
         assert a == b and len(a) == 19
+
+
+# --------------------------------------------------------------- XLM-Roberta
+# The reference's production cross-encoder (BAAI/bge-reranker-v2-m3,
+# reference rerankers.py:100-116) and bge-m3 are XLMRoberta models: roberta.
+# weight prefix, offset position ids starting at pad_token_id+1, size-1
+# segment table. Parity against torch at the ids level (no sentencepiece
+# tokenizer needed for the math).
+
+def test_xlmroberta_encoder_parity(tmp_path_factory):
+    from transformers import XLMRobertaConfig, XLMRobertaModel
+
+    tmp = tmp_path_factory.mktemp("xlmr_ckpt")
+    cfg = XLMRobertaConfig(vocab_size=64, hidden_size=32,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           intermediate_size=64, max_position_embeddings=50,
+                           pad_token_id=1)
+    torch.manual_seed(1)
+    model = XLMRobertaModel(cfg).eval()
+    model.save_pretrained(tmp)
+
+    import jax.numpy as jnp
+
+    from legalrag_tpu.models.bert import bert_forward, load_hf_bert_params
+
+    params, jcfg = load_hf_bert_params(tmp)
+    assert jcfg.roberta_positions and jcfg.pad_token_id == 1
+    assert jcfg.usable_positions == 50 - 3
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(2, 64, (3, 16))
+    ids[0, 10:] = 1                     # padded row exercises offset ids
+    mask = (ids != 1).astype(np.int64)
+    got = np.asarray(bert_forward(params, jcfg,
+                                  jnp.asarray(ids, jnp.int32),
+                                  jnp.asarray(mask, jnp.float32)))
+    with torch.no_grad():
+        want = model(input_ids=torch.tensor(ids),
+                     attention_mask=torch.tensor(mask)
+                     ).last_hidden_state.numpy()
+    np.testing.assert_allclose(got, want, atol=5e-4)  # f32 accum noise
+
+
+def test_xlmroberta_cross_encoder_parity(tmp_path):
+    """FlaxBertCrossEncoder on an XLMRoberta classification checkpoint
+    (the bge-reranker-v2-m3 architecture) must match torch logits."""
+    from transformers import (XLMRobertaConfig,
+                              XLMRobertaForSequenceClassification)
+
+    cfg = XLMRobertaConfig(vocab_size=64, hidden_size=32,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           intermediate_size=64, max_position_embeddings=50,
+                           pad_token_id=1, num_labels=1)
+    torch.manual_seed(2)
+    model = XLMRobertaForSequenceClassification(cfg).eval()
+    model.save_pretrained(tmp_path)
+    # any tokenizer works for the parity check — both sides consume the
+    # same ids; a wordpiece tokenizer avoids needing a sentencepiece model
+    _tiny_vocab_tokenizer(tmp_path).save_pretrained(tmp_path)
+
+    from legalrag_tpu.models.bert import FlaxBertCrossEncoder
+
+    ce = FlaxBertCrossEncoder.from_pretrained(str(tmp_path))
+    pairs = [("what is risk of loss", "the seller shall tender delivery"),
+             ("payment of a contract", "goods under the law")]
+    got = ce.score_pairs(pairs, max_length=32)
+
+    batch = ce.tokenizer([a for a, _ in pairs], [b for _, b in pairs],
+                         padding="max_length", truncation=True,
+                         max_length=32, return_tensors="pt")
+    with torch.no_grad():
+        want = model(input_ids=batch["input_ids"],
+                     attention_mask=batch["attention_mask"]
+                     ).logits.squeeze(-1).numpy()
+    np.testing.assert_allclose(got, want, atol=5e-4)  # f32 accum noise
