@@ -101,6 +101,9 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
              ).reshape(b, t, hkv, d)
         v = (jnp.dot(y, layer["v"]["kernel"]) + layer["v"]["bias"]
              ).reshape(b, t, hkv, d)
+        if "q_norm" in layer:   # Qwen3/Gemma3-class per-head RMS before RoPE
+            q = _rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
+            k = _rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
 
@@ -170,13 +173,9 @@ def load_hf_decoder_params(model_dir: Path) -> Tuple[Dict, DecoderConfig]:
         params["lm_head"] = embed.T
     else:
         params["lm_head"] = jnp.asarray(t["lm_head.weight"]).T
-    for probe in ("model.layers.0.self_attn.q_norm.weight",
-                  "layers.0.self_attn.q_norm.weight"):
-        if probe in t:
-            raise ValueError(
-                "checkpoint uses per-head q/k norms (Qwen3/Gemma-class); "
-                "this forward does not implement them — refusing to load "
-                "rather than produce silently wrong attention")
+    has_qk_norm = any(p in t for p in
+                      ("model.layers.0.self_attn.q_norm.weight",
+                       "layers.0.self_attn.q_norm.weight"))
     h, hkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
                   cfg.head_dim)
     q0 = get("layers.0.self_attn.q_proj.weight")
@@ -188,7 +187,7 @@ def load_hf_decoder_params(model_dir: Path) -> Tuple[Dict, DecoderConfig]:
             "architecture variant this loader does not support")
     for i in range(cfg.num_hidden_layers):
         p = f"layers.{i}"
-        params["layers"].append({
+        layer = {
             "input_norm": get(f"{p}.input_layernorm.weight"),
             "q": lin(f"{p}.self_attn.q_proj"),
             "k": lin(f"{p}.self_attn.k_proj"),
@@ -198,7 +197,11 @@ def load_hf_decoder_params(model_dir: Path) -> Tuple[Dict, DecoderConfig]:
             "gate": {"kernel": get(f"{p}.mlp.gate_proj.weight").T},
             "up": {"kernel": get(f"{p}.mlp.up_proj.weight").T},
             "down": {"kernel": get(f"{p}.mlp.down_proj.weight").T},
-        })
+        }
+        if has_qk_norm:  # Qwen3-class per-head RMS on q/k (shape [head_dim])
+            layer["q_norm"] = get(f"{p}.self_attn.q_norm.weight")
+            layer["k_norm"] = get(f"{p}.self_attn.k_norm.weight")
+        params["layers"].append(layer)
     return params, cfg
 
 

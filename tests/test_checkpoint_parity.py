@@ -367,3 +367,37 @@ def test_xlmroberta_cross_encoder_parity(tmp_path):
                      attention_mask=batch["attention_mask"]
                      ).logits.squeeze(-1).numpy()
     np.testing.assert_allclose(got, want, atol=5e-4)  # f32 accum noise
+
+
+def test_qwen3_qk_norm_decoder_parity(tmp_path):
+    """Qwen3-class checkpoints carry per-head q/k RMS norms (applied before
+    RoPE) and an explicit head_dim; the loader used to refuse them — now
+    logits must match HF Qwen3ForCausalLM."""
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    cfg_t = Qwen3Config(vocab_size=96, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        head_dim=16, intermediate_size=64,
+                        max_position_embeddings=64, rope_theta=10000.0,
+                        tie_word_embeddings=False, attention_dropout=0.0)
+    torch.manual_seed(7)
+    model = Qwen3ForCausalLM(cfg_t).eval()
+    model.save_pretrained(tmp_path)
+
+    import jax.numpy as jnp
+
+    from legalrag_tpu.models.decoder import (decoder_forward,
+                                             load_hf_decoder_params)
+
+    params, cfg = load_hf_decoder_params(tmp_path)
+    assert cfg.head_dim == 16
+    assert "q_norm" in params["layers"][0]
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, 96, size=(2, 12))
+    with torch.no_grad():
+        want = model(torch.tensor(ids)).logits.float().numpy()
+    positions = jnp.broadcast_to(jnp.arange(12)[None, :], (2, 12))
+    got, _ = decoder_forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                             positions)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
