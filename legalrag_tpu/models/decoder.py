@@ -38,7 +38,7 @@ class DecoderConfig:
                  num_key_value_heads=2, intermediate_size=4864,
                  max_position_embeddings=32768, rms_norm_eps=1e-6,
                  rope_theta=1000000.0, tie_word_embeddings=True,
-                 head_dim=None, **_ignored):
+                 head_dim=None, rope_scaling=None, **_ignored):
         self.vocab_size = vocab_size
         self.hidden_size = hidden_size
         self.num_hidden_layers = num_hidden_layers
@@ -52,6 +52,14 @@ class DecoderConfig:
         # Qwen3/Gemma-class configs carry an explicit head_dim that differs
         # from hidden/heads; honor it (ADVICE r1).
         self.head_dim = head_dim or hidden_size // num_attention_heads
+        self.rope_scaling = rope_scaling
+        rtype = (rope_scaling or {}).get("rope_type") \
+            or (rope_scaling or {}).get("type")
+        if rtype not in (None, "default", "linear", "llama3"):
+            raise ValueError(
+                f"rope_scaling type {rtype!r} (yarn/dynamic/…) is not "
+                "implemented — refusing to load rather than decode with "
+                "wrong positions")
 
     @classmethod
     def from_json(cls, path: Path) -> "DecoderConfig":
@@ -66,10 +74,33 @@ def _rms_norm(x, w, eps):
     return (x * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
 
 
-def _rope(x, positions, theta):
-    """x [B, T, H, D]; rotate pairs (half-split convention)."""
+def rope_inv_freq(cfg: "DecoderConfig", d: int) -> jax.Array:
+    """Per-frequency inverse wavelengths, with rope_scaling applied.
+    Supported types: none/default (plain RoPE), linear, and llama3
+    (Llama-3.1+ frequency-banded scaling — bit-matches HF
+    ``_compute_llama3_parameters``). Unknown types are refused at load."""
+    inv = 1.0 / (cfg.rope_theta
+                 ** (np.arange(0, d, 2, dtype=np.float64) / d))
+    rs = cfg.rope_scaling
+    rtype = (rs or {}).get("rope_type") or (rs or {}).get("type")
+    if rtype == "linear":
+        inv = inv / rs["factor"]
+    elif rtype == "llama3":
+        factor, lo, hi = rs["factor"], rs["low_freq_factor"], \
+            rs["high_freq_factor"]
+        orig = rs["original_max_position_embeddings"]
+        wavelen = 2 * math.pi / inv
+        smooth = (orig / wavelen - lo) / (hi - lo)
+        inv = np.where(wavelen > orig / lo, inv / factor,
+                       np.where(wavelen < orig / hi, inv,
+                                (1 - smooth) / factor * inv + smooth * inv))
+    return jnp.asarray(inv, jnp.float32)
+
+
+def _rope(x, positions, inv):
+    """x [B, T, H, D]; rotate pairs (half-split convention); ``inv`` from
+    :func:`rope_inv_freq`."""
     d = x.shape[-1]
-    inv = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
     ang = positions[:, :, None].astype(jnp.float32) * inv[None, None, :]
     cos = jnp.cos(ang)[:, :, None, :]
     sin = jnp.sin(ang)[:, :, None, :]
@@ -91,6 +122,7 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
     b, t = input_ids.shape
     h, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
     d = cfg.head_dim
+    rope_inv = rope_inv_freq(cfg, d)
     x = jnp.take(params["embed"], input_ids, axis=0)
     new_cache = []
     for li, layer in enumerate(params["layers"]):
@@ -104,8 +136,8 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
         if "q_norm" in layer:   # Qwen3/Gemma3-class per-head RMS before RoPE
             q = _rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
             k = _rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
-        q = _rope(q, positions, cfg.rope_theta)
-        k = _rope(k, positions, cfg.rope_theta)
+        q = _rope(q, positions, rope_inv)
+        k = _rope(k, positions, rope_inv)
 
         if kv_cache is not None:
             ck, cv = kv_cache[li]

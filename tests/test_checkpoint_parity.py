@@ -401,3 +401,57 @@ def test_qwen3_qk_norm_decoder_parity(tmp_path):
     got, _ = decoder_forward(params, cfg, jnp.asarray(ids, jnp.int32),
                              positions)
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
+
+
+def test_llama3_rope_scaling_parity(tmp_path):
+    """Llama-3.1+ checkpoints carry rope_scaling (frequency-banded llama3
+    rule) — previously ignored, silently corrupting positions. Logits must
+    match HF LlamaForCausalLM with scaling active, at positions where the
+    scaled and unscaled frequencies genuinely differ."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    cfg_t = LlamaConfig(vocab_size=96, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        intermediate_size=64, max_position_embeddings=128,
+                        rope_theta=10000.0, tie_word_embeddings=False,
+                        attention_dropout=0.0,
+                        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                                      "low_freq_factor": 1.0,
+                                      "high_freq_factor": 4.0,
+                                      "original_max_position_embeddings": 16})
+    torch.manual_seed(11)
+    model = LlamaForCausalLM(cfg_t).eval()
+    model.save_pretrained(tmp_path)
+
+    import jax.numpy as jnp
+
+    from legalrag_tpu.models.decoder import (decoder_forward,
+                                             load_hf_decoder_params,
+                                             rope_inv_freq)
+
+    params, cfg = load_hf_decoder_params(tmp_path)
+    assert cfg.rope_scaling and cfg.rope_scaling["rope_type"] == "llama3"
+    # scaling must actually change the frequencies
+    from legalrag_tpu.models.decoder import DecoderConfig
+
+    plain = DecoderConfig(rope_theta=cfg.rope_theta,
+                          hidden_size=cfg.hidden_size,
+                          num_attention_heads=cfg.num_attention_heads)
+    assert not np.allclose(np.asarray(rope_inv_freq(cfg, cfg.head_dim)),
+                           np.asarray(rope_inv_freq(plain, cfg.head_dim)))
+
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, 96, size=(2, 48))   # past original_max=16
+    with torch.no_grad():
+        want = model(torch.tensor(ids)).logits.float().numpy()
+    positions = jnp.broadcast_to(jnp.arange(48)[None, :], (2, 48))
+    got, _ = decoder_forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                             positions)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
+
+
+def test_unknown_rope_scaling_refused():
+    from legalrag_tpu.models.decoder import DecoderConfig
+
+    with pytest.raises(ValueError, match="rope_scaling"):
+        DecoderConfig(rope_scaling={"rope_type": "yarn", "factor": 4.0})
