@@ -435,9 +435,20 @@ def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
 
 
 def main() -> None:
+    import argparse
+
+    from legalrag_tpu.utils.device import apply_force_cpu
+
+    apply_force_cpu()  # env-gated (LEGALRAG_FORCE_CPU) — no-op in prod
+    ap = argparse.ArgumentParser(description="legalrag_tpu API server")
+    ap.add_argument("--host", default=None)
+    ap.add_argument("--port", type=int, default=None)
+    args = ap.parse_args()
     cfg = AppConfig.load()
     app = create_app(cfg)
-    server = app.serve(cfg.server.host, cfg.server.port)
+    server = app.serve(args.host or cfg.server.host,
+                       args.port if args.port is not None
+                       else cfg.server.port)
     try:
         while True:
             time.sleep(3600)
