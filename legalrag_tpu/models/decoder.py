@@ -38,7 +38,10 @@ class DecoderConfig:
                  num_key_value_heads=2, intermediate_size=4864,
                  max_position_embeddings=32768, rms_norm_eps=1e-6,
                  rope_theta=1000000.0, tie_word_embeddings=True,
-                 head_dim=None, rope_scaling=None, **_ignored):
+                 head_dim=None, rope_scaling=None, model_type="",
+                 hidden_activation=None, query_pre_attn_scalar=None,
+                 attn_logit_softcapping=None, final_logit_softcapping=None,
+                 sliding_window=None, layer_types=None, **_ignored):
         self.vocab_size = vocab_size
         self.hidden_size = hidden_size
         self.num_hidden_layers = num_hidden_layers
@@ -60,6 +63,18 @@ class DecoderConfig:
                 f"rope_scaling type {rtype!r} (yarn/dynamic/…) is not "
                 "implemented — refusing to load rather than decode with "
                 "wrong positions")
+        # Gemma-family deltas (model_type "gemma"/"gemma2"): (1+w) RMSNorm,
+        # sqrt(H)-scaled embeddings, GeGLU, sandwich norms, logit softcaps,
+        # per-layer sliding-window attention, query_pre_attn_scalar scale
+        self.model_type = model_type or ""
+        self.gemma = self.model_type.startswith("gemma")
+        self.hidden_activation = hidden_activation or (
+            "gelu_pytorch_tanh" if self.gemma else "silu")
+        self.query_pre_attn_scalar = query_pre_attn_scalar
+        self.attn_logit_softcapping = attn_logit_softcapping
+        self.final_logit_softcapping = final_logit_softcapping
+        self.sliding_window = sliding_window
+        self.layer_types = layer_types
 
     @classmethod
     def from_json(cls, path: Path) -> "DecoderConfig":
@@ -69,9 +84,12 @@ class DecoderConfig:
 # ---------------------------------------------------------------------------
 # functional forward
 
-def _rms_norm(x, w, eps):
+def _rms_norm(x, w, eps, plus_one: bool = False):
+    """RMSNorm; ``plus_one`` = Gemma convention (weight stored
+    zero-centered, applied as ``1 + w``)."""
     var = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
-    return (x * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+    normed = (x * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    return normed * (1.0 + w) if plus_one else normed * w
 
 
 def rope_inv_freq(cfg: "DecoderConfig", d: int) -> jax.Array:
@@ -123,10 +141,13 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
     h, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
     d = cfg.head_dim
     rope_inv = rope_inv_freq(cfg, d)
+    g = cfg.gemma
     x = jnp.take(params["embed"], input_ids, axis=0)
+    if g:  # Gemma scales embeddings by sqrt(H)
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
     new_cache = []
     for li, layer in enumerate(params["layers"]):
-        y = _rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
+        y = _rms_norm(x, layer["input_norm"], cfg.rms_norm_eps, g)
         q = (jnp.dot(y, layer["q"]["kernel"]) + layer["q"]["bias"]
              ).reshape(b, t, h, d)
         k = (jnp.dot(y, layer["k"]["kernel"]) + layer["k"]["bias"]
@@ -139,6 +160,9 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
         q = _rope(q, positions, rope_inv)
         k = _rope(k, positions, rope_inv)
 
+        sliding = (cfg.sliding_window
+                   and cfg.layer_types is not None
+                   and cfg.layer_types[li] == "sliding_attention")
         if kv_cache is not None:
             ck, cv = kv_cache[li]
             ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_len, 0, 0))
@@ -151,27 +175,50 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
                         & (kv_pos < cache_len + t))              # filled
         else:
             k_att, v_att = k, v
+            kv_pos = positions[:, None, :]
             att_mask = positions[:, :, None] >= positions[:, None, :]
+        if sliding:  # Gemma-class banded attention on alternating layers
+            att_mask = att_mask & (
+                positions[:, :, None] - kv_pos < cfg.sliding_window)
 
         # GQA: repeat kv heads
         rep = h // hkv
         k_r = jnp.repeat(k_att, rep, axis=2)
         v_r = jnp.repeat(v_att, rep, axis=2)
+        scale = (cfg.query_pre_attn_scalar or d) ** -0.5
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_r,
-                            preferred_element_type=jnp.float32) / math.sqrt(d)
+                            preferred_element_type=jnp.float32) * scale
+        if cfg.attn_logit_softcapping:
+            cap = cfg.attn_logit_softcapping
+            scores = cap * jnp.tanh(scores / cap)
         scores = jnp.where(att_mask[:, None, :, :], scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1).astype(v_r.dtype)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v_r).reshape(b, t, h * d)
-        x = x + jnp.dot(ctx, layer["o"]["kernel"])
-
-        y = _rms_norm(x, layer["post_norm"], cfg.rms_norm_eps)
-        gate = jax.nn.silu(jnp.dot(y, layer["gate"]["kernel"]))
+        attn_out = jnp.dot(ctx, layer["o"]["kernel"])
+        if "pre_ff_norm" in layer:  # Gemma2/3 sandwich norms: post-norm
+            x = x + _rms_norm(attn_out, layer["post_norm"],  # on OUTPUTS
+                              cfg.rms_norm_eps, True)
+            y = _rms_norm(x, layer["pre_ff_norm"], cfg.rms_norm_eps, True)
+        else:
+            x = x + attn_out
+            y = _rms_norm(x, layer["post_norm"], cfg.rms_norm_eps, g)
+        gate_h = jnp.dot(y, layer["gate"]["kernel"])
+        act = (jax.nn.gelu(gate_h, approximate=True)
+               if cfg.hidden_activation == "gelu_pytorch_tanh"
+               else jax.nn.silu(gate_h))
         up = jnp.dot(y, layer["up"]["kernel"])
-        x = x + jnp.dot(gate * up, layer["down"]["kernel"])
+        mlp_out = jnp.dot(act * up, layer["down"]["kernel"])
+        if "post_ff_norm" in layer:
+            mlp_out = _rms_norm(mlp_out, layer["post_ff_norm"],
+                                cfg.rms_norm_eps, True)
+        x = x + mlp_out
 
-    x = _rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    x = _rms_norm(x, params["final_norm"], cfg.rms_norm_eps, g)
     logits = jnp.dot(x, params["lm_head"],
                      preferred_element_type=jnp.float32)
+    if cfg.final_logit_softcapping:
+        cap = cfg.final_logit_softcapping
+        logits = cap * jnp.tanh(logits / cap)
     return logits, (new_cache if kv_cache is not None else None)
 
 
@@ -233,6 +280,14 @@ def load_hf_decoder_params(model_dir: Path) -> Tuple[Dict, DecoderConfig]:
         if has_qk_norm:  # Qwen3-class per-head RMS on q/k (shape [head_dim])
             layer["q_norm"] = get(f"{p}.self_attn.q_norm.weight")
             layer["k_norm"] = get(f"{p}.self_attn.k_norm.weight")
+        if cfg.gemma:    # Gemma2/3 sandwich norms around the MLP block
+            try:
+                layer["pre_ff_norm"] = get(
+                    f"{p}.pre_feedforward_layernorm.weight")
+                layer["post_ff_norm"] = get(
+                    f"{p}.post_feedforward_layernorm.weight")
+            except KeyError:
+                pass  # gemma1: classic two-norm flow
         params["layers"].append(layer)
     return params, cfg
 

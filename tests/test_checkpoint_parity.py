@@ -455,3 +455,41 @@ def test_unknown_rope_scaling_refused():
 
     with pytest.raises(ValueError, match="rope_scaling"):
         DecoderConfig(rope_scaling={"rope_type": "yarn", "factor": 4.0})
+
+
+def test_gemma2_decoder_parity(tmp_path):
+    """Gemma-2 architecture: (1+w) RMSNorm, sqrt(H)-scaled embeddings,
+    GeGLU, sandwich norms, attn/final logit softcaps, query_pre_attn_scalar
+    scale, alternating sliding-window layers (window < seq here so the
+    banding genuinely bites)."""
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+
+    cfg_t = Gemma2Config(vocab_size=96, hidden_size=32, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         head_dim=8, intermediate_size=64,
+                         max_position_embeddings=64, rope_theta=10000.0,
+                         query_pre_attn_scalar=16, sliding_window=5,
+                         attn_logit_softcapping=50.0,
+                         final_logit_softcapping=30.0,
+                         attention_dropout=0.0)
+    torch.manual_seed(13)
+    model = Gemma2ForCausalLM(cfg_t).eval()
+    model.save_pretrained(tmp_path)
+
+    import jax.numpy as jnp
+
+    from legalrag_tpu.models.decoder import (decoder_forward,
+                                             load_hf_decoder_params)
+
+    params, cfg = load_hf_decoder_params(tmp_path)
+    assert cfg.gemma and cfg.layer_types[0] == "sliding_attention"
+    assert "pre_ff_norm" in params["layers"][0]
+
+    rng = np.random.default_rng(9)
+    ids = rng.integers(0, 96, size=(2, 16))   # seq 16 > window 5
+    with torch.no_grad():
+        want = model(torch.tensor(ids)).logits.float().numpy()
+    positions = jnp.broadcast_to(jnp.arange(16)[None, :], (2, 16))
+    got, _ = decoder_forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                             positions)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-3, rtol=2e-3)
