@@ -437,8 +437,12 @@ def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
 def main() -> None:
     import argparse
 
+    from legalrag_tpu.parallel.mesh import init_multihost
     from legalrag_tpu.utils.device import apply_force_cpu
 
+    # MUST run before any backend init — jax.distributed refuses late
+    # initialization, and a late call degrades to process-local devices
+    init_multihost()   # env-gated (JAX_COORDINATOR_ADDRESS) — no-op solo
     apply_force_cpu()  # env-gated (LEGALRAG_FORCE_CPU) — no-op in prod
     ap = argparse.ArgumentParser(description="legalrag_tpu API server")
     ap.add_argument("--host", default=None)

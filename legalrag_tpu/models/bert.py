@@ -59,9 +59,11 @@ class BertConfig:
 
     @property
     def usable_positions(self) -> int:
-        """Longest sequence the position table supports (roberta tables
-        carry pad_token_id+1 unused leading rows)."""
-        off = self.pad_token_id + 2 if self.roberta_positions else 0
+        """Longest sequence the position table supports. Roberta position
+        ids run pad+1 … pad+L, so L_max = max_pos − pad − 1 (= 512 for
+        bge-m3 / bge-reranker-v2-m3's 514-row table, matching HF's
+        model_max_length)."""
+        off = self.pad_token_id + 1 if self.roberta_positions else 0
         return self.max_position_embeddings - off
 
     @classmethod

@@ -67,6 +67,12 @@ class DecoderConfig:
         # sqrt(H)-scaled embeddings, GeGLU, sandwich norms, logit softcaps,
         # per-layer sliding-window attention, query_pre_attn_scalar scale
         self.model_type = model_type or ""
+        if self.model_type.startswith("gemma3"):
+            raise ValueError(
+                "gemma3 checkpoints need per-layer local RoPE bases "
+                "(rope_local_base_freq) and (1+w) q/k norms — not "
+                "implemented; refusing to load rather than generate "
+                "silently wrong logits")
         self.gemma = self.model_type.startswith("gemma")
         self.hidden_activation = hidden_activation or (
             "gelu_pytorch_tanh" if self.gemma else "silu")
@@ -74,6 +80,12 @@ class DecoderConfig:
         self.attn_logit_softcapping = attn_logit_softcapping
         self.final_logit_softcapping = final_logit_softcapping
         self.sliding_window = sliding_window
+        if layer_types is None and self.gemma and sliding_window:
+            # real gemma-2 hub configs predate the layer_types key; HF
+            # computes the alternating pattern in Gemma2Config.__init__
+            layer_types = ["sliding_attention" if (i + 1) % 2 else
+                           "full_attention"
+                           for i in range(num_hidden_layers)]
         self.layer_types = layer_types
 
     @classmethod

@@ -58,13 +58,26 @@ def init_multihost() -> bool:
     returns False — when the env is absent or it is already initialized,
     so single-host flows never pay anything. After this,
     ``jax.devices()`` is GLOBAL across hosts and the serving mesh can
-    span a full pod slice."""
+    span a full pod slice.
+
+    Call this at PROCESS ENTRY (the server CLI does), before anything
+    touches a backend — jax refuses to initialize the distributed client
+    after backend init, and a late call would silently leave
+    ``jax.devices()`` process-local."""
     if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
         return False
     try:
         jax.distributed.initialize()
-    except RuntimeError:
-        return False  # already initialized
+    except RuntimeError as e:
+        # Either already initialized (fine) or called too late / the
+        # coordinator is unreachable — say so instead of silently serving
+        # a single-host mesh under a multi-host config.
+        import logging
+
+        logging.getLogger("parallel.mesh").warning(
+            "jax.distributed.initialize failed (%s); continuing with "
+            "process-local devices", e)
+        return False
     return True
 
 

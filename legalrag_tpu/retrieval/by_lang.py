@@ -47,8 +47,12 @@ class BundleCache:
             from legalrag_tpu.parallel.mesh import (
                 init_multihost, local_devices, make_global_mesh, make_mesh)
 
-            init_multihost()  # no-op without JAX_COORDINATOR_ADDRESS
+            init_multihost()  # no-op solo; logs if called too late
             s = self.cfg.engine.n_index_shards
+            if s == 0 or s < -1:
+                raise ValueError(
+                    f"engine.n_index_shards={s} is meaningless — use 1 "
+                    "(off), N>=2 (N shards), or -1 (every visible device)")
             devs = local_devices()
             if s == -1:
                 self._mesh = make_global_mesh(devs)

@@ -319,7 +319,7 @@ def test_xlmroberta_encoder_parity(tmp_path_factory):
 
     params, jcfg = load_hf_bert_params(tmp)
     assert jcfg.roberta_positions and jcfg.pad_token_id == 1
-    assert jcfg.usable_positions == 50 - 3
+    assert jcfg.usable_positions == 50 - 2  # pos ids run pad+1..pad+L
 
     rng = np.random.default_rng(0)
     ids = rng.integers(2, 64, (3, 16))
@@ -344,7 +344,8 @@ def test_xlmroberta_cross_encoder_parity(tmp_path):
     cfg = XLMRobertaConfig(vocab_size=64, hidden_size=32,
                            num_hidden_layers=2, num_attention_heads=2,
                            intermediate_size=64, max_position_embeddings=50,
-                           pad_token_id=1, num_labels=1)
+                           pad_token_id=1, num_labels=1,
+                           type_vocab_size=1)  # real XLM-R has no segments
     torch.manual_seed(2)
     model = XLMRobertaForSequenceClassification(cfg).eval()
     model.save_pretrained(tmp_path)
@@ -493,3 +494,19 @@ def test_gemma2_decoder_parity(tmp_path):
     got, _ = decoder_forward(params, cfg, jnp.asarray(ids, jnp.int32),
                              positions)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-3, rtol=2e-3)
+
+
+def test_gemma2_layer_types_fallback_and_gemma3_refusal():
+    """Real gemma-2 hub configs predate the layer_types key — the
+    alternating sliding/full pattern must be reconstructed (HF does the
+    same in Gemma2Config.__init__); gemma3 (per-layer local RoPE bases,
+    (1+w) q/k norms) is refused rather than silently mis-decoded."""
+    from legalrag_tpu.models.decoder import DecoderConfig
+
+    cfg = DecoderConfig(model_type="gemma2", num_hidden_layers=4,
+                        sliding_window=4096, query_pre_attn_scalar=256)
+    assert cfg.layer_types == ["sliding_attention", "full_attention",
+                               "sliding_attention", "full_attention"]
+
+    with pytest.raises(ValueError, match="gemma3"):
+        DecoderConfig(model_type="gemma3_text")

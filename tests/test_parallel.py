@@ -159,3 +159,16 @@ def test_n_index_shards_all_devices(zh_chunks, tmp_path_factory):
     loaded = cache.get("zh")
     assert loaded.mesh is not None
     assert loaded.mesh.shape[MODEL_AXIS] == len(local_devices("cpu"))
+
+
+def test_bad_n_index_shards_rejected(tmp_path):
+    from legalrag_tpu.config import AppConfig
+    from legalrag_tpu.retrieval.by_lang import BundleCache
+
+    cfg = AppConfig()
+    cfg.engine.n_index_shards = 0
+    with pytest.raises(ValueError, match="n_index_shards"):
+        BundleCache(cfg)._serving_mesh()
+    cfg.engine.n_index_shards = -2
+    with pytest.raises(ValueError, match="n_index_shards"):
+        BundleCache(cfg)._serving_mesh()
