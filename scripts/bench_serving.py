@@ -124,7 +124,17 @@ def main() -> None:
         app = create_app(cfg, build_async=False)
         server = app.serve("127.0.0.1", 0)
         url = f"http://127.0.0.1:{server.server_address[1]}"
-        # warm the compiled program set (batch buckets up to the client count)
+        # Deterministically pre-warm EVERY batch-bucket program the
+        # measurement can hit: a bucket first seen mid-measurement pays
+        # the relay's multi-minute program load inside a timed request
+        # (it showed up as a 9 s p95 outlier before this).
+        from legalrag_tpu.retrieval.engine import bucket_batch
+
+        max_b = args.clients if mode != "off" else 1
+        buckets = sorted({bucket_batch(n) for n in range(1, max_b + 1)})
+        for b in buckets:
+            warm = run_mode(url, b, 1)
+            log(f"[{mode}] warm bucket {b}: {warm}")
         warm = run_mode(url, min(args.clients, 16), 2)
         log(f"[{mode}] warmup: {warm}")
         res = run_mode(url, args.clients, args.requests)
