@@ -510,3 +510,64 @@ def test_gemma2_layer_types_fallback_and_gemma3_refusal():
 
     with pytest.raises(ValueError, match="gemma3"):
         DecoderConfig(model_type="gemma3_text")
+
+
+@pytest.mark.parametrize("family", ["qwen3", "gemma2"])
+def test_new_family_kv_cache_matches_full(tmp_path, family):
+    """The KV-cache decode path must reproduce the full-sequence forward
+    for the round-2 families — Qwen3 (q/k-norm applied inside the cached
+    step) and Gemma-2 (sliding-window banding built from absolute cache
+    positions)."""
+    import jax.numpy as jnp
+
+    if family == "qwen3":
+        from transformers import Qwen3Config, Qwen3ForCausalLM
+
+        cfg_t = Qwen3Config(vocab_size=96, hidden_size=32,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            num_key_value_heads=2, head_dim=16,
+                            intermediate_size=64,
+                            max_position_embeddings=64,
+                            rope_theta=10000.0, attention_dropout=0.0)
+        torch.manual_seed(21)
+        Qwen3ForCausalLM(cfg_t).save_pretrained(tmp_path)
+    else:
+        from transformers import Gemma2Config, Gemma2ForCausalLM
+
+        cfg_t = Gemma2Config(vocab_size=96, hidden_size=32,
+                             num_hidden_layers=2, num_attention_heads=4,
+                             num_key_value_heads=2, head_dim=8,
+                             intermediate_size=64,
+                             max_position_embeddings=64,
+                             rope_theta=10000.0, query_pre_attn_scalar=16,
+                             sliding_window=5, attn_logit_softcapping=50.0,
+                             final_logit_softcapping=30.0,
+                             attention_dropout=0.0)
+        torch.manual_seed(22)
+        Gemma2ForCausalLM(cfg_t).save_pretrained(tmp_path)
+
+    from legalrag_tpu.models.decoder import (JaxDecoderLM, decoder_forward,
+                                             load_hf_decoder_params)
+
+    params, cfg = load_hf_decoder_params(tmp_path)
+    rng = np.random.default_rng(17)
+    ids = rng.integers(0, 96, 12).tolist()   # seq 12 > gemma window 5
+    positions = jnp.arange(12, dtype=jnp.int32)[None, :]
+    full, _ = decoder_forward(params, cfg,
+                              jnp.asarray([ids], jnp.int32), positions)
+    full = np.asarray(full)
+
+    lm = JaxDecoderLM(params, cfg, max_len=16)
+    cache = lm._empty_cache(1)
+    pre = jnp.asarray([ids[:8]], jnp.int32)
+    logits_pre, cache = decoder_forward(
+        params, cfg, pre, jnp.arange(8, dtype=jnp.int32)[None, :],
+        kv_cache=cache, cache_len=jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(logits_pre), full[:, :8],
+                               atol=1e-4)
+    for t in range(8, 12):
+        step, cache = lm._decode_step(params,
+                                      jnp.asarray([[ids[t]]], jnp.int32),
+                                      jnp.int32(t), cache)
+        np.testing.assert_allclose(np.asarray(step), full[:, t], atol=1e-4,
+                                   err_msg=f"{family} step {t}")
