@@ -54,10 +54,11 @@ def default_backend(n: int = 0) -> str:
     round-1 ``block_until_ready`` numbers measured dispatch only and are
     retracted, EVAL.md): XLA's fused dot+top_k wins at every production
     size — B=32/d=768/k=64: 0.62 ms vs 1.74 ms Pallas at N=65k, 2.25 ms vs
-    6.41 ms at N=262k (2.8× both). Production therefore routes XLA
-    everywhere; the Pallas kernel stays as a measured alternative for
-    memory-capped regimes (large B where the [B, N] f32 score tensor —
-    B=256, N=1M → 1 GB — would pressure HBM; it never materializes [B, N])."""
+    6.41 ms at N=262k (2.8× both), and 54.9 ms vs 207.6 ms at the
+    memory-capped B=256/N=1M point (3.8×) where the Pallas kernel's
+    never-materialize-[B,N] design was hypothesized to win — it doesn't:
+    XLA streams the 1 GB intermediate fine. Production routes XLA
+    everywhere; the kernel stays in-tree as a measured baseline."""
     _ = n  # size no longer changes the decision; kept for call-site compat
     return "xla"
 

@@ -76,6 +76,9 @@ def main() -> None:
     ap.add_argument("--token-dim", type=int, default=128)
     ap.add_argument("--k", type=int, default=64)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--skip-maxsim", action="store_true",
+                    help="dense-only (the >=1M memory-capped regime: the "
+                    "token store would not fit beside the dense matrix)")
     args = ap.parse_args()
 
     import jax
@@ -115,6 +118,8 @@ def main() -> None:
             results.append(row)
             log(row)
 
+        if args.skip_maxsim:
+            continue
         # MaxSim over an int8 token store (the production large-N config)
         tok = jnp.asarray(rng.integers(-127, 128, (n, args.doc_len,
                                                    args.token_dim),
