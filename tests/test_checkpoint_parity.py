@@ -571,3 +571,11 @@ def test_new_family_kv_cache_matches_full(tmp_path, family):
                                       jnp.int32(t), cache)
         np.testing.assert_allclose(np.asarray(step), full[:, t], atol=1e-4,
                                    err_msg=f"{family} step {t}")
+
+    # and the chunked-scan generation path must emit the same tokens as
+    # the per-token loop (exercises softcaps/sliding/q-k-norm inside scan)
+    per_tok = list(JaxDecoderLM(params, cfg, max_len=32, decode_chunk=1)
+                   .generate_stream(ids[:6], max_new_tokens=8))
+    chunked = list(JaxDecoderLM(params, cfg, max_len=32, decode_chunk=4)
+                   .generate_stream(ids[:6], max_new_tokens=8))
+    assert per_tok == chunked
