@@ -17,6 +17,8 @@ import time
 from pathlib import Path
 from typing import Dict, List, Optional
 
+import jax
+
 from legalrag_tpu.config import AppConfig
 from legalrag_tpu.graph.store import LawGraphStore
 from legalrag_tpu.index.bundle import IndexBundle
@@ -38,6 +40,7 @@ class BundleCache:
         self._bundles: Dict[str, IndexBundle] = {}
         self._last_check: Dict[str, float] = {}
         self._mesh = None
+        self.failed_over = False  # device loss → CPU serving (see search)
 
     def _serving_mesh(self):
         """Lazy (1, n_index_shards) mesh for multi-chip serving
@@ -83,10 +86,29 @@ class BundleCache:
             lang_cfg = self.cfg.with_lang(lang)
             log.info("[%s] (re)loading index generation=%s from %s", lang, gen, d)
             bundle = IndexBundle.load(d, lang_cfg, lang, device=self.device)
-            if self.cfg.engine.n_index_shards != 1:
+            if self.cfg.engine.n_index_shards != 1 and not self.failed_over:
                 bundle.enable_sharding(self._serving_mesh())
             self._bundles[lang] = bundle
         return bundle
+
+    def failover_to_cpu(self) -> None:
+        """Drop every cached bundle and pin future loads to host CPU —
+        called when the accelerator starts failing mid-serving. Sharding
+        is disabled for the failed-over bundles (the mesh lived on the
+        dead device)."""
+        import jax as _jax
+
+        self.device = _jax.devices("cpu")[0]
+        self.failed_over = True
+        self._mesh = None
+        self._bundles.clear()
+        self._last_check.clear()
+        try:
+            from legalrag_tpu.utils.metrics import METRICS
+
+            METRICS.inc("legalrag_device_failover")
+        except Exception:
+            pass
 
     def put(self, lang: str, bundle: IndexBundle) -> None:
         """Install a live bundle (in-process ingest path)."""
@@ -124,5 +146,18 @@ class ByLangRetriever:
     def search(self, question: str, top_k: Optional[int] = None,
                decision: Optional[RoutingDecision] = None) -> List[RetrievalHit]:
         lang = detect_lang(question)
-        return self.retriever(lang).search(question, top_k=top_k,
-                                           decision=decision)
+        try:
+            return self.retriever(lang).search(question, top_k=top_k,
+                                               decision=decision)
+        except jax.errors.JaxRuntimeError as e:
+            # Accelerator died mid-serving (relay tunnels genuinely do
+            # this — FAILED_PRECONDITION on every op): rebuild the index
+            # on host CPU and keep answering, slower but alive. One rung
+            # below the reference's channel-disable ladder (SURVEY §5.3),
+            # which has no analogue for device loss.
+            log.error("[%s] device execution failed (%s); failing over "
+                      "to CPU serving", lang, str(e)[:200])
+            self.cache.failover_to_cpu()
+            self._retrievers.pop(lang, None)
+            return self.retriever(lang).search(question, top_k=top_k,
+                                               decision=decision)
