@@ -32,6 +32,8 @@ import uuid
 from pathlib import Path
 from typing import Any, Dict, Optional
 
+import jax
+
 from legalrag_tpu.api.answer_scanner import StructuredAnswerScanner
 from legalrag_tpu.api.webcore import (
     App,
@@ -278,7 +280,17 @@ def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
         for lang, items in by_lang.items():
             bundle = st.pipeline.retriever.cache.get(lang)
             engine = st.engine_for(lang, bundle)
-            hits = engine.search_hits([q for _, q in items], top_k)
+            try:
+                hits = engine.search_hits([q for _, q in items], top_k)
+            except jax.errors.JaxRuntimeError as e:
+                # same device-loss ladder as ByLangRetriever.search:
+                # rebuild on host CPU and retry once
+                log.error("[%s] batch device execution failed (%s); "
+                          "failing over to CPU", lang, str(e)[:200])
+                st.pipeline.retriever.cache.failover_to_cpu()
+                bundle = st.pipeline.retriever.cache.get(lang)
+                engine = st.engine_for(lang, bundle)
+                hits = engine.search_hits([q for _, q in items], top_k)
             for (i, _q), hs in zip(items, hits):
                 results[i] = [_hit_payload(h) for h in hs]
         return Response({"results": results})
