@@ -163,9 +163,16 @@ def main() -> None:
 
     engine = FusedQueryEngine(bundle, cfg.with_lang("zh"))
 
-    # warmup / compile
+    # warmup / compile — one retry: the relay tunnel occasionally drops a
+    # remote_compile response mid-read (observed: "response body closed
+    # before all bytes were read"), and the headline must survive it
     t0 = time.perf_counter()
-    engine.search_batch(batches[0], TOP_K)
+    try:
+        engine.search_batch(batches[0], TOP_K)
+    except jax.errors.JaxRuntimeError as e:
+        log(f"warmup compile failed ({str(e)[:120]}); retrying once")
+        time.sleep(10)
+        engine.search_batch(batches[0], TOP_K)
     log(f"tpu compile+warmup: {time.perf_counter() - t0:.1f}s")
 
     # phase-separated pipeline: (1) host encode + transfers for every batch,
