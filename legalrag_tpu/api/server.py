@@ -93,19 +93,22 @@ class ServerState:
         self.cache = RetrieveCache(cfg.server.retrieve_cache_ttl)
         self.retrieval_url = os.environ.get("RETRIEVAL_URL")
         self._engines: Dict[str, Any] = {}
+        self._engines_lock = threading.Lock()
 
     def engine_for(self, lang: str, bundle):
         """Per-language FusedQueryEngine cached on the server state: a
         fresh engine per request would re-trace its jitted closure every
         call (jit caches key on function identity), seconds-scale on
-        remote-compile backends. Invalidates when the bundle reloads."""
+        remote-compile backends. Invalidates when the bundle reloads.
+        Locked: concurrent request threads must not each pay the build."""
         from legalrag_tpu.retrieval.engine import FusedQueryEngine
 
-        cached = self._engines.get(lang)
-        if cached is None or cached.bundle is not bundle:
-            cached = FusedQueryEngine(bundle, self.cfg.with_lang(lang))
-            self._engines[lang] = cached
-        return cached
+        with self._engines_lock:
+            cached = self._engines.get(lang)
+            if cached is None or cached.bundle is not bundle:
+                cached = FusedQueryEngine(bundle, self.cfg.with_lang(lang))
+                self._engines[lang] = cached
+            return cached
 
     # ----------------------------------------------------------- lifecycle
     def build(self) -> None:

@@ -198,9 +198,14 @@ class IndexBundle:
                     rows = index[0]
                     start = rows.start or 0
                     stop = rows.stop if rows.stop is not None else cap
-                    tok_np, mask_np = self.tokens.dequantized_rows(
-                        start, stop)
-                    out = tok_np if which == "tok" else mask_np
+                    if which == "mask":
+                        # mask shards never need token reconstruction —
+                        # dequantized_rows would rebuild the full f32
+                        # slice (centroid gather + nibble unpack) only to
+                        # discard it (ADVICE r2)
+                        out = np.asarray(self.tokens.mask[start:stop])
+                    else:
+                        out, _ = self.tokens.dequantized_rows(start, stop)
                     if out.shape[0] < stop - start:  # beyond store capacity
                         pad = [(0, stop - start - out.shape[0])] \
                             + [(0, 0)] * (out.ndim - 1)

@@ -122,6 +122,27 @@ class MicroBatcher:
     def _lead(self) -> None:
         if self._window > 0:
             threading.Event().wait(self._window)  # interrupt-safe sleep
+        with self._lock:
+            batch = self._pending[: self._max]
+            del self._pending[: len(batch)]
+            if not batch:
+                self._leader_active = False
+                return
+        self._execute(batch)
+        # The leader's own slot was in that batch (it is always pending[0]
+        # when leadership is taken), so this request thread must not be
+        # held past its own completion: under sustained load the queue
+        # never empties and the leader's HTTP client would time out while
+        # followers are served. Hand the remaining queue to a daemon
+        # drainer instead of looping here.
+        with self._lock:
+            if not self._pending:
+                self._leader_active = False
+                return
+        threading.Thread(target=self._drain, daemon=True,
+                         name="microbatch-drain").start()
+
+    def _drain(self) -> None:
         while True:
             with self._lock:
                 batch = self._pending[: self._max]

@@ -112,7 +112,8 @@ class BundleCache:
 
     def put(self, lang: str, bundle: IndexBundle) -> None:
         """Install a live bundle (in-process ingest path)."""
-        if self.cfg.engine.n_index_shards != 1 and bundle.mesh is None:
+        if (self.cfg.engine.n_index_shards != 1 and not self.failed_over
+                and bundle.mesh is None):
             bundle.enable_sharding(self._serving_mesh())
         self._bundles[lang] = bundle
         self._last_check[lang] = time.monotonic()

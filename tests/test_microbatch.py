@@ -135,6 +135,43 @@ def test_empty_index_returns_none(en_chunks):
     assert hybrid._channels_topk_all("anything", 8) is None
 
 
+def test_leader_returns_while_queue_still_draining():
+    """Regression (ADVICE r2): the leader's request thread used to keep
+    draining the queue until it was empty — under sustained load its own
+    HTTP response (computed in the FIRST batch) was delayed unboundedly.
+    After the first batch, draining must move to a daemon thread."""
+    calls = {"n": 0}
+    block = threading.Event()
+
+    def run(questions, eff_k):
+        calls["n"] += 1
+        if calls["n"] > 1:  # every batch after the leader's blocks
+            block.wait(5.0)
+        return {"x": (np.zeros((len(questions), eff_k), np.float32),
+                      np.zeros((len(questions), eff_k), np.int32))}
+
+    mb = MicroBatcher(run, window_s=0.1, max_batch=1)
+    done = {}
+
+    def worker(name):
+        done[name] = mb.run(name, 4)
+
+    leader = threading.Thread(target=worker, args=("leader",))
+    leader.start()
+    time.sleep(0.02)  # leader is inside its batching window
+    followers = [threading.Thread(target=worker, args=(f"f{i}",))
+                 for i in range(2)]
+    for t in followers:
+        t.start()
+    leader.join(3.0)
+    alive = leader.is_alive()
+    block.set()  # always unblock before asserting, or threads leak
+    for t in followers:
+        t.join(5.0)
+    assert not alive, "leader starved behind follower batches"
+    assert len(done) == 3 and all(v is not None for v in done.values())
+
+
 def test_slow_execution_does_not_trigger_duplicate_solo_runs():
     """Regression: followers whose slot was already drained into an
     in-flight batch used to time out (wait_timeout) and launch their own
