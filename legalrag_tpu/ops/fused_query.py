@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from legalrag_tpu.ops.maxsim import doc_len as _doc_len, maxsim_full
-from legalrag_tpu.ops.topk import NEG_INF
+from legalrag_tpu.ops.topk import NEG_INF, topk_large
 
 
 class FusedParams(NamedTuple):
@@ -133,7 +133,7 @@ def fused_hybrid_topk(emb: jax.Array, impact: jax.Array,
         from legalrag_tpu.ops.maxsim import maxsim_candidates
 
         c = min(params.late_candidates, n)
-        _, cand = jax.lax.top_k(dense_s, c)
+        _, cand = topk_large(dense_s, c)
         cand_scores = maxsim_candidates(doc_tok, doc_mask, q_tok, q_mask,
                                         cand)
         b = dense_s.shape[0]
@@ -252,7 +252,7 @@ def _fused_lists(dense_s, sparse_impact, doc_tok, doc_mask, qtf_pair,
     offsets, post_docs, post_w = sparse_impact
     term_ids, term_counts = qtf_pair
 
-    d_s, d_i = jax.lax.top_k(dense_s, eff_k)
+    d_s, d_i = topk_large(dense_s, eff_k)
     b_s, b_i = bm25_sparse_topk_sorted(
         term_ids, term_counts.astype(jnp.int32), offsets, post_docs, post_w,
         eff_k, max_postings=params.max_postings)
@@ -261,7 +261,7 @@ def _fused_lists(dense_s, sparse_impact, doc_tok, doc_mask, qtf_pair,
         from legalrag_tpu.ops.maxsim import maxsim_candidates
 
         c = min(params.late_candidates or 128, n)
-        cand = d_i[:, :c] if c <= eff_k else jax.lax.top_k(dense_s, c)[1]
+        cand = d_i[:, :c] if c <= eff_k else topk_large(dense_s, c)[1]
         cand_scores = maxsim_candidates(doc_tok, doc_mask, q_tok, q_mask,
                                         cand)
         l_s, pos = jax.lax.top_k(cand_scores, min(eff_k, c))

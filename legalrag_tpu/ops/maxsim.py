@@ -134,7 +134,9 @@ def maxsim_full(doc_tok: jax.Array, doc_mask: jax.Array,
 
 def maxsim_topk(doc_tok, doc_mask, q_tok, q_mask, valid_n, k: int,
                 tile_n: int = 256) -> Tuple[jax.Array, jax.Array]:
+    from legalrag_tpu.ops.topk import topk_large
+
     scores = maxsim_full(doc_tok, doc_mask, q_tok, q_mask, tile_n=tile_n)
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(col < jnp.asarray(valid_n, jnp.int32), scores, -1e30)
-    return jax.lax.top_k(scores, min(k, scores.shape[1]))
+    return topk_large(scores, min(k, scores.shape[1]))

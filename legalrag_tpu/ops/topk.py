@@ -49,18 +49,19 @@ def bucket_k(k: int, n: int) -> int:
 
 
 def default_backend(n: int = 0) -> str:
-    """Routing decision (VERDICT r1 #9), re-measured on the v5e with
-    queue-draining slope timing (``scripts.bench_kernels``, round 2 — the
-    round-1 ``block_until_ready`` numbers measured dispatch only and are
-    retracted, EVAL.md): XLA's fused dot+top_k wins at every production
-    size — B=32/d=768/k=64: 0.62 ms vs 1.74 ms Pallas at N=65k, 2.25 ms vs
-    6.41 ms at N=262k (2.8× both), and 54.9 ms vs 207.6 ms at the
-    memory-capped B=256/N=1M point (3.8×) where the Pallas kernel's
-    never-materialize-[B,N] design was hypothesized to win — it doesn't:
-    XLA streams the 1 GB intermediate fine. Production routes XLA
-    everywhere; the kernel stays in-tree as a measured baseline."""
-    _ = n  # size no longer changes the decision; kept for call-site compat
-    return "xla"
+    """Routing decision (VERDICT r1 #9, r2 #1), measured on the v5e with
+    queue-draining slope timing (``scripts.bench_kernels``):
+
+    - round 2: XLA's fused dot+top_k beats our Pallas formulations at every
+      production size (2.8-3.8×; the round-1 ``block_until_ready`` numbers
+      measured dispatch only and are retracted, EVAL.md). The Pallas kernel
+      stays in-tree as a measured baseline.
+    - round 3: at large N the full-width ``lax.top_k`` dominates the
+      program (54.9 ms at B=256/N=1M vs a ~2-3 ms roofline); the exact
+      two-pass block-max selection (``topk_2pass``) removes it. Routed by
+      size: ``xla2`` (dot + two-pass) past TWO_PASS_MIN_N, plain ``xla``
+      below."""
+    return "xla2" if n >= TWO_PASS_MIN_N else "xla"
 
 
 # ---------------------------------------------------------------------------
@@ -75,6 +76,78 @@ def dense_topk_xla(emb: jax.Array, q: jax.Array, valid_n: jax.Array, k: int
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(col < valid_n, scores, NEG_INF)
     return jax.lax.top_k(scores, k)
+
+
+# ---------------------------------------------------------------------------
+# Two-pass (block-max) top-k for large N
+
+# Below this many columns a single lax.top_k is already near the memory
+# floor; above it the full-width selection dominates the program (measured
+# round 2: 54.9 ms at B=256/N=1M vs a ~2-3 ms roofline, EVAL.md).
+TWO_PASS_MIN_N = 131_072
+TWO_PASS_BLOCK = 512
+
+
+def topk_2pass(scores: jax.Array, k: int, block: int = TWO_PASS_BLOCK
+               ) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k over a [B, N] score map without a full-width sort.
+
+    Pass 1 reduces each ``block``-wide column group to its max (a streaming
+    read of the score map — no sort) and selects the top-k *blocks* per row.
+    Pass 2 gathers only those blocks' columns (k·block values per row) and
+    runs the final small ``lax.top_k`` there.
+
+    Exactness: let v_k be the k-th largest value in a row. Every block
+    containing a top-k element has block-max ≥ v_k, and at most k blocks
+    have block-max ≥ v_k (each such block contributes at least one element
+    ≥ v_k, and only k elements are ≥ v_k up to ties). So the k blocks with
+    the largest maxima contain every top-k element; with ties at v_k the
+    gathered set still holds ≥ k elements ≥ v_k, i.e. a valid top-k set
+    (tie ORDER may differ from lax.top_k's lowest-index rule).
+
+    Replaces the full-corpus selection of the reference's FAISS search
+    (``vector_store.py:169``) at large N; routed by ``dense_topk`` /
+    ``topk_large``.
+    """
+    b, n = scores.shape
+    if k >= n:
+        return jax.lax.top_k(scores, k)
+    n_pad = _round_up(n, block)
+    if n_pad != n:
+        scores = jnp.pad(scores, ((0, 0), (0, n_pad - n)),
+                         constant_values=NEG_INF)
+    g = n_pad // block
+    blk = scores.reshape(b, g, block)
+    kb = min(k, g)
+    _, top_blocks = jax.lax.top_k(jnp.max(blk, axis=2), kb)     # [B, kb]
+    cand = jnp.take_along_axis(blk, top_blocks[:, :, None], axis=1)
+    cand = cand.reshape(b, kb * block)                          # [B, kb*block]
+    top_s, pos = jax.lax.top_k(cand, k)
+    blk_of = jnp.take_along_axis(top_blocks, pos // block, axis=1)
+    # clamp: NEG_INF slots may sit in the rounding pad beyond n; callers
+    # filter them by score but must never see an out-of-range row id
+    top_i = jnp.minimum(blk_of * block + pos % block, n - 1)
+    return top_s, top_i
+
+
+def topk_large(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Route a [B, N] top-k: two-pass past TWO_PASS_MIN_N columns, plain
+    ``lax.top_k`` below (where it is already near the memory floor)."""
+    if scores.shape[1] >= TWO_PASS_MIN_N and k < scores.shape[1]:
+        return topk_2pass(scores, k)
+    return jax.lax.top_k(scores, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def dense_topk_2pass(emb: jax.Array, q: jax.Array, valid_n: jax.Array,
+                     k: int, block: int = TWO_PASS_BLOCK
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k inner products via the two-pass selection."""
+    scores = jnp.dot(q.astype(emb.dtype), emb.T,
+                     preferred_element_type=jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(col < valid_n, scores, NEG_INF)
+    return topk_2pass(scores, k, block=block)
 
 
 # ---------------------------------------------------------------------------
@@ -180,6 +253,8 @@ def dense_topk(emb: jax.Array, q: jax.Array, valid_n, k: int, *,
             emb = jnp.pad(emb, ((0, pad), (0, 0)))
         return dense_topk_pallas(emb, q, valid_n, k, tile_n=tile_n,
                                  interpret=interpret)
+    if backend == "xla2":
+        return dense_topk_2pass(emb, q, valid_n, k)
     return dense_topk_xla(emb, q, valid_n, k)
 
 

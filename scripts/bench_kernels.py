@@ -105,7 +105,7 @@ def main() -> None:
             (args.batch, args.dim)).astype(np.float32))
         valid = jnp.int32(n - 7)
 
-        for kb in ("xla", "pallas"):
+        for kb in ("xla", "xla2", "pallas"):
             try:
                 dt = timeit(
                     lambda: dense_topk(emb, q, valid, args.k, backend=kb), args.iters)

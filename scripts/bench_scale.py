@@ -36,6 +36,11 @@ def main() -> None:
                     help="also measure late-channel self-retrieval "
                     "Recall@10 with this many noisy queries (quantifies "
                     "the compression recall cost at scale)")
+    ap.add_argument("--breakdown", action="store_true",
+                    help="also time each stage of the hybrid program as "
+                    "its own jitted sub-program (dense 2-pass vs full "
+                    "top_k, BM25, candidate MaxSim, list fusion) — names "
+                    "where the ms/batch goes (VERDICT r2 #1)")
     args = ap.parse_args()
 
     import jax
@@ -155,6 +160,103 @@ def main() -> None:
     print(f"{n} docs: {dt * 1e3:.2f} ms/batch{b} -> {b / dt:.0f} q/s "
           f"(device-side hybrid, tokens={args.token_dtype})",
           file=sys.stderr, flush=True)
+
+    if args.breakdown:
+        import functools
+
+        from legalrag_tpu.ops.bm25_sparse import bm25_sparse_topk_sorted
+        from legalrag_tpu.ops.fused_query import fuse_candidate_lists
+        from legalrag_tpu.ops.maxsim import maxsim_candidates
+        from legalrag_tpu.ops.topk import NEG_INF, topk_2pass
+
+        def masked_scores(e, qv):
+            s = jnp.dot(qv.astype(e.dtype), e.T,
+                        preferred_element_type=jnp.float32)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            return jnp.where(col < n, s, NEG_INF)
+
+        eff_k, c = params.eff_k, min(args.candidates, n)
+        stages = {
+            "dense_dot_only": jax.jit(
+                lambda e, qv: jnp.sum(masked_scores(e, qv), axis=1)),
+            "dense_topk_full": jax.jit(
+                lambda e, qv: jax.lax.top_k(masked_scores(e, qv), eff_k)),
+            "dense_topk_2pass": jax.jit(
+                lambda e, qv: topk_2pass(masked_scores(e, qv), eff_k)),
+            "bm25_sorted_segment": jax.jit(functools.partial(
+                bm25_sparse_topk_sorted, k=eff_k,
+                max_postings=params.max_postings)),
+            "maxsim_candidates": jax.jit(maxsim_candidates),
+        }
+        cand_rows = jnp.asarray(
+            rng.integers(0, n, (b, c)).astype(np.int32))
+        lists_static = [
+            (params.w_dense,
+             jnp.sort(rng.standard_normal((b, eff_k)).astype(np.float32)
+                      )[:, ::-1],
+             jnp.asarray(rng.integers(0, n, (b, eff_k)).astype(np.int32))),
+            (params.w_bm25,
+             jnp.sort(rng.standard_normal((b, eff_k)).astype(np.float32)
+                      )[:, ::-1],
+             jnp.asarray(rng.integers(0, n, (b, eff_k)).astype(np.int32))),
+            (params.w_late,
+             jnp.sort(rng.standard_normal((b, eff_k)).astype(np.float32)
+                      )[:, ::-1],
+             jnp.asarray(rng.integers(0, n, (b, eff_k)).astype(np.int32))),
+        ]
+
+        def fuse_only(*flat):
+            def row(*r):
+                per = [(lists_static[j][0], r[2 * j], r[2 * j + 1])
+                       for j in range(3)]
+                out = fuse_candidate_lists(per, params.rrf_k, params.alpha,
+                                           params.final_k)
+                return out["top_s"], out["rows"]
+            return jax.vmap(row)(*flat)
+
+        flat_lists = []
+        for _, s, i in lists_static:
+            flat_lists += [s, i]
+        stages["list_fusion"] = jax.jit(fuse_only)
+
+        calls = {
+            "dense_dot_only": lambda f: f(emb, qvec),
+            "dense_topk_full": lambda f: f(emb, qvec),
+            "dense_topk_2pass": lambda f: f(emb, qvec),
+            "bm25_sorted_segment": lambda f: f(
+                term_ids, term_counts, *sparse),
+            "maxsim_candidates": lambda f: f(doc_tok, doc_mask, q_tok,
+                                             q_mask, cand_rows),
+            "list_fusion": lambda f: f(*flat_lists),
+        }
+        for name, fn in stages.items():
+            call = calls[name]
+            try:
+                t0 = time.perf_counter()
+                np.asarray(jax.tree_util.tree_leaves(call(fn))[0])
+                compile_s = time.perf_counter() - t0
+
+                def one(m, _call=call, _fn=fn):
+                    t = time.perf_counter()
+                    out = None
+                    for _ in range(m):
+                        out = _call(_fn)
+                    np.asarray(jax.tree_util.tree_leaves(out)[0])
+                    return time.perf_counter() - t
+
+                one(3)
+                ta = one(args.iters)
+                tb = one(2 * args.iters)
+                ms = max((tb - ta) / args.iters, 1e-9) * 1e3
+                print(f"stage {name:22s} {ms:8.2f} ms/batch{b} "
+                      f"(compile+first {compile_s:.1f}s)",
+                      file=sys.stderr, flush=True)
+                print(f'{{"metric": "scale_stage_ms", "stage": "{name}", '
+                      f'"n_docs": {n}, "value": {ms:.2f}, '
+                      f'"unit": "ms/batch{b}"}}')
+            except Exception as e:
+                print(f"stage {name}: FAILED {str(e)[:200]}",
+                      file=sys.stderr, flush=True)
 
     recall = None
     if args.recall_queries:

@@ -5,7 +5,15 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from legalrag_tpu.ops.topk import dense_topk_pallas, dense_topk_xla
+from legalrag_tpu.ops.topk import (
+    TWO_PASS_MIN_N,
+    default_backend,
+    dense_topk_2pass,
+    dense_topk_pallas,
+    dense_topk_xla,
+    topk_2pass,
+    topk_large,
+)
 
 
 def _oracle(emb, q, valid_n, k):
@@ -62,3 +70,75 @@ def test_pallas_k_larger_than_valid(data):
                              jnp.int32(5), 8, tile_n=256, interpret=True)
     assert (np.asarray(i)[:, :5] < 5).all()
     assert (np.asarray(s)[:, 5:] <= -1e29).all()
+
+
+# ---------------------------------------------------------------------------
+# two-pass block-max selection (round-3 large-N path)
+
+
+@pytest.mark.parametrize("n,k,block", [
+    (4096, 64, 512),     # k < g: the interesting regime
+    (4096, 10, 512),
+    (4100, 16, 512),     # N not a multiple of block (rounding pad)
+    (1024, 5, 128),
+    (700, 64, 128),      # k > g·? — kb clamps to g
+    (512, 512, 128),     # k == n: falls through to plain top_k
+])
+def test_topk_2pass_matches_lax(n, k, block):
+    rng = np.random.default_rng(3)
+    scores = rng.standard_normal((6, n)).astype(np.float32)
+    s2, i2 = topk_2pass(jnp.asarray(scores), k, block=block)
+    sl, il = jax.lax.top_k(jnp.asarray(scores), k)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(sl),
+                               rtol=0, atol=0)  # identical f32 values
+    # continuous random scores: ties are measure-zero → indices identical
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(il))
+
+
+def test_topk_2pass_adversarial_block_layout():
+    # all top-k values packed into ONE block, plus a decoy block whose max
+    # is just below — exercises the block-selection bound
+    n, block, k = 2048, 256, 8
+    scores = np.full((2, n), -5.0, np.float32)
+    scores[0, 300:308] = np.arange(8, 0, -1, dtype=np.float32) + 100.0
+    scores[0, 1500] = 100.5     # decoy: single high value in another block
+    scores[1, :k] = 50.0        # exact ties across one block
+    s2, i2 = topk_2pass(jnp.asarray(scores), k, block=block)
+    sl, _ = jax.lax.top_k(jnp.asarray(scores), k)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(sl))
+    assert (np.asarray(i2) < n).all() and (np.asarray(i2) >= 0).all()
+
+
+def test_topk_2pass_neg_inf_padding_rows_clamped():
+    # every column masked: ids must stay in range, scores at NEG_INF
+    scores = np.full((3, 1000), -1e30, np.float32)
+    s2, i2 = topk_2pass(jnp.asarray(scores), 16, block=128)
+    assert (np.asarray(i2) >= 0).all() and (np.asarray(i2) < 1000).all()
+    assert (np.asarray(s2) <= -1e29).all()
+
+
+def test_dense_topk_2pass_matches_xla(data):
+    emb, q = data
+    valid_n = 1000
+    s1, i1 = dense_topk_xla(jnp.asarray(emb), jnp.asarray(q),
+                            jnp.int32(valid_n), 10)
+    s2, i2 = dense_topk_2pass(jnp.asarray(emb), jnp.asarray(q),
+                              jnp.int32(valid_n), 10, block=128)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
+                               rtol=1e-6, atol=1e-6)
+    assert (np.asarray(i2) < valid_n).all()
+
+
+def test_backend_routing_by_size():
+    assert default_backend(65_536) == "xla"
+    assert default_backend(TWO_PASS_MIN_N) == "xla2"
+    assert default_backend(1_048_576) == "xla2"
+
+
+def test_topk_large_small_n_is_plain_topk():
+    scores = np.random.default_rng(1).standard_normal((2, 256)).astype(
+        np.float32)
+    s, i = topk_large(jnp.asarray(scores), 8)
+    sl, il = jax.lax.top_k(jnp.asarray(scores), 8)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(il))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(sl))
