@@ -165,7 +165,12 @@ class IndexBundle:
         from legalrag_tpu.parallel.mesh import MODEL_AXIS
 
         s = self.mesh.shape[MODEL_AXIS]
-        cap = -(-max(self.dense.capacity, 1) // s) * s
+        # the shared doc-axis capacity must cover BOTH the dense capacity
+        # and the impact matrix's own 128-rounded doc axis (they round
+        # independently; with small capacity_round the impact axis is the
+        # larger one) — and divide evenly across the shards
+        n_impact = self.bm25.impact.shape[1]
+        cap = -(-max(self.dense.capacity, n_impact, 1) // s) * s
 
         def pad_rows(arr, target, fill=0):
             if arr.shape[0] == target:

@@ -159,19 +159,9 @@ def make_sharded_hybrid_step(mesh: Mesh, k: int, eff_k: int,
 _CHANNELS_CACHE: dict = {}
 
 
-def make_sharded_channels_step(mesh: Mesh, eff_k: int, has_late: bool):
-    """Multi-chip analogue of ``ops.fused_query.fused_channels_topk``: every
-    channel's GLOBAL top-eff_k list from one sharded execution.
-
-    This is the multi-chip SERVING path: the returned per-channel candidate
-    lists are exactly the single-device ones (shard-local top-k + all_gather
-    merge is exact), so the host-side fusion → min-score → graph → rerank →
-    dedup pipeline downstream is untouched — full 6-stage parity with
-    ``HybridRetriever.search`` on a sharded corpus.
-
-    Queries are replicated (single-query serving; use
-    ``make_sharded_hybrid_step`` for data-parallel batched throughput).
-    """
+def _channels_shardmap(mesh: Mesh, eff_k: int, has_late: bool):
+    """The (un-jitted) shard_map'd per-channel step shared by the plain and
+    encoder-fused sharded serving programs."""
 
     def local(emb_l, impact_l, doc_tok_l, doc_mask_l, qvec,
               term_ids, term_mask, q_tok, q_mask, valid_n):
@@ -200,13 +190,28 @@ def make_sharded_channels_step(mesh: Mesh, eff_k: int, has_late: bool):
     pair = (P(), P())
     tok_specs = ((P(MODEL_AXIS, None, None), P(MODEL_AXIS, None))
                  if has_late else (P(), P()))
-    fn = shard_map(
+    return shard_map(
         local, mesh=mesh,
         in_specs=(P(MODEL_AXIS, None), P(None, MODEL_AXIS),
                   tok_specs[0], tok_specs[1], P(), P(), P(), P(), P(), P()),
         out_specs=(pair, pair, pair) if has_late else (pair, pair),
         check_vma=False)
-    jitted = jax.jit(fn)
+
+
+def make_sharded_channels_step(mesh: Mesh, eff_k: int, has_late: bool):
+    """Multi-chip analogue of ``ops.fused_query.fused_channels_topk``: every
+    channel's GLOBAL top-eff_k list from one sharded execution.
+
+    This is the multi-chip SERVING path: the returned per-channel candidate
+    lists are exactly the single-device ones (shard-local top-k + all_gather
+    merge is exact), so the host-side fusion → min-score → graph → rerank →
+    dedup pipeline downstream is untouched — full 6-stage parity with
+    ``HybridRetriever.search`` on a sharded corpus.
+
+    Queries are replicated (single-query serving; use
+    ``make_sharded_hybrid_step`` for data-parallel batched throughput).
+    """
+    jitted = jax.jit(_channels_shardmap(mesh, eff_k, has_late))
 
     def run(emb, impact, doc_tok, doc_mask, qvec, qtf_pair, q_tok, q_mask,
             valid_n):
@@ -215,6 +220,42 @@ def make_sharded_channels_step(mesh: Mesh, eff_k: int, has_late: bool):
             doc_tok = doc_mask = q_tok = q_mask = z
         return jitted(emb, impact, doc_tok, doc_mask, qvec, qtf_pair[0],
                       qtf_pair[1], q_tok, q_mask, valid_n)
+
+    return run
+
+
+def make_sharded_bert_channels_step(mesh: Mesh, eff_k: int, has_late: bool,
+                                    bcfg, token_dim: int, q_dtype):
+    """Encoder-fused sharded serving step (VERDICT r2 #4): the replicated
+    BERT query forward runs INSIDE the same jitted program as the sharded
+    channel searches, so sharded+bert serving is ONE device execution per
+    batch — the same dispatch economics the unsharded one-shot program
+    measured at 7.5× on remote backends (EVAL.md: 342 → 2,570 q/s).
+
+    The encoder stage consumes replicated token ids and produces replicated
+    query views (it is O(B·L·H) — tiny next to the sharded corpus work);
+    the shard_map'd channel step then reads them with ``P()`` in-specs.
+    Exactness vs encode-then-search is tested (same ``bert_query_views``
+    math as the separate calls). Replaces the reference's encode→search
+    split at ``hybrid_retriever.py:282-384``."""
+    from legalrag_tpu.models.bert import bert_query_views
+
+    step = _channels_shardmap(mesh, eff_k, has_late)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(params, proj, ids_q, mask_q, ids_t, mask_t, emb, impact,
+            doc_tok, doc_mask, term_ids, term_mask, valid_n):
+        qvec, q_tok = bert_query_views(
+            params, bcfg, proj, token_dim, ids_q, mask_q,
+            ids_t if has_late else None, mask_t if has_late else None)
+        if not has_late:
+            z = jnp.zeros((), jnp.float32)
+            return (*step(emb, impact, z, z, qvec, term_ids, term_mask,
+                          z, z, valid_n), qvec)
+        q_tok = q_tok.astype(q_dtype)
+        q_mask = mask_t.astype(bool)
+        return (*step(emb, impact, doc_tok, doc_mask, qvec, term_ids,
+                      term_mask, q_tok, q_mask, valid_n), qvec)
 
     return run
 

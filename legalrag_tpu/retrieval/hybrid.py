@@ -52,6 +52,7 @@ class HybridRetriever:
         if cfg.retrieval.enable_graph and graph_store is not None:
             self.graph = GraphRetriever(bundle, graph_store, cfg)
         self._bert_e2e = None  # lazily-built encoder-fused one-shot program
+        self._bert_sharded = {}  # (mesh, kb, use_late) -> fused sharded fn
         from legalrag_tpu.retrieval.batcher import MicroBatcher
 
         e = cfg.engine
@@ -93,6 +94,23 @@ class HybridRetriever:
                 mask_t.astype(bool) if use_late else None, valid_n, eff_k)
 
         self._bert_e2e = fn
+        return fn
+
+    def _bert_sharded_oneshot(self, kb: int, use_late: bool):
+        """Encoder-fused SHARDED serving program (one execution per batch;
+        VERDICT r2 #4), cached per (mesh, k-bucket, late)."""
+        key = (self.bundle.mesh, kb, use_late)
+        fn = self._bert_sharded.get(key)
+        if fn is None:
+            from legalrag_tpu.parallel.sharded_search import (
+                make_sharded_bert_channels_step,
+            )
+
+            enc = self.bundle.encoder
+            fn = make_sharded_bert_channels_step(
+                self.bundle.mesh, kb, use_late, enc.cfg, enc.token_dim,
+                self.bundle.tokens._query_dtype)
+            self._bert_sharded[key] = fn
         return fn
 
     def _channels_topk_all(self, question: str, eff_k: int):
@@ -142,21 +160,35 @@ class HybridRetriever:
         maxlen = self.cfg.engine.max_query_tokens
         views = bundle.shard_views()
         is_bert = hasattr(enc, "_bundle_fwd") and hasattr(enc, "_tokenize")
-        if views is None and is_bert:
-            # bert backend, unsharded: encoder + all channels in ONE program
+        if is_bert:
+            # bert backend: encoder + all channels in ONE program — both
+            # unsharded and sharded (VERDICT r2 #4: the sharded case used
+            # to pay a second execution per batch for the encoder)
             ids, mask = bundle.bm25.query_term_ids(qs, maxlen)
             q_texts = ([enc.instruction + t for t in qs]
                        if enc.instruction else qs)
             ids_q, mask_q = enc._tokenize(q_texts, enc.max_length)
             ids_t, mask_t = enc._tokenize(qs, maxlen)
             with on_device(bundle.device):
-                out = self._bert_oneshot_program()(
-                    enc.params, enc.token_proj, ids_q, mask_q, ids_t, mask_t,
-                    bundle.dense.emb, bundle.bm25.impact,
-                    bundle.tokens.tok if use_late else None,
-                    bundle.tokens.mask if use_late else None,
-                    jnp.asarray(ids), jnp.asarray(mask),
-                    jnp.int32(bundle.dense.n), kb, use_late)
+                if views is None:
+                    out = self._bert_oneshot_program()(
+                        enc.params, enc.token_proj, ids_q, mask_q, ids_t,
+                        mask_t, bundle.dense.emb, bundle.bm25.impact,
+                        bundle.tokens.tok if use_late else None,
+                        bundle.tokens.mask if use_late else None,
+                        jnp.asarray(ids), jnp.asarray(mask),
+                        jnp.int32(bundle.dense.n), kb, use_late)
+                else:
+                    out = self._bert_sharded_oneshot(kb, use_late)(
+                        enc.params, enc.token_proj, ids_q, mask_q, ids_t,
+                        mask_t, views["emb"], views["impact"],
+                        views.get("tok") if use_late else jnp.zeros(()),
+                        views.get("mask") if use_late else jnp.zeros(()),
+                        jnp.asarray(ids), jnp.asarray(mask),
+                        jnp.int32(bundle.dense.n))
+                    names = (("dense", "bm25", "colbert") if use_late
+                             else ("dense", "bm25"))
+                    out = dict(zip(names, out[:-1]), qvec=out[-1])
             qvec_out = out.pop("qvec")
             res = {name: (np.asarray(s)[:nb, :eff_k],
                           np.asarray(i)[:nb, :eff_k])

@@ -187,6 +187,124 @@ def test_sharded_hybrid_step_with_late_channel():
     np.testing.assert_allclose(s, ref_s, atol=1e-5)
 
 
+@pytest.mark.parametrize("n_docs,shards,eff_k", [
+    (37, 4, 16),    # n % shards != 0: capacity padding in play
+    (5, 4, 32),     # near-single-doc shards, eff_k > n_docs
+    (100, 8, 64),   # eff_k > n_local (100/8 ≈ 13 rows per shard)
+    (101, 4, 8),    # odd size, small k
+])
+def test_sharded_geometry_matrix(zh_chunks, tmp_path_factory, n_docs,
+                                 shards, eff_k):
+    """Awkward shard geometry (VERDICT r2 #10): n_docs not divisible by the
+    shard count, eff_k above the per-shard row count, near-empty shards —
+    the padding logic in _gather_topk/shard_views must keep the sharded
+    channel lists EXACTLY equal to the single-device ones."""
+    from legalrag_tpu.retrieval.hybrid import HybridRetriever
+
+    root = tmp_path_factory.mktemp(f"geo{n_docs}x{shards}")
+    cfg = _cfg(root)
+    cfg.engine.capacity_round = 8  # keep capacity close to n: real padding
+    corpus = zh_chunks[:n_docs]
+    bundle = IndexBundle.build_from_chunks(corpus, cfg.with_lang("zh"), "zh")
+    sharded = IndexBundle.build_from_chunks(corpus, cfg.with_lang("zh"), "zh")
+    mesh = make_mesh(local_devices("cpu")[:shards], data=1, model=shards)
+    sharded.enable_sharding(mesh)
+
+    plain = HybridRetriever(bundle, cfg.with_lang("zh"))
+    shard = HybridRetriever(sharded, cfg.with_lang("zh"))
+    for q in QUERIES[:2]:
+        a = plain._channels_topk_all(q, eff_k)
+        b = shard._channels_topk_all(q, eff_k)
+        assert set(a) == set(b)
+        for name in ("dense", "bm25", "colbert"):
+            if name not in a:
+                continue
+            # compare only the REAL rows (scores above the NEG_INF mask);
+            # both paths return identical validity patterns
+            sa, ia = np.asarray(a[name][0]), np.asarray(a[name][1])
+            sb, ib = np.asarray(b[name][0]), np.asarray(b[name][1])
+            real = sa > -1e29
+            np.testing.assert_array_equal(real, sb > -1e29,
+                                          err_msg=f"{name} validity for {q!r}")
+            np.testing.assert_array_equal(ia[real], ib[real],
+                                          err_msg=f"{name} ids for {q!r}")
+            np.testing.assert_allclose(sa[real], sb[real], atol=1e-5,
+                                       err_msg=f"{name} scores for {q!r}")
+        # every returned id must be a real corpus row
+        assert (np.asarray(b["dense"][1]) < bundle.dense.capacity).all()
+
+
+def test_sharded_bert_is_one_execution_and_exact(en_chunks,
+                                                 tmp_path_factory):
+    """VERDICT r2 #4: sharded + bert serving must run encoder + channels in
+    ONE program (no separate encode_query_bundle execution) and match the
+    unsharded bert engine exactly."""
+    torch = pytest.importorskip("torch")
+    from transformers import BertConfig, BertModel, BertTokenizerFast
+
+    ckpt = tmp_path_factory.mktemp("tiny_bert_sh")
+    torch.manual_seed(0)
+    BertModel(BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                         num_attention_heads=2, intermediate_size=64,
+                         max_position_embeddings=64)).save_pretrained(ckpt)
+    vocab = ckpt / "vocab.txt"
+    vocab.write_text("\n".join(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "the", "seller",
+         "buyer", "goods", "security", "interest", "of", "a", "delivery"]))
+    BertTokenizerFast(vocab_file=str(vocab)).save_pretrained(ckpt)
+
+    from legalrag_tpu.models.bert import FlaxBertEncoder
+    from legalrag_tpu.retrieval.hybrid import HybridRetriever
+
+    def make(enc_seed_dir):
+        cfg = AppConfig()
+        cfg.llm.provider = "disabled"
+        cfg.engine.capacity_round = 64
+        cfg.engine.late_doc_maxlen = 32
+        cfg.engine.late_dim = 16
+        cfg.engine.max_query_tokens = 24
+        enc = FlaxBertEncoder.from_pretrained(
+            str(ckpt), instruction="Represent this question: ",
+            max_length=48, token_dim=16)
+        bundle = IndexBundle.build_from_chunks(en_chunks[:80], cfg, "en",
+                                               encoder=enc)
+        return bundle, cfg
+
+    bundle, cfg = make("a")
+    sharded, _ = make("b")
+    mesh = make_mesh(local_devices("cpu")[:4], data=1, model=4)
+    sharded.enable_sharding(mesh)
+
+    plain = HybridRetriever(bundle, cfg)
+    shard = HybridRetriever(sharded, cfg)
+
+    # the fused sharded program must NOT fall back to a separate encoder
+    # execution — poison the two-step entry points
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("sharded+bert took the two-execution path")
+
+    shard.bundle.encoder.encode_query_bundle = boom
+    shard.bundle.encoder.encode_queries = boom
+
+    q = "security interest attaches when value is given"
+    a = plain._channels_topk_all(q, 16)
+    b = shard._channels_topk_all(q, 16)
+    assert b is not None and set(a) == set(b)
+    for name in ("dense", "bm25", "colbert"):
+        np.testing.assert_array_equal(a[name][1], b[name][1],
+                                      err_msg=f"{name} ids")
+        np.testing.assert_allclose(a[name][0], b[name][0], atol=1e-4,
+                                   err_msg=f"{name} scores")
+    np.testing.assert_allclose(a["qvec"], b["qvec"], atol=1e-5)
+
+    # and the full search pipeline agrees end-to-end
+    h1 = plain.search(q, top_k=8)
+    h2 = shard.search(q, top_k=8)
+    assert [h.chunk.id for h in h1] == [h.chunk.id for h in h2]
+    np.testing.assert_allclose([h.score for h in h1],
+                               [h.score for h in h2], atol=1e-5)
+
+
 def test_sharded_nbit4_store(corpus, tmp_path_factory):
     """A compressed (nbit4) token store must shard via per-slice host
     reconstruction (regression: shard_views dequantized the WHOLE store
