@@ -66,8 +66,17 @@ def init_multihost() -> bool:
     ``jax.devices()`` process-local."""
     if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
         return False
+    # jax.distributed.initialize() only auto-detects process count/id under
+    # a recognized cluster scheduler (SLURM & co.); on bare hosts the
+    # standard env carries them — pass explicitly (verified by the real
+    # 2-process test, tests/test_multihost.py)
+    kwargs = {}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
         # Either already initialized (fine) or called too late / the
         # coordinator is unreachable — say so instead of silently serving

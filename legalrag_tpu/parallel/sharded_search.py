@@ -18,6 +18,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
@@ -150,7 +151,9 @@ def make_sharded_hybrid_step(mesh: Mesh, k: int, eff_k: int,
         return jitted
 
     def without_late(emb, impact, qvec, qtf, valid_n):
-        z = jnp.zeros((), jnp.float32)
+        # host scalar, not a committed device array: multi-process meshes
+        # cannot reshard process-local jax.Arrays (tests/multihost_worker.py)
+        z = np.float32(0.0)
         return jitted(emb, impact, z, z, qvec, qtf, z, z, valid_n)
 
     return without_late
@@ -216,7 +219,7 @@ def make_sharded_channels_step(mesh: Mesh, eff_k: int, has_late: bool):
     def run(emb, impact, doc_tok, doc_mask, qvec, qtf_pair, q_tok, q_mask,
             valid_n):
         if not has_late:
-            z = jnp.zeros((), jnp.float32)
+            z = np.float32(0.0)
             doc_tok = doc_mask = q_tok = q_mask = z
         return jitted(emb, impact, doc_tok, doc_mask, qvec, qtf_pair[0],
                       qtf_pair[1], q_tok, q_mask, valid_n)
