@@ -41,7 +41,9 @@ class DecoderConfig:
                  head_dim=None, rope_scaling=None, model_type="",
                  hidden_activation=None, query_pre_attn_scalar=None,
                  attn_logit_softcapping=None, final_logit_softcapping=None,
-                 sliding_window=None, layer_types=None, **_ignored):
+                 sliding_window=None, layer_types=None,
+                 rope_local_base_freq=None, sliding_window_pattern=None,
+                 **_ignored):
         self.vocab_size = vocab_size
         self.hidden_size = hidden_size
         self.num_hidden_layers = num_hidden_layers
@@ -58,29 +60,34 @@ class DecoderConfig:
         self.rope_scaling = rope_scaling
         rtype = (rope_scaling or {}).get("rope_type") \
             or (rope_scaling or {}).get("type")
-        if rtype not in (None, "default", "linear", "llama3"):
+        if rtype not in (None, "default", "linear", "llama3", "yarn"):
             raise ValueError(
-                f"rope_scaling type {rtype!r} (yarn/dynamic/…) is not "
+                f"rope_scaling type {rtype!r} (dynamic/longrope/…) is not "
                 "implemented — refusing to load rather than decode with "
                 "wrong positions")
-        # Gemma-family deltas (model_type "gemma"/"gemma2"): (1+w) RMSNorm,
-        # sqrt(H)-scaled embeddings, GeGLU, sandwich norms, logit softcaps,
-        # per-layer sliding-window attention, query_pre_attn_scalar scale
+        # Gemma-family deltas (model_type "gemma"/"gemma2"/"gemma3"):
+        # (1+w) RMSNorm, sqrt(H)-scaled embeddings, GeGLU, sandwich norms,
+        # logit softcaps (gemma2), per-layer sliding-window attention,
+        # query_pre_attn_scalar scale; gemma3 adds (1+w) q/k norms and a
+        # separate UNSCALED local RoPE base on sliding layers
         self.model_type = model_type or ""
-        if self.model_type.startswith("gemma3"):
-            raise ValueError(
-                "gemma3 checkpoints need per-layer local RoPE bases "
-                "(rope_local_base_freq) and (1+w) q/k norms — not "
-                "implemented; refusing to load rather than generate "
-                "silently wrong logits")
         self.gemma = self.model_type.startswith("gemma")
+        self.gemma3 = self.model_type.startswith("gemma3")
+        self.rope_local_base_freq = rope_local_base_freq or 10000.0
         self.hidden_activation = hidden_activation or (
             "gelu_pytorch_tanh" if self.gemma else "silu")
         self.query_pre_attn_scalar = query_pre_attn_scalar
         self.attn_logit_softcapping = attn_logit_softcapping
         self.final_logit_softcapping = final_logit_softcapping
         self.sliding_window = sliding_window
-        if layer_types is None and self.gemma and sliding_window:
+        if layer_types is None and self.gemma3 and sliding_window:
+            # gemma3: every Nth layer is full attention (HF
+            # Gemma3TextConfig.sliding_window_pattern, default 6)
+            pat = sliding_window_pattern or 6
+            layer_types = ["full_attention" if (i + 1) % pat == 0 else
+                           "sliding_attention"
+                           for i in range(num_hidden_layers)]
+        elif layer_types is None and self.gemma and sliding_window:
             # real gemma-2 hub configs predate the layer_types key; HF
             # computes the alternating pattern in Gemma2Config.__init__
             layer_types = ["sliding_attention" if (i + 1) % 2 else
@@ -104,14 +111,21 @@ def _rms_norm(x, w, eps, plus_one: bool = False):
     return normed * (1.0 + w) if plus_one else normed * w
 
 
-def rope_inv_freq(cfg: "DecoderConfig", d: int) -> jax.Array:
-    """Per-frequency inverse wavelengths, with rope_scaling applied.
-    Supported types: none/default (plain RoPE), linear, and llama3
-    (Llama-3.1+ frequency-banded scaling — bit-matches HF
-    ``_compute_llama3_parameters``). Unknown types are refused at load."""
-    inv = 1.0 / (cfg.rope_theta
-                 ** (np.arange(0, d, 2, dtype=np.float64) / d))
-    rs = cfg.rope_scaling
+def rope_inv_freq(cfg: "DecoderConfig", d: int, base: float = None,
+                  use_scaling: bool = True) -> Tuple[jax.Array, float]:
+    """(per-frequency inverse wavelengths, cos/sin attention scale).
+
+    Supported rope_scaling types: none/default (plain RoPE), linear,
+    llama3 (Llama-3.1+ frequency-banded scaling — bit-matches HF
+    ``_compute_llama3_parameters``), and yarn (NTK-by-parts with the
+    paper's attention factor — bit-matches HF ``_compute_yarn_parameters``;
+    Qwen3 long-context configs). Unknown types are refused at load.
+    ``base``/``use_scaling`` serve gemma3's sliding layers, which rotate at
+    ``rope_local_base_freq`` WITHOUT the global scaling."""
+    base = base or cfg.rope_theta
+    inv = 1.0 / (base ** (np.arange(0, d, 2, dtype=np.float64) / d))
+    scale = 1.0
+    rs = cfg.rope_scaling if use_scaling else None
     rtype = (rs or {}).get("rope_type") or (rs or {}).get("type")
     if rtype == "linear":
         inv = inv / rs["factor"]
@@ -124,16 +138,47 @@ def rope_inv_freq(cfg: "DecoderConfig", d: int) -> jax.Array:
         inv = np.where(wavelen > orig / lo, inv / factor,
                        np.where(wavelen < orig / hi, inv,
                                 (1 - smooth) / factor * inv + smooth * inv))
-    return jnp.asarray(inv, jnp.float32)
+    elif rtype == "yarn":
+        factor = rs["factor"]
+        orig = (rs.get("original_max_position_embeddings")
+                or cfg.max_position_embeddings)
+        beta_fast = rs.get("beta_fast") or 32
+        beta_slow = rs.get("beta_slow") or 1
+        scale = rs.get("attention_factor")
+        if scale is None:
+            def mscale(s, m=1):
+                return 1.0 if s <= 1 else 0.1 * m * math.log(s) + 1.0
+
+            ms, msd = rs.get("mscale"), rs.get("mscale_all_dim")
+            scale = (mscale(factor, ms) / mscale(factor, msd)
+                     if ms and msd else mscale(factor))
+
+        def corr_dim(n_rot):
+            return (d * math.log(orig / (n_rot * 2 * math.pi))
+                    ) / (2 * math.log(base))
+
+        lo, hi = corr_dim(beta_fast), corr_dim(beta_slow)
+        if rs.get("truncate", True):
+            lo, hi = math.floor(lo), math.ceil(hi)
+        lo, hi = max(lo, 0), min(hi, d - 1)
+        if lo == hi:
+            hi += 0.001
+        ramp = np.clip((np.arange(d // 2, dtype=np.float64) - lo)
+                       / (hi - lo), 0, 1)
+        extrapolation_factor = 1 - ramp
+        inv = (inv / factor) * (1 - extrapolation_factor) \
+            + inv * extrapolation_factor
+    return jnp.asarray(inv, jnp.float32), float(scale)
 
 
-def _rope(x, positions, inv):
-    """x [B, T, H, D]; rotate pairs (half-split convention); ``inv`` from
-    :func:`rope_inv_freq`."""
+def _rope(x, positions, inv, scale: float = 1.0):
+    """x [B, T, H, D]; rotate pairs (half-split convention); ``inv`` and
+    ``scale`` from :func:`rope_inv_freq` (yarn multiplies cos/sin by its
+    attention factor)."""
     d = x.shape[-1]
     ang = positions[:, :, None].astype(jnp.float32) * inv[None, None, :]
-    cos = jnp.cos(ang)[:, :, None, :]
-    sin = jnp.sin(ang)[:, :, None, :]
+    cos = (jnp.cos(ang) * scale)[:, :, None, :]
+    sin = (jnp.sin(ang) * scale)[:, :, None, :]
     x1, x2 = x[..., : d // 2], x[..., d // 2:]
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
                            axis=-1).astype(x.dtype)
@@ -152,7 +197,11 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
     b, t = input_ids.shape
     h, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
     d = cfg.head_dim
-    rope_inv = rope_inv_freq(cfg, d)
+    rope_inv, rope_scale = rope_inv_freq(cfg, d)
+    if cfg.gemma3:
+        # gemma3 sliding layers rotate at the UNSCALED local base
+        rope_inv_local, rope_scale_local = rope_inv_freq(
+            cfg, d, base=cfg.rope_local_base_freq, use_scaling=False)
     g = cfg.gemma
     x = jnp.take(params["embed"], input_ids, axis=0)
     if g:  # Gemma scales embeddings by sqrt(H)
@@ -167,14 +216,18 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
         v = (jnp.dot(y, layer["v"]["kernel"]) + layer["v"]["bias"]
              ).reshape(b, t, hkv, d)
         if "q_norm" in layer:   # Qwen3/Gemma3-class per-head RMS before RoPE
-            q = _rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
-            k = _rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
-        q = _rope(q, positions, rope_inv)
-        k = _rope(k, positions, rope_inv)
-
+            # gemma3 stores these zero-centered ((1+w) convention)
+            q = _rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, g)
+            k = _rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, g)
         sliding = (cfg.sliding_window
                    and cfg.layer_types is not None
                    and cfg.layer_types[li] == "sliding_attention")
+        if cfg.gemma3 and sliding:
+            li_inv, li_scale = rope_inv_local, rope_scale_local
+        else:
+            li_inv, li_scale = rope_inv, rope_scale
+        q = _rope(q, positions, li_inv, li_scale)
+        k = _rope(k, positions, li_inv, li_scale)
         if kv_cache is not None:
             ck, cv = kv_cache[li]
             ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_len, 0, 0))

@@ -438,8 +438,8 @@ def test_llama3_rope_scaling_parity(tmp_path):
     plain = DecoderConfig(rope_theta=cfg.rope_theta,
                           hidden_size=cfg.hidden_size,
                           num_attention_heads=cfg.num_attention_heads)
-    assert not np.allclose(np.asarray(rope_inv_freq(cfg, cfg.head_dim)),
-                           np.asarray(rope_inv_freq(plain, cfg.head_dim)))
+    assert not np.allclose(np.asarray(rope_inv_freq(cfg, cfg.head_dim)[0]),
+                           np.asarray(rope_inv_freq(plain, cfg.head_dim)[0]))
 
     rng = np.random.default_rng(5)
     ids = rng.integers(0, 96, size=(2, 48))   # past original_max=16
@@ -455,7 +455,95 @@ def test_unknown_rope_scaling_refused():
     from legalrag_tpu.models.decoder import DecoderConfig
 
     with pytest.raises(ValueError, match="rope_scaling"):
-        DecoderConfig(rope_scaling={"rope_type": "yarn", "factor": 4.0})
+        DecoderConfig(rope_scaling={"rope_type": "longrope", "factor": 4.0})
+    with pytest.raises(ValueError, match="rope_scaling"):
+        DecoderConfig(rope_scaling={"rope_type": "dynamic", "factor": 4.0})
+
+
+def test_qwen3_yarn_rope_parity(tmp_path):
+    """Qwen3 long-context checkpoints ship YaRN rope_scaling (NTK-by-parts
+    frequencies + attention factor on cos/sin) — previously refused at
+    load; logits must match HF with scaling active past the original
+    context window."""
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    cfg_t = Qwen3Config(vocab_size=96, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        head_dim=16, intermediate_size=64,
+                        max_position_embeddings=256, rope_theta=10000.0,
+                        tie_word_embeddings=False, attention_dropout=0.0,
+                        rope_scaling={"rope_type": "yarn", "factor": 4.0,
+                                      "original_max_position_embeddings": 32})
+    torch.manual_seed(19)
+    model = Qwen3ForCausalLM(cfg_t).eval()
+    model.save_pretrained(tmp_path)
+
+    import jax.numpy as jnp
+
+    from legalrag_tpu.models.decoder import (DecoderConfig, decoder_forward,
+                                             load_hf_decoder_params,
+                                             rope_inv_freq)
+
+    params, cfg = load_hf_decoder_params(tmp_path)
+    inv, scale = rope_inv_freq(cfg, cfg.head_dim)
+    plain = DecoderConfig(rope_theta=cfg.rope_theta,
+                          hidden_size=cfg.hidden_size,
+                          num_attention_heads=cfg.num_attention_heads,
+                          head_dim=cfg.head_dim)
+    inv0, scale0 = rope_inv_freq(plain, cfg.head_dim)
+    assert scale > 1.0 and scale0 == 1.0        # yarn attention factor
+    assert not np.allclose(np.asarray(inv), np.asarray(inv0))
+
+    rng = np.random.default_rng(23)
+    ids = rng.integers(0, 96, size=(2, 64))      # past original_max=32
+    with torch.no_grad():
+        want = model(torch.tensor(ids)).logits.float().numpy()
+    positions = jnp.broadcast_to(jnp.arange(64)[None, :], (2, 64))
+    got, _ = decoder_forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                             positions)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
+
+
+def test_gemma3_decoder_parity(tmp_path):
+    """Gemma-3 architecture: gemma2's sandwich norms/GeGLU/scaled
+    embeddings PLUS (1+w) q/k head norms and a per-layer RoPE split —
+    sliding layers rotate at the unscaled local base, full layers at the
+    scaled global base. Logits must match HF Gemma3ForCausalLM with the
+    window and both rope bases genuinely active."""
+    from transformers import Gemma3TextConfig
+    from transformers import Gemma3ForCausalLM
+
+    cfg_t = Gemma3TextConfig(
+        vocab_size=96, hidden_size=32, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        intermediate_size=64, max_position_embeddings=128,
+        rope_theta=1000000.0, rope_local_base_freq=10000.0,
+        query_pre_attn_scalar=16, sliding_window=5,
+        sliding_window_pattern=2,   # layers 0,2 sliding / 1,3 full
+        rope_scaling={"rope_type": "linear", "factor": 8.0},
+        attention_dropout=0.0, tie_word_embeddings=False)
+    torch.manual_seed(29)
+    model = Gemma3ForCausalLM(cfg_t).eval()
+    model.save_pretrained(tmp_path)
+
+    import jax.numpy as jnp
+
+    from legalrag_tpu.models.decoder import (decoder_forward,
+                                             load_hf_decoder_params)
+
+    params, cfg = load_hf_decoder_params(tmp_path)
+    assert cfg.gemma3 and "q_norm" in params["layers"][0]
+    assert cfg.layer_types[:4] == ["sliding_attention", "full_attention",
+                                   "sliding_attention", "full_attention"]
+
+    rng = np.random.default_rng(31)
+    ids = rng.integers(0, 96, size=(2, 16))      # seq 16 > window 5
+    with torch.no_grad():
+        want = model(torch.tensor(ids)).logits.float().numpy()
+    positions = jnp.broadcast_to(jnp.arange(16)[None, :], (2, 16))
+    got, _ = decoder_forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                             positions)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-3, rtol=2e-3)
 
 
 def test_gemma2_decoder_parity(tmp_path):
@@ -496,11 +584,10 @@ def test_gemma2_decoder_parity(tmp_path):
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-3, rtol=2e-3)
 
 
-def test_gemma2_layer_types_fallback_and_gemma3_refusal():
-    """Real gemma-2 hub configs predate the layer_types key — the
-    alternating sliding/full pattern must be reconstructed (HF does the
-    same in Gemma2Config.__init__); gemma3 (per-layer local RoPE bases,
-    (1+w) q/k norms) is refused rather than silently mis-decoded."""
+def test_gemma_layer_types_fallbacks():
+    """Real gemma hub configs may predate the layer_types key — gemma2's
+    alternating and gemma3's every-Nth-full patterns must be
+    reconstructed (HF does the same in the config __init__s)."""
     from legalrag_tpu.models.decoder import DecoderConfig
 
     cfg = DecoderConfig(model_type="gemma2", num_hidden_layers=4,
@@ -508,11 +595,15 @@ def test_gemma2_layer_types_fallback_and_gemma3_refusal():
     assert cfg.layer_types == ["sliding_attention", "full_attention",
                                "sliding_attention", "full_attention"]
 
-    with pytest.raises(ValueError, match="gemma3"):
-        DecoderConfig(model_type="gemma3_text")
+    cfg3 = DecoderConfig(model_type="gemma3_text", num_hidden_layers=6,
+                         sliding_window=512, sliding_window_pattern=3)
+    assert cfg3.layer_types == ["sliding_attention", "sliding_attention",
+                                "full_attention"] * 2
+    assert cfg3.gemma3 and cfg3.rope_local_base_freq == 10000.0
 
 
-@pytest.mark.parametrize("family", ["qwen3", "gemma2"])
+@pytest.mark.parametrize("family", ["qwen3", "gemma2", "gemma3",
+                                    "qwen3-yarn"])
 def test_new_family_kv_cache_matches_full(tmp_path, family):
     """The KV-cache decode path must reproduce the full-sequence forward
     for the round-2 families — Qwen3 (q/k-norm applied inside the cached
@@ -531,6 +622,35 @@ def test_new_family_kv_cache_matches_full(tmp_path, family):
                             rope_theta=10000.0, attention_dropout=0.0)
         torch.manual_seed(21)
         Qwen3ForCausalLM(cfg_t).save_pretrained(tmp_path)
+    elif family == "qwen3-yarn":
+        from transformers import Qwen3Config, Qwen3ForCausalLM
+
+        cfg_t = Qwen3Config(vocab_size=96, hidden_size=32,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            num_key_value_heads=2, head_dim=16,
+                            intermediate_size=64,
+                            max_position_embeddings=256,
+                            rope_theta=10000.0, attention_dropout=0.0,
+                            rope_scaling={"rope_type": "yarn",
+                                          "factor": 4.0,
+                                          "original_max_position_embeddings":
+                                              8})
+        torch.manual_seed(27)
+        Qwen3ForCausalLM(cfg_t).save_pretrained(tmp_path)
+    elif family == "gemma3":
+        from transformers import Gemma3ForCausalLM, Gemma3TextConfig
+
+        cfg_t = Gemma3TextConfig(
+            vocab_size=96, hidden_size=32, num_hidden_layers=4,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+            intermediate_size=64, max_position_embeddings=128,
+            rope_theta=1000000.0, rope_local_base_freq=10000.0,
+            query_pre_attn_scalar=16, sliding_window=5,
+            sliding_window_pattern=2,
+            rope_scaling={"rope_type": "linear", "factor": 8.0},
+            attention_dropout=0.0, tie_word_embeddings=False)
+        torch.manual_seed(28)
+        Gemma3ForCausalLM(cfg_t).save_pretrained(tmp_path)
     else:
         from transformers import Gemma2Config, Gemma2ForCausalLM
 
