@@ -258,11 +258,11 @@ def measure_bert_backend():
 
 
 def measure_large_n():
-    """Secondary figure: the 65k-doc synthetic fused-hybrid program
-    (VERDICT r1 weak #8 — the headline corpus is dispatch-bound at 1,260
-    docs; this records a compute-bound point in the same BENCH line).
-    Runs scripts.bench_scale in a subprocess, guarded so the primary
-    metric never depends on it. Disable with LEGALRAG_BENCH_LARGE_N=0."""
+    """Secondary figure: the MILLION-doc synthetic fused-hybrid program —
+    the memory-capped regime where the round-3 two-pass top-k closes the
+    selection bottleneck (VERDICT r2 #1; r2 recorded 65k here). Runs
+    scripts.bench_scale in a subprocess, guarded so the primary metric
+    never depends on it. Disable with LEGALRAG_BENCH_LARGE_N=0."""
     import os
     import subprocess
 
@@ -271,8 +271,8 @@ def measure_large_n():
     try:
         p = subprocess.run(
             [sys.executable, "-m", "scripts.bench_scale",
-             "--n-docs", "65536", "--iters", "10"],
-            capture_output=True, text=True, timeout=2400, cwd=str(REPO))
+             "--n-docs", "1048576", "--iters", "5"],
+            capture_output=True, text=True, timeout=3600, cwd=str(REPO))
         lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
         if not lines:
             log(f"large-N skipped (no output; rc={p.returncode}): "

@@ -88,8 +88,8 @@ TWO_PASS_MIN_N = 131_072
 TWO_PASS_BLOCK = 512
 
 
-def topk_2pass(scores: jax.Array, k: int, block: int = TWO_PASS_BLOCK
-               ) -> Tuple[jax.Array, jax.Array]:
+def topk_2pass(scores: jax.Array, k: int, block: int = TWO_PASS_BLOCK,
+               block2: int = 128) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k over a [B, N] score map without a full-width sort.
 
     Pass 1 reduces each ``block``-wide column group to its max (a streaming
@@ -122,7 +122,14 @@ def topk_2pass(scores: jax.Array, k: int, block: int = TWO_PASS_BLOCK
     _, top_blocks = jax.lax.top_k(jnp.max(blk, axis=2), kb)     # [B, kb]
     cand = jnp.take_along_axis(blk, top_blocks[:, :, None], axis=1)
     cand = cand.reshape(b, kb * block)                          # [B, kb*block]
-    top_s, pos = jax.lax.top_k(cand, k)
+    if block2 and kb * block > 8192:
+        # the gathered row is itself wide (k·block columns, e.g. 32k for
+        # k=64/block=512) — recurse once with a small block so the final
+        # full sort runs over ≤ k·block2 columns (measured: the tail
+        # lax.top_k dominated the first two-pass at B=256/N=1M)
+        top_s, pos = topk_2pass(cand, k, block=block2, block2=0)
+    else:
+        top_s, pos = jax.lax.top_k(cand, k)
     blk_of = jnp.take_along_axis(top_blocks, pos // block, axis=1)
     # clamp: NEG_INF slots may sit in the rounding pad beyond n; callers
     # filter them by score but must never see an out-of-range row id

@@ -80,6 +80,52 @@ def test_large_mode_matches_standard(setup):
         assert reported.mean() > 0.5  # most final hits come from the lists
 
 
+def test_two_pass_routing_inside_fused_lists(setup, monkeypatch):
+    """Round-3: past TWO_PASS_MIN_N columns the large-corpus program's
+    dense selection routes through topk_2pass. Force the threshold down so
+    the route triggers at test scale and assert the program's output is
+    unchanged vs the plain lax.top_k route."""
+    import jax
+
+    from legalrag_tpu.ops import topk as topk_mod
+
+    bundle, cfg = setup
+    queries = ["lease contract default remedies",
+               "warranty of merchantability goods"]
+    qvec, ids, mask, qt, qm = _query_inputs(bundle, cfg, queries)
+    offsets, post_docs, post_w = build_postings(
+        bundle.bm25.doc_term_ids, bundle.bm25.doc_term_freqs,
+        len(bundle.bm25.vocab))
+    params = FusedParams(eff_k=16, final_k=10, rrf_k=60.0, alpha=0.5,
+                         w_dense=0.6, w_bm25=0.4, w_late=0.35,
+                         late_candidates=32)
+
+    def run():
+        return fused_hybrid_topk(
+            bundle.dense.emb,
+            (jnp.asarray(offsets), jnp.asarray(post_docs),
+             jnp.asarray(post_w)),
+            bundle.tokens.tok, bundle.tokens.mask, qvec,
+            (jnp.asarray(ids), jnp.asarray(mask)), qt, qm,
+            jnp.int32(bundle.dense.n), params)
+
+    plain = run()
+    plain_rows = np.asarray(plain["rows"]).copy()
+    plain_scores = np.asarray(plain["packed"])[..., 0].copy()
+
+    monkeypatch.setattr(topk_mod, "TWO_PASS_MIN_N", 64)
+    jax.clear_caches()  # force a re-trace so topk_large re-reads the gate
+    try:
+        routed = run()
+        np.testing.assert_array_equal(np.asarray(routed["rows"]),
+                                      plain_rows)
+        np.testing.assert_allclose(np.asarray(routed["packed"])[..., 0],
+                                   plain_scores, atol=1e-6)
+    finally:
+        monkeypatch.undo()
+        jax.clear_caches()
+
+
 def test_candidate_mode_prefilters(setup):
     bundle, cfg = setup
     queries = ["security interest attaches when value is given"]
