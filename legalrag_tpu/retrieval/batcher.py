@@ -26,6 +26,7 @@ tests/test_microbatch.py.
 from __future__ import annotations
 
 import threading
+import time
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -37,7 +38,8 @@ RunBatch = Callable[[Sequence[str], int], Result]
 
 
 class _Slot:
-    __slots__ = ("question", "eff_k", "event", "value", "error", "done")
+    __slots__ = ("question", "eff_k", "event", "value", "error", "done",
+                 "t_enqueue")
 
     def __init__(self, question: str, eff_k: int):
         self.question = question
@@ -46,6 +48,7 @@ class _Slot:
         self.value: Result = None
         self.error: Optional[BaseException] = None
         self.done = False
+        self.t_enqueue = time.perf_counter()
 
 
 def _slice_result(res: Result, i: int, eff_k: int) -> Result:
@@ -154,6 +157,9 @@ class MicroBatcher:
 
     def _execute(self, batch: List[_Slot]) -> None:
         eff_k = max(s.eff_k for s in batch)
+        t_start = time.perf_counter()
+        with self._lock:
+            depth = len(self._pending)
         try:
             res = self._run([s.question for s in batch], eff_k)
         except BaseException as e:  # propagate to every waiter
@@ -170,6 +176,18 @@ class MicroBatcher:
             if len(batch) > 1:
                 METRICS.inc("legalrag_microbatch_coalesced",
                             value=len(batch) - 1)
+            # p95-chase instrumentation (VERDICT r2 #8): where does a slow
+            # request's time go — queueing before its batch started
+            # (wait), the device execution itself (exec), or a deep queue
+            # at execution time (depth)?
+            METRICS.observe("legalrag_microbatch_exec_seconds",
+                            time.perf_counter() - t_start)
+            for s in batch:
+                METRICS.observe("legalrag_microbatch_wait_seconds",
+                                t_start - s.t_enqueue)
+            METRICS.inc("legalrag_microbatch_batched_requests",
+                        value=len(batch))
+            METRICS.inc("legalrag_microbatch_queue_depth_sum", value=depth)
         except Exception:
             pass
         for i, s in enumerate(batch):

@@ -78,13 +78,64 @@ def run_mode(url: str, clients: int, per_client: int) -> dict:
         t.join()
     wall = time.perf_counter() - t0
     arr = np.asarray(sorted(lat))
+
+    def pct(p):
+        if not len(arr):
+            return None
+        return round(float(arr[min(int(len(arr) * p), len(arr) - 1)])
+                     * 1e3, 1)
+
     return {
         "requests": len(lat), "errors": len(errors),
         "wall_s": round(wall, 3),
         "qps": round(len(lat) / wall, 1),
-        "p50_ms": round(float(arr[len(arr) // 2]) * 1e3, 1) if len(arr) else None,
-        "p95_ms": round(float(arr[int(len(arr) * 0.95)]) * 1e3, 1) if len(arr) else None,
+        "p50_ms": pct(0.50), "p95_ms": pct(0.95), "p99_ms": pct(0.99),
+        "max_ms": round(float(arr[-1]) * 1e3, 1) if len(arr) else None,
     }
+
+
+def batcher_stats() -> dict:
+    """Summarize the in-process micro-batcher histograms (the server runs
+    in this process): where p95 requests spend their time — queue wait vs
+    device execution — plus batch geometry (VERDICT r2 #8)."""
+    from legalrag_tpu.utils.metrics import METRICS, _BUCKETS
+
+    out = {}
+    with METRICS._lock:
+        counters = dict(METRICS._counters)
+        hists = {k: (list(v[0]), v[1], v[2])
+                 for k, v in METRICS._hist.items()}
+
+    def hist_summary(name):
+        for (n, _labels), (buckets, total, count) in hists.items():
+            if n == name and count:
+                # approximate p95 from the fixed buckets
+                cum, p95 = 0, None
+                for ub, c in zip(list(_BUCKETS) + [float("inf")], buckets):
+                    cum += c
+                    if p95 is None and cum >= 0.95 * count:
+                        p95 = ub
+                return {"mean_ms": round(total / count * 1e3, 1),
+                        "p95_le_ms": (round(p95 * 1e3, 1)
+                                      if p95 != float("inf") else ">10000"),
+                        "count": count}
+        return None
+
+    def counter(name):
+        for (n, _labels), v in counters.items():
+            if n == name:
+                return v
+        return 0.0
+
+    execs = counter("legalrag_microbatch_executions")
+    out["wait"] = hist_summary("legalrag_microbatch_wait_seconds")
+    out["exec"] = hist_summary("legalrag_microbatch_exec_seconds")
+    if execs:
+        out["avg_batch"] = round(
+            counter("legalrag_microbatch_batched_requests") / execs, 2)
+        out["avg_queue_depth"] = round(
+            counter("legalrag_microbatch_queue_depth_sum") / execs, 2)
+    return out
 
 
 def main() -> None:
@@ -137,9 +188,15 @@ def main() -> None:
             log(f"[{mode}] warm bucket {b}: {warm}")
         warm = run_mode(url, min(args.clients, 16), 2)
         log(f"[{mode}] warmup: {warm}")
+        stats0 = batcher_stats()
         res = run_mode(url, args.clients, args.requests)
         res.update({"metric": "serving_concurrent_qps", "mode": mode,
                     "clients": args.clients})
+        if mode != "off":
+            # measurement-window batcher stats (histograms are cumulative;
+            # counts include warmup — report both for the delta)
+            res["batcher"] = batcher_stats()
+            res["batcher_prewarm"] = stats0
         log(f"[{mode}] {res}")
         print(json.dumps(res), flush=True)
         server.shutdown()
