@@ -59,6 +59,11 @@ def main() -> None:
     ap.add_argument("--max-length", type=int, default=64,
                     help="query token budget (BGE queries are short; "
                     "passages use 512 at build time)")
+    ap.add_argument("--sharded", type=int, default=0,
+                    help="also measure the SHARDED serving path on an "
+                    "n-device mesh (1 = the single real chip): separate "
+                    "encode + sharded-channels executions vs the round-3 "
+                    "encoder-fused one-execution program (VERDICT r2 #4)")
     args = ap.parse_args()
 
     import jax
@@ -182,13 +187,84 @@ def main() -> None:
     enc_dt = time.perf_counter() - t0
     log(f"encode-only (bundled fwd): {len(queries) / enc_dt:.1f} q/s")
 
-    print(json.dumps({
+    out = {
         "metric": "bert_backend_qps_per_chip",
         "value": round(qps, 2),
         "unit": "queries/s",
         "encode_only_qps": round(len(queries) / enc_dt, 2),
         "batch": args.batch,
-    }))
+    }
+
+    if args.sharded:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from legalrag_tpu.parallel.mesh import MODEL_AXIS, make_mesh
+        from legalrag_tpu.parallel.sharded_search import (
+            make_sharded_bert_channels_step,
+            sharded_channels_topk,
+        )
+
+        devs = jax.devices()[: args.sharded]
+        mesh = make_mesh(devs, data=1, model=len(devs))
+        emb_sh = jax.device_put(emb_d, NamedSharding(mesh,
+                                                     P(MODEL_AXIS, None)))
+        imp_sh = jax.device_put(impact_d,
+                                NamedSharding(mesh, P(None, MODEL_AXIS)))
+        tok_sh = jax.device_put(doc_tok_d,
+                                NamedSharding(mesh,
+                                              P(MODEL_AXIS, None, None)))
+        mask_sh = jax.device_put(doc_mask_d,
+                                 NamedSharding(mesh, P(MODEL_AXIS, None)))
+        eff_k = params.eff_k
+        valid_n = jnp.int32(n_docs)
+
+        def run_sharded_2exec(batch):
+            qv, qt, qm = enc.encode_query_bundle(
+                batch, cfg.engine.max_query_tokens)
+            term_ids = jnp.zeros((len(batch), 8), jnp.int32)
+            term_mask = jnp.ones((len(batch), 8), jnp.float32)
+            return sharded_channels_topk(
+                mesh, eff_k, emb_sh, imp_sh, tok_sh, mask_sh,
+                jnp.asarray(qv), (term_ids, term_mask),
+                jnp.asarray(qt, dtype), jnp.asarray(qm), valid_n)
+
+        fused_step = make_sharded_bert_channels_step(
+            mesh, eff_k, True, enc.cfg, enc.token_dim, dtype)
+
+        def run_sharded_1exec(batch):
+            q_texts = [enc.instruction + t for t in batch]
+            ids_q, mask_q = enc._tokenize(q_texts, enc.max_length)
+            ids_t, mask_t = enc._tokenize(batch,
+                                          cfg.engine.max_query_tokens)
+            term_ids = jnp.zeros((len(batch), 8), jnp.int32)
+            term_mask = jnp.ones((len(batch), 8), jnp.float32)
+            res = fused_step(enc.params, enc.token_proj, ids_q, mask_q,
+                             ids_t, mask_t, emb_sh, imp_sh, tok_sh,
+                             mask_sh, term_ids, term_mask, valid_n)
+            return {"dense": res[0], "bm25": res[1], "colbert": res[2]}
+
+        def one_pass_sh(runner):
+            t0 = time.perf_counter()
+            in_flight = [runner(b) for b in batches]
+            np.asarray(jnp.stack([o["dense"][0] for o in in_flight]))
+            return time.perf_counter() - t0
+
+        for runner in (run_sharded_2exec, run_sharded_1exec):
+            o = runner(batches[0])
+            np.asarray(o["dense"][0])  # compile
+        dt2 = min(one_pass_sh(run_sharded_2exec) for _ in range(3))
+        dt1 = min(one_pass_sh(run_sharded_1exec) for _ in range(3))
+        out["sharded"] = {
+            "mesh_model": len(devs),
+            "two_exec_qps": round(len(queries) / dt2, 2),
+            "fused_one_exec_qps": round(len(queries) / dt1, 2),
+            "gain": round(dt2 / dt1, 2),
+        }
+        log(f"sharded ({len(devs)}-device mesh): 2-exec "
+            f"{len(queries) / dt2:.1f} q/s vs fused 1-exec "
+            f"{len(queries) / dt1:.1f} q/s ({dt2 / dt1:.2f}x)")
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
