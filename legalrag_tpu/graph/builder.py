@@ -82,23 +82,28 @@ class _Adjacency:
         self.adj: Dict[str, List[dict]] = {}
 
     def add(self, src: str, dst: str, relation: str, conf: float,
-            evidence: Optional[dict], max_per_node: int) -> None:
+            evidence: Optional[dict], max_per_node: int) -> bool:
+        """Returns True iff a NEW edge was appended (dedup upgrades and
+        budget rejections return False) — pass-2 budgets count distinct
+        edges, not containment attempts, so a node mentioning many defined
+        terms that dedup to one target doesn't starve its real edges."""
         if not src or not dst or src == dst:
-            return
+            return False
         edges = self.adj.setdefault(src, [])
         if len(edges) >= max_per_node:
-            return
+            return False
         for e in edges:
             if e["article_id"] == dst and e["relation"] == relation:
                 if e.get("conf", 0.0) < conf:
                     e["conf"] = float(conf)
                     if evidence:
                         e["evidence"] = evidence
-                return
+                return False
         edge = {"article_id": dst, "relation": relation, "conf": float(conf)}
         if evidence:
             edge["evidence"] = evidence
         edges.append(edge)
+        return True
 
 
 class GraphBuilder:
@@ -158,11 +163,11 @@ class GraphBuilder:
                     if def_id == aid or term.casefold() not in text_cf:
                         continue
                     conf = 0.90 if len(term) >= 4 else 0.85
-                    adj.add(aid, def_id, "defined_by", conf, {"term": term},
-                            self.max_def)
+                    if adj.add(aid, def_id, "defined_by", conf,
+                               {"term": term}, self.max_def):
+                        added += 1
                     adj.add(def_id, aid, "defines_term", conf, {"term": term},
                             self.max_def)
-                    added += 1
                     if added >= self.max_def:
                         break
 
