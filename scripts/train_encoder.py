@@ -64,6 +64,13 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--save", action="store_true",
                     help="persist the trained projection into the bundle")
+    ap.add_argument("--pairs", default=None,
+                    help="JSONL of {query, article_id} SEMANTIC training "
+                    "pairs (scripts.mine_semantic_pairs) — replaces the "
+                    "extractive generator")
+    ap.add_argument("--eval-pairs", default=None,
+                    help="held-out JSONL for the improvement gate (by-gold "
+                    "split; defaults to an in-set random holdout)")
     args = ap.parse_args()
 
     import jax
@@ -90,13 +97,29 @@ def main() -> None:
     enc = bundle.encoder
     log.info("corpus: %d docs", bundle.n_docs)
 
-    rows = extractive_queries(bundle.chunks, n=10 ** 9, seed=args.seed,
-                              per_article=args.queries_per_article,
-                              hardness=args.hardness)
     aid2row = {c.article_id: i for i, c in enumerate(bundle.chunks)}
+    if args.pairs:
+        import json as _json
+
+        def load_rows(path):
+            out = [_json.loads(l) for l in
+                   open(path, encoding="utf-8") if l.strip()]
+            return [r for r in out if str(r["article_id"]) in aid2row]
+
+        train_rows = load_rows(args.pairs)
+        held_rows = load_rows(args.eval_pairs) if args.eval_pairs else []
+        rows = train_rows + held_rows
+        log.info("semantic pairs: %d train + %d held (%s)",
+                 len(train_rows), len(held_rows), args.pairs)
+    else:
+        rows = extractive_queries(bundle.chunks, n=10 ** 9, seed=args.seed,
+                                  per_article=args.queries_per_article,
+                                  hardness=args.hardness)
+        train_rows, held_rows = rows, []
+        log.info("pairs: %d (extractive, hardness %.2f)", len(rows),
+                 args.hardness)
     queries = [r["query"] for r in rows]
-    gold = np.asarray([aid2row[r["article_id"]] for r in rows])
-    log.info("pairs: %d (hardness %.2f)", len(queries), args.hardness)
+    gold = np.asarray([aid2row[str(r["article_id"])] for r in rows])
 
     t0 = time.time()
     q_sk = _norm_rows(enc._sketch(queries))
@@ -104,9 +127,14 @@ def main() -> None:
     log.info("sketches in %.1fs", time.time() - t0)
 
     rng = np.random.default_rng(args.seed)
-    perm = rng.permutation(len(queries))
-    n_hold = int(len(queries) * args.holdout)
-    hold, train = perm[:n_hold], perm[n_hold:]
+    if held_rows:
+        # pre-split by gold article (leakage-free, mine_semantic_pairs)
+        train = np.arange(len(train_rows))
+        hold = np.arange(len(train_rows), len(rows))
+    else:
+        perm = rng.permutation(len(queries))
+        n_hold = int(len(queries) * args.holdout)
+        hold, train = perm[:n_hold], perm[n_hold:]
 
     w = np.asarray(enc._projection(), np.float32)
 

@@ -49,6 +49,12 @@ def main() -> None:
     ap.add_argument("--top-k", type=int, default=10)
     ap.add_argument("--limit", type=int, default=200)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--holdout", type=float, default=0.5,
+                    help="fraction of queries held out of the sweep; the "
+                    "winning config is scored on this unseen split "
+                    "(VERDICT r2 #6: same-set tuning proves nothing). "
+                    "0 disables the split.")
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     from legalrag_tpu.index.bundle import IndexBundle
@@ -83,35 +89,67 @@ def main() -> None:
                               {ch: (s[0], i[0]) for ch, (s, i) in one.items()},
                               aid))
 
-    # phase 2 (host): sweep the grid
-    keys = list(GRID)
-    best = None
-    n_cfg = int(np.prod([len(GRID[k]) for k in keys]))
-    log.info("sweeping %d configurations over %d queries", n_cfg,
-             len(collected))
-    for values in itertools.product(*(GRID[k] for k in keys)):
-        params = dict(zip(keys, values))
+    # train/held-out split: tune on train, report on unseen queries
+    rng = np.random.default_rng(args.seed)
+    order = rng.permutation(len(collected))
+    n_hold = int(len(collected) * max(0.0, min(args.holdout, 0.9)))
+    hold_idx = set(order[:n_hold].tolist())
+    train = [c for i, c in enumerate(collected) if i not in hold_idx]
+    held = [c for i, c in enumerate(collected) if i in hold_idx]
+
+    def score_config(params: dict, split) -> float:
         per_query = []
-        for gold, chans, aid in collected:
+        for gold, chans, aid in split:
             channels = [ChannelResult(ch, params[f"{ch}_weight"], rows_, s_)
                         for ch, (s_, rows_) in chans.items()]
             fused = fuse(channels, method=params["fusion_method"],
                          rrf_k=params["rrf_k"], alpha=params["rrf_alpha"])
             ranked = [aid[c.row] for c in fused[: args.top_k]]
             per_query.append(evaluate_one(ranked, gold))
-        score = aggregate(per_query)[args.metric]["mean"]
+        return aggregate(per_query)[args.metric]["mean"]
+
+    # phase 2 (host): sweep the grid on the TRAIN split only
+    keys = list(GRID)
+    best = None
+    n_cfg = int(np.prod([len(GRID[k]) for k in keys]))
+    log.info("sweeping %d configurations over %d train queries "
+             "(%d held out)", n_cfg, len(train), len(held))
+    for values in itertools.product(*(GRID[k] for k in keys)):
+        params = dict(zip(keys, values))
+        score = score_config(params, train)
         if best is None or score > best[0]:
             best = (score, params)
-            log.info("new best %s=%.4f: %s", args.metric, score, params)
+            log.info("new best train %s=%.4f: %s", args.metric, score,
+                     params)
 
-    score, params = best
-    print(json.dumps({"metric": args.metric, "value": round(score, 4),
-                      "params": params}, ensure_ascii=False))
+    train_score, params = best
+    r = cfg.retrieval
+    default_params = {
+        "dense_weight": r.dense_weight, "bm25_weight": r.bm25_weight,
+        "colbert_weight": r.colbert_weight, "rrf_k": r.rrf_k,
+        "rrf_alpha": r.rrf_alpha, "fusion_method": r.fusion_method,
+    }
+    out = {"metric": args.metric, "train": round(train_score, 4),
+           "params": params, "n_train": len(train), "n_held": len(held)}
+    if held:
+        held_score = score_config(params, held)
+        default_held = score_config(default_params, held)
+        out.update({"held": round(held_score, 4),
+                    "default_held": round(default_held, 4),
+                    "gain_held": round(held_score - default_held, 4)})
+        log.info("held-out %s: tuned %.4f vs default %.4f (gain %+.4f)",
+                 args.metric, held_score, default_held,
+                 held_score - default_held)
+    print(json.dumps(out, ensure_ascii=False))
     if args.out:
-        overlay = {"retrieval": params}
-        Path(args.out).write_text(json.dumps(overlay, indent=2),
-                                  encoding="utf-8")
-        log.info("wrote config overlay -> %s", args.out)
+        if held and out["gain_held"] <= 0:
+            log.warning("tuned config does NOT beat the default on the "
+                        "held-out split — not writing %s", args.out)
+        else:
+            overlay = {"retrieval": params}
+            Path(args.out).write_text(json.dumps(overlay, indent=2),
+                                      encoding="utf-8")
+            log.info("wrote config overlay -> %s", args.out)
 
 
 if __name__ == "__main__":
