@@ -93,6 +93,10 @@ class DecoderConfig:
             layer_types = ["sliding_attention" if (i + 1) % 2 else
                            "full_attention"
                            for i in range(num_hidden_layers)]
+        elif (layer_types is None and sliding_window
+              and self.model_type == "mistral"):
+            # Mistral v0.1-class: EVERY layer attends in the sliding band
+            layer_types = ["sliding_attention"] * num_hidden_layers
         self.layer_types = layer_types
 
     @classmethod

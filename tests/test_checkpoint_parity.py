@@ -546,6 +546,40 @@ def test_gemma3_decoder_parity(tmp_path):
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-3, rtol=2e-3)
 
 
+def test_mistral_decoder_parity(tmp_path):
+    """Mistral: Llama-style weights with EVERY layer attending in the
+    sliding band (v0.1-class configs). Logits must match HF with the
+    window genuinely active (seq > window)."""
+    from transformers import MistralConfig, MistralForCausalLM
+
+    cfg_t = MistralConfig(vocab_size=96, hidden_size=32,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          num_key_value_heads=2, head_dim=8,
+                          intermediate_size=64, max_position_embeddings=64,
+                          rope_theta=10000.0, sliding_window=5,
+                          attention_dropout=0.0, tie_word_embeddings=False)
+    torch.manual_seed(35)
+    model = MistralForCausalLM(cfg_t).eval()
+    model.save_pretrained(tmp_path)
+
+    import jax.numpy as jnp
+
+    from legalrag_tpu.models.decoder import (decoder_forward,
+                                             load_hf_decoder_params)
+
+    params, cfg = load_hf_decoder_params(tmp_path)
+    assert cfg.layer_types == ["sliding_attention"] * 2
+
+    rng = np.random.default_rng(37)
+    ids = rng.integers(0, 96, size=(2, 16))      # seq 16 > window 5
+    with torch.no_grad():
+        want = model(torch.tensor(ids)).logits.float().numpy()
+    positions = jnp.broadcast_to(jnp.arange(16)[None, :], (2, 16))
+    got, _ = decoder_forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                             positions)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
+
+
 def test_gemma2_decoder_parity(tmp_path):
     """Gemma-2 architecture: (1+w) RMSNorm, sqrt(H)-scaled embeddings,
     GeGLU, sandwich norms, attn/final logit softcaps, query_pre_attn_scalar
@@ -603,7 +637,7 @@ def test_gemma_layer_types_fallbacks():
 
 
 @pytest.mark.parametrize("family", ["qwen3", "gemma2", "gemma3",
-                                    "qwen3-yarn"])
+                                    "qwen3-yarn", "mistral"])
 def test_new_family_kv_cache_matches_full(tmp_path, family):
     """The KV-cache decode path must reproduce the full-sequence forward
     for the round-2 families — Qwen3 (q/k-norm applied inside the cached
@@ -651,6 +685,19 @@ def test_new_family_kv_cache_matches_full(tmp_path, family):
             attention_dropout=0.0, tie_word_embeddings=False)
         torch.manual_seed(28)
         Gemma3ForCausalLM(cfg_t).save_pretrained(tmp_path)
+    elif family == "mistral":
+        from transformers import MistralConfig, MistralForCausalLM
+
+        cfg_t = MistralConfig(vocab_size=96, hidden_size=32,
+                              num_hidden_layers=2, num_attention_heads=4,
+                              num_key_value_heads=2, head_dim=8,
+                              intermediate_size=64,
+                              max_position_embeddings=64,
+                              rope_theta=10000.0, sliding_window=5,
+                              attention_dropout=0.0,
+                              tie_word_embeddings=False)
+        torch.manual_seed(33)
+        MistralForCausalLM(cfg_t).save_pretrained(tmp_path)
     else:
         from transformers import Gemma2Config, Gemma2ForCausalLM
 
