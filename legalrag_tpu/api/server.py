@@ -139,8 +139,38 @@ class ServerState:
             self.pipeline.retriever.search("legal provision", top_k=3)
         except Exception as e:
             log.warning("en warmup skipped: %s", e)
+        self._prewarm_buckets()
         self.warmup_done = True
         log.info("warmup complete; /ready now true")
+
+    def _prewarm_buckets(self) -> None:
+        """Compile every micro-batch bucket program (powers of two up to
+        ``server.prewarm_buckets``) before /ready flips: a cold bucket's
+        first concurrent burst otherwise pays the whole compile in-request
+        — measured as the dominant p95 spike under 16-client load
+        (bench_serving; docs/operations.md)."""
+        limit = int(getattr(self.cfg.server, "prewarm_buckets", 0) or 0)
+        if limit <= 0:
+            return
+        r = self.cfg.retrieval
+        eff_k = max(r.top_k, r.top_k * r.oversample_factor)
+        for lang, q in (("zh", "法律条文"), ("en", "legal provision")):
+            try:
+                hr = self.pipeline.retriever.retriever(lang)
+            except Exception:
+                continue  # language has no index; single-search warmup logged
+            b = 2
+            while b <= min(limit, hr._batcher._max):
+                t0 = time.monotonic()
+                try:
+                    hr._channels_topk_batch([q] * b, eff_k)
+                except Exception as e:
+                    log.warning("[%s] bucket-%d prewarm failed: %s",
+                                lang, b, str(e)[:200])
+                    break
+                log.info("[%s] bucket %d warm (%.1fs)", lang, b,
+                         time.monotonic() - t0)
+                b *= 2
 
     def require_ready(self) -> None:
         if not self.ready or self.pipeline is None:

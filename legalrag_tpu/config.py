@@ -200,6 +200,11 @@ class ServerConfig(BaseModel):
     port: int = int(os.environ.get("PORT", "8000"))
     retrieve_cache_ttl: float = 900.0  # 15 min (reference server.py:270-281)
     cors_allow_all: bool = True
+    # Pre-compile micro-batch bucket programs up to this batch size during
+    # startup warmup (powers of two). A cold bucket's first concurrent
+    # burst otherwise pays the whole compile in-request — the dominant p95
+    # spike on remote-compile backends. 0 disables.
+    prewarm_buckets: int = 16
 
 
 class AppConfig(BaseModel):

@@ -203,6 +203,48 @@ def _load_safetensors(model_dir: Path) -> Dict[str, np.ndarray]:
     raise FileNotFoundError(f"no model weights under {model_dir}")
 
 
+def random_init_bert_params(cfg: BertConfig, seed: int = 0) -> Dict:
+    """Torch-free random-init params matching ``bert_forward``'s tree —
+    for benchmarks/dryruns in checkpoint-less environments (throughput and
+    compile behavior are weight-independent). Layout mirrors
+    ``load_hf_bert_params``."""
+    rng = np.random.default_rng(seed)
+    h, i = cfg.hidden_size, cfg.intermediate_size
+    s = 0.02
+
+    def lin(d_in, d_out):
+        return {"kernel": jnp.asarray(
+            rng.standard_normal((d_in, d_out)).astype(np.float32) * s),
+            "bias": jnp.zeros((d_out,), jnp.float32)}
+
+    def ln():
+        return {"weight": jnp.ones((h,), jnp.float32),
+                "bias": jnp.zeros((h,), jnp.float32)}
+
+    def table(rows):
+        return jnp.asarray(
+            rng.standard_normal((rows, h)).astype(np.float32) * s)
+
+    params: Dict = {
+        "embeddings": {
+            "word_embeddings": table(cfg.vocab_size),
+            "position_embeddings": table(cfg.max_position_embeddings),
+            "token_type_embeddings": table(cfg.type_vocab_size),
+            "LayerNorm": ln(),
+        },
+        "layers": [{
+            "attention": {
+                "query": lin(h, h), "key": lin(h, h), "value": lin(h, h),
+                "output": lin(h, h), "output_LayerNorm": ln(),
+            },
+            "intermediate": lin(h, i),
+            "output": lin(i, h),
+            "output_LayerNorm": ln(),
+        } for _ in range(cfg.num_hidden_layers)],
+    }
+    return params
+
+
 def resolve_model_dir(name_or_path: str) -> Path:
     p = Path(name_or_path)
     if p.exists():

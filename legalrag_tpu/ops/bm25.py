@@ -76,7 +76,9 @@ def bm25_topk(impact: jax.Array, qtf: jax.Array, valid_n: jax.Array, k: int
     scores = bm25_scores_matmul(impact, qtf)
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(col < valid_n, scores, -1e30)
-    return jax.lax.top_k(scores, k)
+    from legalrag_tpu.ops.topk import topk_large
+
+    return topk_large(scores, k)
 
 
 def query_term_counts(token_ids_batch: Sequence[Sequence[int]], vocab_size: int

@@ -33,6 +33,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from legalrag_tpu.ops.topk import NEG_INF
+
 
 def _round_up(x: int, m: int) -> int:
     return max(m, -(-x // m) * m)
@@ -192,6 +194,188 @@ def bm25_sparse_topk_sorted(term_ids: jax.Array, term_counts: jax.Array,
         score = jnp.where(is_last & (docs_s < sentinel), seg_total, -1e30)
         s, i = jax.lax.top_k(score, k)
         return s.astype(jnp.float32), docs_s[i]
+
+    return jax.vmap(one_query)(term_ids, term_counts)
+
+
+def _bitonic_merge_pairs(keys: jax.Array, vals: jax.Array
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """[G, 2, L] pairs of ASCENDING-sorted rows → [G, 2L] sorted merges.
+
+    concat(a, reverse(b)) is bitonic; log2(2L) butterfly compare-exchange
+    stages finish the merge — the payload permutes with the keys. Pure
+    reshape/min/where ops: XLA fuses each stage into one VPU pass."""
+    g, _, l = keys.shape
+    ks = jnp.concatenate([keys[:, 0, :], keys[:, 1, ::-1]], axis=-1)
+    vs = jnp.concatenate([vals[:, 0, :], vals[:, 1, ::-1]], axis=-1)
+    span = l
+    while span >= 1:
+        k4 = ks.reshape(g, -1, 2, span)
+        v4 = vs.reshape(g, -1, 2, span)
+        swap = k4[:, :, 0, :] > k4[:, :, 1, :]
+        k_lo = jnp.where(swap, k4[:, :, 1, :], k4[:, :, 0, :])
+        k_hi = jnp.where(swap, k4[:, :, 0, :], k4[:, :, 1, :])
+        v_lo = jnp.where(swap, v4[:, :, 1, :], v4[:, :, 0, :])
+        v_hi = jnp.where(swap, v4[:, :, 0, :], v4[:, :, 1, :])
+        ks = jnp.stack([k_lo, k_hi], axis=2).reshape(g, 2 * l)
+        vs = jnp.stack([v_lo, v_hi], axis=2).reshape(g, 2 * l)
+        span //= 2
+    return ks, vs
+
+
+def bm25_sparse_topk_merge(term_ids: jax.Array, term_counts: jax.Array,
+                           offsets: jax.Array, post_docs: jax.Array,
+                           post_w: jax.Array, k: int,
+                           max_postings: int = 16384
+                           ) -> Tuple[jax.Array, jax.Array]:
+    """Sorted-segment BM25 top-k with a MERGE NETWORK instead of a full
+    sort.
+
+    ``bm25_sparse_topk_sorted`` bitonic-sorts all M gathered postings
+    (~log²M stages) — but each term's posting slice arrives ALREADY
+    sorted by doc id (builder invariant), so a log2(T)-level pairwise
+    bitonic merge reaches the same sorted order in sum(log2 L_i) ≈ half
+    the stages, each a fused VPU pass over [B, M]. Everything after the
+    sort (cumsum segment totals, last-position emission, top-k) is shared
+    with the sorted path; results are identical (same summation order).
+
+    Requires per_term (= max_postings // max_terms) to be a power of two
+    and max_terms >= 2; callers route through ``bm25_sparse_topk_sorted``
+    otherwise."""
+    b, max_terms = term_ids.shape
+    per_term = max_postings // max_terms
+    t_pad = 1 << (max_terms - 1).bit_length()     # pow2 merge tree
+    if per_term & (per_term - 1) or max_terms < 2:
+        raise ValueError(
+            f"merge path needs power-of-two per_term>=1 and max_terms>=2 "
+            f"(got per_term={per_term}, max_terms={max_terms})")
+    sentinel = jnp.int32(2 ** 30)
+
+    def one_query(ids, counts):
+        starts = offsets[ids]
+        sizes = offsets[ids + 1] - starts
+        pos = jnp.arange(per_term)[None, :]
+        gather_idx = starts[:, None] + pos
+        valid = (pos < sizes[:, None]) & (counts[:, None] > 0)
+        docs = jnp.where(valid, post_docs[gather_idx], sentinel)    # [T, P]
+        w = jnp.where(valid,
+                      post_w[gather_idx] * counts[:, None].astype(jnp.float32),
+                      0.0)
+        if t_pad != max_terms:                    # sentinel-only blocks
+            docs = jnp.concatenate(
+                [docs, jnp.full((t_pad - max_terms, per_term), sentinel,
+                                docs.dtype)])
+            w = jnp.concatenate(
+                [w, jnp.zeros((t_pad - max_terms, per_term), w.dtype)])
+        while docs.shape[0] > 1:                  # log2(T) merge levels
+            g = docs.shape[0] // 2
+            docs, w = _bitonic_merge_pairs(
+                docs.reshape(g, 2, -1), w.reshape(g, 2, -1))
+        docs_s, w_s = docs[0], w[0]
+        cum = jnp.cumsum(w_s)
+        is_last = docs_s != jnp.concatenate(
+            [docs_s[1:], jnp.full((1,), -1, docs_s.dtype)])
+        is_first = docs_s != jnp.concatenate(
+            [jnp.full((1,), -1, docs_s.dtype), docs_s[:-1]])
+        prev_cum = jnp.concatenate([jnp.zeros((1,), cum.dtype), cum[:-1]])
+        seg_start = jax.lax.cummax(
+            jnp.where(is_first, prev_cum, -jnp.inf))
+        seg_total = cum - seg_start
+        score = jnp.where(is_last & (docs_s < sentinel), seg_total, -1e30)
+        s, i = jax.lax.top_k(score, k)
+        return s.astype(jnp.float32), docs_s[i]
+
+    return jax.vmap(one_query)(term_ids, term_counts)
+
+
+def bm25_sparse_topk_auto(term_ids: jax.Array, term_counts: jax.Array,
+                          offsets: jax.Array, post_docs: jax.Array,
+                          post_w: jax.Array, k: int,
+                          max_postings: int = 16384
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """Route the sparse top-k by geometry: the merge network (measured 2.0x
+    the full sort at the production 32x2048 geometry on v5e,
+    ``scripts.bench_bm25``) when per_term is a power of two, else the
+    full-sort path."""
+    _, t = term_ids.shape
+    per_term = max_postings // max(t, 1)
+    if t >= 2 and per_term >= 1 and per_term & (per_term - 1) == 0:
+        return bm25_sparse_topk_merge(term_ids, term_counts, offsets,
+                                      post_docs, post_w, k, max_postings)
+    return bm25_sparse_topk_sorted(term_ids, term_counts, offsets,
+                                   post_docs, post_w, k, max_postings)
+
+
+def bm25_sparse_topk_eq(term_ids: jax.Array, term_counts: jax.Array,
+                        offsets: jax.Array, post_docs: jax.Array,
+                        post_w: jax.Array, k: int,
+                        max_postings: int = 16384, chunk: int = 1024
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """SORT-free sparse BM25 top-k via equality contraction.
+
+    Same CSR gather front-end as ``bm25_sparse_topk_sorted``; instead of
+    sorting the M gathered postings to segment-sum duplicate docs (the
+    bitonic sort dominated the million-doc fused program: 1M breakdown
+    measured the sorted stage at ~2x the rest of the program combined),
+    each candidate's total is a contraction against the whole gathered
+    list:
+
+        score(c) = sum_j [docs[j] == docs[c]] * w[j]
+
+    The [C, M] equality operand is generated on the fly and consumed by
+    two dots — an f32 matvec for exact totals, and a bf16 [M, T]
+    block-indicator matmul whose f32-accumulated (exact small-integer)
+    counts locate each doc's FIRST containing query term. A candidate
+    survives dedup iff it sits in that first term's block (within a
+    term's postings doc ids are unique), so every doc appears exactly
+    once, matching the sorted path's last-position emission. No sort, no
+    scatter — compare + matmul only, the two things this hardware does
+    at full rate. Totals match the sorted path modulo f32 summation
+    order (parity-tested).
+
+    Replaces the same reference search as ``bm25_sparse_topk_sorted``
+    (rank_bm25 ``get_scores`` + argsort, reference
+    ``keyword_store.py``); routing between the two is measured
+    (``scripts.bench_bm25``)."""
+    b, max_terms = term_ids.shape
+    per_term = max_postings // max_terms
+    m = per_term * max_terms
+    chunk = min(chunk, m)
+    while m % chunk:
+        chunk //= 2
+    sentinel = jnp.int32(2 ** 30)
+    # block indicator: posting slot j belongs to query-term block j//per_term
+    ind = (jnp.arange(m)[:, None] // per_term
+           == jnp.arange(max_terms)[None, :]).astype(jnp.bfloat16)
+
+    def one_query(ids, counts):
+        starts = offsets[ids]
+        sizes = offsets[ids + 1] - starts
+        pos = jnp.arange(per_term)[None, :]
+        gather_idx = starts[:, None] + pos
+        valid = (pos < sizes[:, None]) & (counts[:, None] > 0)
+        docs = jnp.where(valid, post_docs[gather_idx], sentinel).ravel()
+        w = jnp.where(valid,
+                      post_w[gather_idx] * counts[:, None].astype(jnp.float32),
+                      0.0).ravel()
+        own_term = jnp.arange(m, dtype=jnp.int32) // per_term
+
+        def score_chunk(c0):
+            cd = jax.lax.dynamic_slice(docs, (c0,), (chunk,))
+            eq = cd[:, None] == docs[None, :]                      # [C, M]
+            s = jnp.dot(eq.astype(jnp.float32), w,
+                        preferred_element_type=jnp.float32)        # [C]
+            pres = jnp.dot(eq.astype(jnp.bfloat16), ind,
+                           preferred_element_type=jnp.float32)     # [C, T]
+            first_term = jnp.argmax(pres > 0.5, axis=1).astype(jnp.int32)
+            own = jax.lax.dynamic_slice(own_term, (c0,), (chunk,))
+            keep = (first_term == own) & (cd < sentinel)
+            return jnp.where(keep, s, NEG_INF)
+
+        starts_c = jnp.arange(0, m, chunk)
+        scores = jax.lax.map(score_chunk, starts_c).reshape(m)
+        s, i = jax.lax.top_k(scores, k)
+        return s, docs[i]
 
     return jax.vmap(one_query)(term_ids, term_counts)
 

@@ -245,7 +245,7 @@ def _fused_lists(dense_s, sparse_impact, doc_tok, doc_mask, qtf_pair,
     docs contributes only its REAL matches — the map path (and reference)
     pads with arbitrary zero-score docs, which shifts min-max statistics by
     ~1e-3 in that starved regime and never occurs at production scale."""
-    from legalrag_tpu.ops.bm25_sparse import bm25_sparse_topk_sorted
+    from legalrag_tpu.ops.bm25_sparse import bm25_sparse_topk_auto
 
     n = dense_s.shape[1]
     eff_k = min(params.eff_k, n)
@@ -253,7 +253,7 @@ def _fused_lists(dense_s, sparse_impact, doc_tok, doc_mask, qtf_pair,
     term_ids, term_counts = qtf_pair
 
     d_s, d_i = topk_large(dense_s, eff_k)
-    b_s, b_i = bm25_sparse_topk_sorted(
+    b_s, b_i = bm25_sparse_topk_auto(
         term_ids, term_counts.astype(jnp.int32), offsets, post_docs, post_w,
         eff_k, max_postings=params.max_postings)
     lists = [(params.w_dense, d_s, d_i), (params.w_bm25, b_s, b_i)]
@@ -343,10 +343,10 @@ def fused_channels_topk(emb: jax.Array, impact: jax.Array,
     out: Dict[str, Tuple] = {"qvec": qvec}
     dense_s = mask_invalid(jnp.dot(qvec.astype(emb.dtype), emb.T,
                                    preferred_element_type=jnp.float32))
-    out["dense"] = jax.lax.top_k(dense_s, k)
+    out["dense"] = topk_large(dense_s, k)
     bm25_s = mask_invalid(jnp.dot(qtf.astype(impact.dtype), impact,
                                   preferred_element_type=jnp.float32))
-    out["bm25"] = jax.lax.top_k(bm25_s, k)
+    out["bm25"] = topk_large(bm25_s, k)
     if doc_tok is not None:
         b, lq = q_tok.shape[0], q_tok.shape[1]
         budget = (256 << 20) // 4
@@ -355,5 +355,5 @@ def fused_channels_topk(emb: jax.Array, impact: jax.Array,
             tile //= 2
         late_s = mask_invalid(maxsim_full(doc_tok, doc_mask, q_tok, q_mask,
                                           tile_n=max(tile, 1)))
-        out["colbert"] = jax.lax.top_k(late_s, k)
+        out["colbert"] = topk_large(late_s, k)
     return out

@@ -22,6 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from legalrag_tpu.ops.topk import topk_large
 from legalrag_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
@@ -41,7 +42,7 @@ def make_sharded_dense_topk(mesh: Mesh, k: int):
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + offset
         scores = jnp.where(col < valid_n, scores, -1e30)
         kk = min(k, n_local)
-        s, i = jax.lax.top_k(scores, kk)
+        s, i = topk_large(scores, kk)   # two-pass past 131k rows per shard
         i = i + offset
         # merge candidates across the corpus shards (ICI all-gather)
         s_all = jax.lax.all_gather(s, MODEL_AXIS, axis=1, tiled=True)
@@ -68,7 +69,7 @@ def _gather_topk(scores: jax.Array, eff_k: int, offset,
     kk = min(eff_k, scores.shape[1])
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + offset
     scores = jnp.where(col < valid_n, scores, -1e30)
-    s, i = jax.lax.top_k(scores, kk)
+    s, i = topk_large(scores, kk)       # two-pass past 131k rows per shard
     s_all = jax.lax.all_gather(s, MODEL_AXIS, axis=1, tiled=True)
     i_all = jax.lax.all_gather(i + offset, MODEL_AXIS, axis=1, tiled=True)
     top_s, pos = jax.lax.top_k(s_all, min(eff_k, s_all.shape[1]))

@@ -164,7 +164,10 @@ def main() -> None:
     if args.breakdown:
         import functools
 
-        from legalrag_tpu.ops.bm25_sparse import bm25_sparse_topk_sorted
+        from legalrag_tpu.ops.bm25_sparse import (
+            bm25_sparse_topk_merge,
+            bm25_sparse_topk_sorted,
+        )
         from legalrag_tpu.ops.fused_query import fuse_candidate_lists
         from legalrag_tpu.ops.maxsim import maxsim_candidates
         from legalrag_tpu.ops.topk import NEG_INF, topk_2pass
@@ -185,6 +188,9 @@ def main() -> None:
                 lambda e, qv: topk_2pass(masked_scores(e, qv), eff_k)),
             "bm25_sorted_segment": jax.jit(functools.partial(
                 bm25_sparse_topk_sorted, k=eff_k,
+                max_postings=params.max_postings)),
+            "bm25_merge_network": jax.jit(functools.partial(
+                bm25_sparse_topk_merge, k=eff_k,
                 max_postings=params.max_postings)),
             "maxsim_candidates": jax.jit(maxsim_candidates),
         }

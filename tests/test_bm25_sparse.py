@@ -136,3 +136,99 @@ def test_sorted_topk_matches_scatter_map():
         np.testing.assert_allclose(np.sort(s[q][s[q] > 1e-9]),
                                    np.sort(want[pos]), rtol=1e-5, atol=1e-4)
         assert set(i[q][s[q] > 1e-9]) == set(ref_i[q][pos])
+
+
+def test_merge_topk_matches_sorted_and_auto_routes():
+    """The merge-network top-k (the production route via
+    ``bm25_sparse_topk_auto`` whenever per_term is a power of two) must
+    agree with the sorted-segment path — including the awkward geometry:
+    non-power-of-two max_terms (sentinel blocks pad the merge tree),
+    duplicate query terms, padded slots, and k larger than the real
+    candidate count."""
+    import jax.numpy as jnp
+
+    from legalrag_tpu.ops.bm25_sparse import (
+        bm25_sparse_topk_auto,
+        bm25_sparse_topk_merge,
+        bm25_sparse_topk_sorted,
+        build_postings,
+    )
+
+    rng = np.random.default_rng(7)
+    V, N, B, k = 150, 400, 5, 32
+    T, max_postings = 6, 3072            # per_term=512 pow2, t_pad=8 != T
+    doc_ids, doc_tfs = [], []
+    for _ in range(N):
+        n_terms = rng.integers(2, 15)
+        doc_ids.append(rng.choice(V, n_terms, replace=False).astype(np.int64))
+        doc_tfs.append(rng.integers(1, 4, n_terms).astype(np.float64))
+    offsets, post_docs, post_w = build_postings(doc_ids, doc_tfs, V)
+    term_ids = rng.integers(0, V, (B, T)).astype(np.int32)
+    term_ids[2, 1] = term_ids[2, 0]      # duplicate query term
+    term_counts = np.ones((B, T), np.int32)
+    term_counts[0, 3:] = 0               # padded slots
+    term_counts[4, :] = 0                # fully-padded query
+
+    args = (jnp.asarray(term_ids), jnp.asarray(term_counts),
+            jnp.asarray(offsets), jnp.asarray(post_docs),
+            jnp.asarray(post_w))
+    ss, si = (np.asarray(x) for x in
+              bm25_sparse_topk_sorted(*args, k, max_postings=max_postings))
+    ms, mi = (np.asarray(x) for x in
+              bm25_sparse_topk_merge(*args, k, max_postings=max_postings))
+    as_, ai = (np.asarray(x) for x in
+               bm25_sparse_topk_auto(*args, k, max_postings=max_postings))
+    np.testing.assert_allclose(as_, ms, rtol=0, atol=0)  # auto routed merge
+    np.testing.assert_array_equal(ai, mi)
+    for q in range(B):
+        pos_s, pos_m = ss[q] > 1e-9, ms[q] > 1e-9
+        assert set(mi[q][pos_m]) == set(si[q][pos_s])
+        assert len(set(mi[q][pos_m])) == pos_m.sum()  # one emission per doc
+        a = dict(zip(si[q][pos_s], ss[q][pos_s]))
+        b = dict(zip(mi[q][pos_m], ms[q][pos_m]))
+        for d, v in a.items():
+            np.testing.assert_allclose(b[d], v, rtol=1e-5, atol=1e-4)
+    assert not (ms[4] > 1e-9).any()      # fully-padded query scores nothing
+
+
+def test_eq_topk_matches_sorted():
+    """The sort-free equality-contraction top-k must agree with the
+    sorted-segment path: same candidate set, same totals (f32 order
+    noise), one emission per doc."""
+    import jax.numpy as jnp
+
+    from legalrag_tpu.ops.bm25_sparse import (
+        bm25_sparse_topk_eq,
+        bm25_sparse_topk_sorted,
+        build_postings,
+    )
+
+    rng = np.random.default_rng(1)
+    V, N, B, T, k = 200, 500, 4, 8, 16
+    doc_ids, doc_tfs = [], []
+    for _ in range(N):
+        n_terms = rng.integers(3, 20)
+        doc_ids.append(rng.choice(V, n_terms, replace=False).astype(np.int64))
+        doc_tfs.append(rng.integers(1, 5, n_terms).astype(np.float64))
+    offsets, post_docs, post_w = build_postings(doc_ids, doc_tfs, V)
+    term_ids = rng.integers(0, V, (B, T)).astype(np.int32)
+    term_ids[1, 3] = term_ids[1, 2]  # duplicate query term: both contribute
+    term_counts = np.ones((B, T), np.int32)
+    term_counts[0, 5:] = 0  # padded query slots
+
+    args = (jnp.asarray(term_ids), jnp.asarray(term_counts),
+            jnp.asarray(offsets), jnp.asarray(post_docs),
+            jnp.asarray(post_w))
+    ss, si = (np.asarray(x) for x in
+              bm25_sparse_topk_sorted(*args, k, max_postings=4096))
+    es, ei = (np.asarray(x) for x in
+              bm25_sparse_topk_eq(*args, k, max_postings=4096, chunk=512))
+    for q in range(B):
+        pos_s, pos_e = ss[q] > 1e-9, es[q] > 1e-9
+        assert set(ei[q][pos_e]) == set(si[q][pos_s])
+        # no duplicate doc may occupy two top-k slots
+        assert len(set(ei[q][pos_e])) == pos_e.sum()
+        a = dict(zip(si[q][pos_s], ss[q][pos_s]))
+        b = dict(zip(ei[q][pos_e], es[q][pos_e]))
+        for d, v in a.items():
+            np.testing.assert_allclose(b[d], v, rtol=1e-5, atol=1e-4)

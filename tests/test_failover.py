@@ -56,3 +56,72 @@ def test_failover_disables_sharding(served_root):
     cache.failover_to_cpu()
     b2 = cache.get("en")
     assert b2.mesh is None                   # mesh lived on the dead device
+
+
+def test_failover_mid_shard_transfer(served_root, monkeypatch):
+    """Device dies DURING ``shard_views()``: the first shard array transfers,
+    the second ``device_put`` raises — the bundle is left partially
+    transferred (mesh set, ``_shard_views`` never cached). Recovery must
+    rebuild on CPU from disk, not from the half-placed state."""
+    from jax.sharding import NamedSharding
+
+    import copy
+
+    q = "security interest of the buyer"
+    control_cfg = copy.deepcopy(served_root)
+    control_cfg.engine.n_index_shards = 1
+    want = [h.chunk.article_id
+            for h in ByLangRetriever(control_cfg).search(q, top_k=5)]
+
+    served_root.engine.n_index_shards = 2
+
+    retr = ByLangRetriever(served_root)
+    real_put = jax.device_put
+    calls = {"mesh_puts": 0}
+
+    def dying_put(x, device=None, **kw):
+        if isinstance(device, NamedSharding):
+            calls["mesh_puts"] += 1
+            if calls["mesh_puts"] >= 2:      # first shard lands, second dies
+                raise jax.errors.JaxRuntimeError(
+                    "FAILED_PRECONDITION: device disappeared mid-transfer")
+        return real_put(x, device, **kw)
+
+    monkeypatch.setattr(jax, "device_put", dying_put)
+    hits = retr.search(q, top_k=5)           # transfer dies inside search
+    assert calls["mesh_puts"] >= 2           # the seam actually fired
+    assert retr.cache.failed_over
+    assert retr.cache.get("en").mesh is None
+    assert [h.chunk.article_id for h in hits] == want
+    # still serving after the patch is gone (no stale half-transferred views)
+    monkeypatch.setattr(jax, "device_put", real_put)
+    assert [h.chunk.article_id
+            for h in retr.search(q, top_k=5)] == want
+
+
+def test_failover_dead_mesh_mid_execution(served_root, monkeypatch):
+    """Device dies AFTER a healthy sharded search: views are genuinely
+    transferred and cached on the mesh, then the sharded program starts
+    failing. Recovery must abandon the (real, now-dead) cached views."""
+    import legalrag_tpu.parallel.sharded_search as ss
+
+    served_root.engine.n_index_shards = 2
+    retr = ByLangRetriever(served_root)
+    q = "security interest of the buyer"
+    healthy = [h.chunk.article_id for h in retr.search(q, top_k=5)]
+    assert healthy
+    bundle = retr.cache.get("en")
+    assert bundle.mesh is not None and bundle._shard_views is not None
+
+    def dead_program(*a, **kw):
+        raise jax.errors.JaxRuntimeError(
+            "FAILED_PRECONDITION: mesh device unreachable")
+
+    monkeypatch.setattr(ss, "sharded_channels_topk", dead_program)
+    hits = retr.search(q, top_k=5)
+    assert retr.cache.failed_over
+    assert [h.chunk.article_id for h in hits] == healthy
+    # the rebuilt CPU bundle never touches the dead sharded path again
+    assert retr.cache.get("en").mesh is None
+    assert [h.chunk.article_id
+            for h in retr.search("delivery of the goods", top_k=3)]

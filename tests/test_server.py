@@ -19,6 +19,7 @@ def app(en_chunks, zh_chunks, tmp_path_factory):
     cfg.llm.api_key = None
     cfg.engine.capacity_round = 256
     cfg.engine.late_doc_maxlen = 64
+    cfg.server.prewarm_buckets = 0  # suite speed; covered by its own test
     for name in ("data_dir", "raw_dir", "processed_dir", "index_dir",
                  "graph_dir", "eval_dir", "upload_dir"):
         setattr(cfg.paths, name, root / name)
@@ -370,3 +371,46 @@ def test_server_bert_backend_end_to_end(en_chunks, tmp_path_factory):
     assert len(results) == 2 and all(res for res in results)
     # single-path and batch-path agree on the top hit
     assert results[0][0]["chunk"]["id"] == hits[0]["chunk"]["id"]
+
+
+def test_warmup_prewarms_batch_buckets(en_chunks, tmp_path_factory):
+    """server.prewarm_buckets: startup warmup must compile the micro-batch
+    bucket programs (2..limit) so a first concurrent burst never pays an
+    in-request compile (the measured p95 spike, docs/operations.md)."""
+    root = tmp_path_factory.mktemp("prewarm")
+    cfg = AppConfig()
+    cfg.llm.provider = "disabled"
+    cfg.llm.api_key = None
+    cfg.engine.capacity_round = 64
+    cfg.engine.late_doc_maxlen = 32
+    cfg.server.prewarm_buckets = 4
+    for name in ("data_dir", "raw_dir", "processed_dir", "index_dir",
+                 "graph_dir", "eval_dir", "upload_dir"):
+        setattr(cfg.paths, name, root / name)
+    cfg.paths.ensure_tree()
+    IndexBundle.build_from_chunks(en_chunks[:40], cfg.with_lang("en"),
+                                  "en").save(root / "index_dir" / "en")
+
+    from legalrag_tpu.retrieval.hybrid import HybridRetriever
+
+    seen = []
+    orig = HybridRetriever._channels_topk_batch
+
+    def spy(self, questions, eff_k):
+        seen.append(len(questions))
+        return orig(self, questions, eff_k)
+
+    HybridRetriever._channels_topk_batch = spy
+    try:
+        app = create_app(cfg, build_async=False)
+    finally:
+        HybridRetriever._channels_topk_batch = orig
+    # warmup issued one batch per bucket size 2 and 4 (en only; zh has no
+    # index and is skipped gracefully)
+    assert [b for b in seen if b > 1] == [2, 4]
+    assert app.state.warmup_done
+    client = TestClient(app)
+    r = client.post("/rag/retrieve",
+                    json_body={"question": "delivery of the goods",
+                               "top_k": 3})
+    assert r.status == 200 and r.json()["hits"]

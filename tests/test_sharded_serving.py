@@ -25,6 +25,7 @@ def _cfg(root):
     cfg.llm.api_key = None
     cfg.engine.capacity_round = 64
     cfg.engine.late_doc_maxlen = 32
+    cfg.server.prewarm_buckets = 0  # suite speed
     for name in ("data_dir", "raw_dir", "processed_dir", "index_dir",
                  "graph_dir", "eval_dir", "upload_dir"):
         setattr(cfg.paths, name, root / name)

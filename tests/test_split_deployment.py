@@ -21,6 +21,7 @@ def split(en_chunks, zh_chunks, tmp_path_factory):
     cfg.llm.api_key = None
     cfg.engine.capacity_round = 256
     cfg.engine.late_doc_maxlen = 64
+    cfg.server.prewarm_buckets = 0  # suite speed
     for name in ("data_dir", "raw_dir", "processed_dir", "index_dir",
                  "graph_dir", "eval_dir", "upload_dir"):
         setattr(cfg.paths, name, root / name)
