@@ -231,6 +231,8 @@ def main() -> None:
             "dense_topk_2pass": lambda f: f(emb, qvec),
             "bm25_sorted_segment": lambda f: f(
                 term_ids, term_counts, *sparse),
+            "bm25_merge_network": lambda f: f(
+                term_ids, term_counts, *sparse),
             "maxsim_candidates": lambda f: f(doc_tok, doc_mask, q_tok,
                                              q_mask, cand_rows),
             "list_fusion": lambda f: f(*flat_lists),
