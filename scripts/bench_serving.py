@@ -85,6 +85,9 @@ def run_mode(url: str, clients: int, per_client: int) -> dict:
         return round(float(arr[min(int(len(arr) * p), len(arr) - 1)])
                      * 1e3, 1)
 
+    if errors:  # first few error strings, for diagnosability
+        log(f"  errors ({len(errors)}): " + "; ".join(
+            sorted(set(errors))[:3]))
     return {
         "requests": len(lat), "errors": len(errors),
         "wall_s": round(wall, 3),
