@@ -2,8 +2,11 @@
 
 Implements the Qwen2/Llama architecture family (RMSNorm, rotary position
 embeddings, grouped-query attention, SwiGLU MLP, tied or untied LM head)
-with HF safetensors loading, so ``LLMConfig.provider = "local-jax"`` serves
-answer generation on the same chip as retrieval. Decoding is a jitted
+plus the Qwen3/Gemma-2/Gemma-3/Mistral deltas and mixture-of-experts
+variants (Mixtral ``block_sparse_moe``, Qwen2-MoE routed + shared
+experts — see :func:`_moe_block`), with HF safetensors loading, so
+``LLMConfig.provider = "local-jax"`` serves answer generation on the
+same chip as retrieval. Decoding is a jitted
 step with a preallocated KV cache (static shapes, absolute positions,
 capacity ``max_len``; generation stops at capacity), greedy or
 temperature/top-p sampling, and a streaming generator for the SSE path.
@@ -43,6 +46,11 @@ class DecoderConfig:
                  attn_logit_softcapping=None, final_logit_softcapping=None,
                  sliding_window=None, layer_types=None,
                  rope_local_base_freq=None, sliding_window_pattern=None,
+                 num_local_experts=None, num_experts=None,
+                 num_experts_per_tok=None, norm_topk_prob=None,
+                 moe_intermediate_size=None,
+                 shared_expert_intermediate_size=None,
+                 decoder_sparse_step=None, mlp_only_layers=None,
                  **_ignored):
         self.vocab_size = vocab_size
         self.hidden_size = hidden_size
@@ -94,10 +102,33 @@ class DecoderConfig:
                            "full_attention"
                            for i in range(num_hidden_layers)]
         elif (layer_types is None and sliding_window
-              and self.model_type == "mistral"):
-            # Mistral v0.1-class: EVERY layer attends in the sliding band
+              and self.model_type in ("mistral", "mixtral")):
+            # Mistral/Mixtral v0.1-class: EVERY layer attends in the band
             layer_types = ["sliding_attention"] * num_hidden_layers
         self.layer_types = layer_types
+        # Mixture-of-experts (Mixtral `num_local_experts` /
+        # Qwen2-MoE `num_experts` naming unified on `num_experts`):
+        self.num_experts = num_local_experts or num_experts or 0
+        self.num_experts_per_tok = num_experts_per_tok or 2
+        # Mixtral ALWAYS renormalizes the top-k routing weights; Qwen2-MoE
+        # gates it on `norm_topk_prob` (False for Qwen1.5-MoE-A2.7B)
+        if norm_topk_prob is None:
+            norm_topk_prob = self.model_type == "mixtral"
+        self.norm_topk_prob = bool(norm_topk_prob)
+        self.moe_intermediate_size = moe_intermediate_size
+        self.shared_expert_intermediate_size = shared_expert_intermediate_size
+        # Qwen2-MoE: every `decoder_sparse_step`-th layer is sparse, and
+        # layers listed in `mlp_only_layers` stay dense regardless
+        self.decoder_sparse_step = decoder_sparse_step or 1
+        self.mlp_only_layers = list(mlp_only_layers or [])
+
+    def layer_is_moe(self, li: int) -> bool:
+        if not self.num_experts:
+            return False
+        if li in self.mlp_only_layers:
+            return False
+        step = self.decoder_sparse_step
+        return step > 0 and (li + 1) % step == 0
 
     @classmethod
     def from_json(cls, path: Path) -> "DecoderConfig":
@@ -188,6 +219,50 @@ def _rope(x, positions, inv, scale: float = 1.0):
                            axis=-1).astype(x.dtype)
 
 
+def _moe_block(y: jax.Array, moe: Dict, cfg: DecoderConfig) -> jax.Array:
+    """Mixture-of-experts SwiGLU block (Mixtral / Qwen2-MoE semantics).
+
+    Routing matches HF exactly: softmax over ALL expert logits in f32,
+    top-k selection, optional renormalization (`norm_topk_prob`; always on
+    for Mixtral), weights cast back to the hidden dtype. The expert
+    compute is the DENSE formulation: every expert runs on every token as
+    one stacked einsum over the expert axis, and the routing weights
+    (zero for unselected experts) weight the combine — mathematically
+    identical to HF's gather/scatter dispatch (a scalar commutes through
+    the linear expert map), and the idiomatic TPU shape: three large MXU
+    einsums with static shapes instead of data-dependent dispatch. For
+    E≈8–64 serving-scale models the wasted expert FLOPs are cheaper than
+    a scatter pipeline on this hardware; under a device mesh the expert
+    axis shards over MODEL_AXIS (each chip computes only its local
+    experts) and XLA inserts one psum for the combine — expert
+    parallelism without an all-to-all. Replaces the torch MoE stacks the
+    reference would reach through HF (reference client.py:143-169).
+    """
+    e = cfg.num_experts
+    router_logits = jnp.dot(y, moe["router"])                # [B, T, E]
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    topv, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    if cfg.norm_topk_prob:
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    # combine weights [B, T, E]: routing weight where selected, else 0
+    combine = jnp.sum(
+        jax.nn.one_hot(topi, e, dtype=topv.dtype) * topv[..., None],
+        axis=-2).astype(y.dtype)
+    g = jnp.einsum("bth,ehf->btef", y, moe["gate"])
+    u = jnp.einsum("bth,ehf->btef", y, moe["up"])
+    act = (jax.nn.gelu(g, approximate=True)
+           if cfg.hidden_activation == "gelu_pytorch_tanh"
+           else jax.nn.silu(g))
+    out = jnp.einsum("btef,efh->bth", act * u * combine[..., None],
+                     moe["down"])
+    if "shared_gate" in moe:  # Qwen2-MoE shared expert, sigmoid-gated
+        sg = jnp.dot(y, moe["shared"]["gate"])
+        su = jnp.dot(y, moe["shared"]["up"])
+        shared = jnp.dot(jax.nn.silu(sg) * su, moe["shared"]["down"])
+        out = out + jax.nn.sigmoid(jnp.dot(y, moe["shared_gate"])) * shared
+    return out
+
+
 def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
                     positions: jax.Array,
                     kv_cache: Optional[List[Tuple[jax.Array, jax.Array]]] = None,
@@ -271,12 +346,15 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
         else:
             x = x + attn_out
             y = _rms_norm(x, layer["post_norm"], cfg.rms_norm_eps, g)
-        gate_h = jnp.dot(y, layer["gate"]["kernel"])
-        act = (jax.nn.gelu(gate_h, approximate=True)
-               if cfg.hidden_activation == "gelu_pytorch_tanh"
-               else jax.nn.silu(gate_h))
-        up = jnp.dot(y, layer["up"]["kernel"])
-        mlp_out = jnp.dot(act * up, layer["down"]["kernel"])
+        if "moe" in layer:
+            mlp_out = _moe_block(y, layer["moe"], cfg)
+        else:
+            gate_h = jnp.dot(y, layer["gate"]["kernel"])
+            act = (jax.nn.gelu(gate_h, approximate=True)
+                   if cfg.hidden_activation == "gelu_pytorch_tanh"
+                   else jax.nn.silu(gate_h))
+            up = jnp.dot(y, layer["up"]["kernel"])
+            mlp_out = jnp.dot(act * up, layer["down"]["kernel"])
         if "post_ff_norm" in layer:
             mlp_out = _rms_norm(mlp_out, layer["post_ff_norm"],
                                 cfg.rms_norm_eps, True)
@@ -333,6 +411,37 @@ def load_hf_decoder_params(model_dir: Path) -> Tuple[Dict, DecoderConfig]:
             f"attention weight shapes q{tuple(q0.shape)}/k{tuple(k0.shape)} "
             f"do not match heads={h}/{hkv} head_dim={hd}; checkpoint uses an "
             "architecture variant this loader does not support")
+    def moe_layer(p: str) -> Dict:
+        """Stacked-expert MoE weights: Mixtral ``block_sparse_moe``
+        (w1=gate, w3=up, w2=down) or Qwen2-MoE ``mlp.experts`` naming,
+        stacked on a leading expert axis so the forward is three einsums
+        (and the expert axis shards over the mesh for EP)."""
+        e = cfg.num_experts
+        if f"model.{p}.block_sparse_moe.gate.weight" in t \
+                or f"{p}.block_sparse_moe.gate.weight" in t:  # Mixtral
+            pre, g_, u_, d_ = f"{p}.block_sparse_moe", "w1", "w3", "w2"
+        else:                                                 # Qwen2-MoE
+            pre, g_, u_, d_ = f"{p}.mlp", "gate_proj", "up_proj", \
+                "down_proj"
+        moe = {
+            "router": get(f"{pre}.gate.weight").T,
+            "gate": jnp.stack([get(f"{pre}.experts.{x}.{g_}.weight").T
+                               for x in range(e)]),
+            "up": jnp.stack([get(f"{pre}.experts.{x}.{u_}.weight").T
+                             for x in range(e)]),
+            "down": jnp.stack([get(f"{pre}.experts.{x}.{d_}.weight").T
+                               for x in range(e)]),
+        }
+        if f"model.{pre}.shared_expert.gate_proj.weight" in t \
+                or f"{pre}.shared_expert.gate_proj.weight" in t:
+            moe["shared_gate"] = get(f"{pre}.shared_expert_gate.weight").T
+            moe["shared"] = {
+                "gate": get(f"{pre}.shared_expert.gate_proj.weight").T,
+                "up": get(f"{pre}.shared_expert.up_proj.weight").T,
+                "down": get(f"{pre}.shared_expert.down_proj.weight").T,
+            }
+        return moe
+
     for i in range(cfg.num_hidden_layers):
         p = f"layers.{i}"
         layer = {
@@ -342,10 +451,15 @@ def load_hf_decoder_params(model_dir: Path) -> Tuple[Dict, DecoderConfig]:
             "v": lin(f"{p}.self_attn.v_proj"),
             "o": {"kernel": get(f"{p}.self_attn.o_proj.weight").T},
             "post_norm": get(f"{p}.post_attention_layernorm.weight"),
-            "gate": {"kernel": get(f"{p}.mlp.gate_proj.weight").T},
-            "up": {"kernel": get(f"{p}.mlp.up_proj.weight").T},
-            "down": {"kernel": get(f"{p}.mlp.down_proj.weight").T},
         }
+        if cfg.layer_is_moe(i):
+            layer["moe"] = moe_layer(p)
+        else:
+            layer.update({
+                "gate": {"kernel": get(f"{p}.mlp.gate_proj.weight").T},
+                "up": {"kernel": get(f"{p}.mlp.up_proj.weight").T},
+                "down": {"kernel": get(f"{p}.mlp.down_proj.weight").T},
+            })
         if has_qk_norm:  # Qwen3-class per-head RMS on q/k (shape [head_dim])
             layer["q_norm"] = get(f"{p}.self_attn.q_norm.weight")
             layer["k_norm"] = get(f"{p}.self_attn.k_norm.weight")

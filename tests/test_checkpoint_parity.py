@@ -618,6 +618,86 @@ def test_gemma2_decoder_parity(tmp_path):
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-3, rtol=2e-3)
 
 
+def test_mixtral_moe_decoder_parity(tmp_path):
+    """Mixtral-style mixture-of-experts: per-layer top-2 routing over 4
+    experts (softmax over ALL logits, top-k, renormalize), SwiGLU experts.
+    Our dense-expert einsum formulation must match HF's gather/scatter
+    dispatch bit-for-bit up to float tolerance."""
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    cfg_t = MixtralConfig(vocab_size=96, hidden_size=32,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          num_key_value_heads=2, intermediate_size=48,
+                          max_position_embeddings=64, rope_theta=10000.0,
+                          num_local_experts=4, num_experts_per_tok=2,
+                          sliding_window=None, attention_dropout=0.0,
+                          router_jitter_noise=0.0, tie_word_embeddings=False)
+    torch.manual_seed(41)
+    model = MixtralForCausalLM(cfg_t).eval()
+    model.save_pretrained(tmp_path)
+
+    import jax.numpy as jnp
+
+    from legalrag_tpu.models.decoder import (decoder_forward,
+                                             load_hf_decoder_params)
+
+    params, cfg = load_hf_decoder_params(tmp_path)
+    assert cfg.num_experts == 4 and cfg.num_experts_per_tok == 2
+    assert cfg.norm_topk_prob  # Mixtral always renormalizes
+    assert params["layers"][0]["moe"]["gate"].shape == (4, 32, 48)
+
+    rng = np.random.default_rng(43)
+    ids = rng.integers(0, 96, size=(2, 12))
+    with torch.no_grad():
+        want = model(torch.tensor(ids)).logits.float().numpy()
+    positions = jnp.broadcast_to(jnp.arange(12)[None, :], (2, 12))
+    got, _ = decoder_forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                             positions)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
+
+
+def test_qwen2_moe_decoder_parity(tmp_path):
+    """Qwen2-MoE: routed experts WITHOUT top-k renormalization
+    (norm_topk_prob=False), plus a sigmoid-gated shared expert on every
+    sparse layer, with `decoder_sparse_step`/`mlp_only_layers` leaving
+    some layers dense — the mixed dense/sparse loader path."""
+    from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+
+    cfg_t = Qwen2MoeConfig(vocab_size=96, hidden_size=32,
+                           num_hidden_layers=3, num_attention_heads=4,
+                           num_key_value_heads=2, intermediate_size=64,
+                           moe_intermediate_size=24,
+                           shared_expert_intermediate_size=40,
+                           max_position_embeddings=64, rope_theta=10000.0,
+                           num_experts=4, num_experts_per_tok=2,
+                           norm_topk_prob=False, decoder_sparse_step=1,
+                           mlp_only_layers=[1], attention_dropout=0.0,
+                           tie_word_embeddings=False)
+    torch.manual_seed(47)
+    model = Qwen2MoeForCausalLM(cfg_t).eval()
+    model.save_pretrained(tmp_path)
+
+    import jax.numpy as jnp
+
+    from legalrag_tpu.models.decoder import (decoder_forward,
+                                             load_hf_decoder_params)
+
+    params, cfg = load_hf_decoder_params(tmp_path)
+    assert not cfg.norm_topk_prob
+    assert "moe" in params["layers"][0] and "moe" not in params["layers"][1]
+    assert "shared_gate" in params["layers"][0]["moe"]
+    assert params["layers"][0]["moe"]["down"].shape == (4, 24, 32)
+
+    rng = np.random.default_rng(53)
+    ids = rng.integers(0, 96, size=(2, 12))
+    with torch.no_grad():
+        want = model(torch.tensor(ids)).logits.float().numpy()
+    positions = jnp.broadcast_to(jnp.arange(12)[None, :], (2, 12))
+    got, _ = decoder_forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                             positions)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
+
+
 def test_gemma_layer_types_fallbacks():
     """Real gemma hub configs may predate the layer_types key — gemma2's
     alternating and gemma3's every-Nth-full patterns must be
@@ -637,7 +717,7 @@ def test_gemma_layer_types_fallbacks():
 
 
 @pytest.mark.parametrize("family", ["qwen3", "gemma2", "gemma3",
-                                    "qwen3-yarn", "mistral"])
+                                    "qwen3-yarn", "mistral", "mixtral"])
 def test_new_family_kv_cache_matches_full(tmp_path, family):
     """The KV-cache decode path must reproduce the full-sequence forward
     for the round-2 families — Qwen3 (q/k-norm applied inside the cached
@@ -698,6 +778,20 @@ def test_new_family_kv_cache_matches_full(tmp_path, family):
                               tie_word_embeddings=False)
         torch.manual_seed(33)
         MistralForCausalLM(cfg_t).save_pretrained(tmp_path)
+    elif family == "mixtral":
+        from transformers import MixtralConfig, MixtralForCausalLM
+
+        cfg_t = MixtralConfig(vocab_size=96, hidden_size=32,
+                              num_hidden_layers=2, num_attention_heads=4,
+                              num_key_value_heads=2, intermediate_size=48,
+                              max_position_embeddings=64,
+                              rope_theta=10000.0, num_local_experts=4,
+                              num_experts_per_tok=2, sliding_window=None,
+                              router_jitter_noise=0.0,
+                              attention_dropout=0.0,
+                              tie_word_embeddings=False)
+        torch.manual_seed(39)
+        MixtralForCausalLM(cfg_t).save_pretrained(tmp_path)
     else:
         from transformers import Gemma2Config, Gemma2ForCausalLM
 

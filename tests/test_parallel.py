@@ -172,3 +172,39 @@ def test_bad_n_index_shards_rejected(tmp_path):
     cfg.engine.n_index_shards = -2
     with pytest.raises(ValueError, match="n_index_shards"):
         BundleCache(cfg)._serving_mesh()
+
+
+def test_moe_expert_parallel_matches_unsharded(mesh):
+    """Expert parallelism: the MoE block with its stacked expert weights
+    sharded over MODEL_AXIS (each device holds E/n_model experts) must
+    produce the same output as the fully-replicated block — XLA's SPMD
+    partitioner splits the expert einsums and inserts the psum combine."""
+    from legalrag_tpu.models.decoder import DecoderConfig, _moe_block
+
+    e, h, f, b, t = 8, 16, 24, 2, 6
+    cfg = DecoderConfig(vocab_size=64, hidden_size=h, num_hidden_layers=1,
+                        num_attention_heads=2, num_key_value_heads=1,
+                        intermediate_size=f, model_type="mixtral",
+                        num_local_experts=e, num_experts_per_tok=2)
+    rng = np.random.default_rng(7)
+    moe_np = {
+        "router": rng.standard_normal((h, e)).astype(np.float32),
+        "gate": rng.standard_normal((e, h, f)).astype(np.float32),
+        "up": rng.standard_normal((e, h, f)).astype(np.float32),
+        "down": rng.standard_normal((e, f, h)).astype(np.float32),
+    }
+    y = rng.standard_normal((b, t, h)).astype(np.float32)
+
+    want = np.asarray(_moe_block(jnp.asarray(y), jax.tree_util.tree_map(
+        jnp.asarray, moe_np), cfg))
+
+    put = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
+    moe_sh = {
+        "router": put(moe_np["router"], P(None, None)),
+        "gate": put(moe_np["gate"], P(MODEL_AXIS, None, None)),
+        "up": put(moe_np["up"], P(MODEL_AXIS, None, None)),
+        "down": put(moe_np["down"], P(MODEL_AXIS, None, None)),
+    }
+    y_sh = put(y, P(None, None, None))
+    got = jax.jit(lambda yy, mm: _moe_block(yy, mm, cfg))(y_sh, moe_sh)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
