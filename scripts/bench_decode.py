@@ -49,6 +49,25 @@ def device_random_params(cfg, dtype):
         return (jax.random.normal(sub, (i, o), jnp.float32) * scale
                 ).astype(dtype)
 
+    def emat(e, i, o, scale=0.02):
+        nonlocal key
+        key, sub = jax.random.split(key)
+        return (jax.random.normal(sub, (e, i, o), jnp.float32) * scale
+                ).astype(dtype)
+
+    def mlp_block():
+        if cfg.num_experts:  # Mixtral-style routed experts
+            mi = cfg.moe_intermediate_size or ff
+            return {"moe": {
+                "router": mat(h, cfg.num_experts),
+                "gate": emat(cfg.num_experts, h, mi),
+                "up": emat(cfg.num_experts, h, mi),
+                "down": emat(cfg.num_experts, mi, h),
+            }}
+        return {"gate": {"kernel": mat(h, ff)},
+                "up": {"kernel": mat(h, ff)},
+                "down": {"kernel": mat(ff, h)}}
+
     embed = mat(cfg.vocab_size, h, 0.05)
     params = {
         "embed": embed,
@@ -64,9 +83,7 @@ def device_random_params(cfg, dtype):
                    "bias": jnp.zeros(hkv * d, dtype)},
              "o": {"kernel": mat(hq * d, h)},
              "post_norm": jnp.ones(h, dtype),
-             "gate": {"kernel": mat(h, ff)},
-             "up": {"kernel": mat(h, ff)},
-             "down": {"kernel": mat(ff, h)}}
+             **mlp_block()}
             for _ in range(cfg.num_hidden_layers)
         ],
     }
@@ -80,6 +97,11 @@ def main() -> None:
     ap.add_argument("--chunks", default="1,8,32")
     ap.add_argument("--layers", type=int, default=24)
     ap.add_argument("--max-len", type=int, default=1024)
+    ap.add_argument("--moe-experts", type=int, default=0,
+                    help="benchmark a Mixtral-style MoE variant: E routed "
+                    "experts (top-2, moe_intermediate = intermediate/4) "
+                    "instead of the dense MLP — quantifies the dense "
+                    "stacked-expert formulation's decode cost")
     args = ap.parse_args()
 
     import jax
@@ -94,22 +116,37 @@ def main() -> None:
 
     import jax.numpy as jnp
 
+    moe_kw = {}
+    if args.moe_experts:
+        moe_kw = dict(model_type="mixtral",
+                      num_local_experts=args.moe_experts,
+                      num_experts_per_tok=2,
+                      moe_intermediate_size=4864 // 4)
     cfg = DecoderConfig(num_hidden_layers=args.layers,
-                        max_position_embeddings=args.max_len)
+                        max_position_embeddings=args.max_len, **moe_kw)
+    mlp_params = (cfg.num_experts
+                  * 3 * cfg.hidden_size * cfg.moe_intermediate_size
+                  + cfg.hidden_size * cfg.num_experts
+                  if cfg.num_experts
+                  else 3 * cfg.hidden_size * cfg.intermediate_size)
     n_params = (cfg.vocab_size * cfg.hidden_size
                 + cfg.num_hidden_layers * (
                     cfg.hidden_size * cfg.num_attention_heads * cfg.head_dim
                     * 2
                     + cfg.hidden_size * cfg.num_key_value_heads * cfg.head_dim
                     * 2
-                    + 3 * cfg.hidden_size * cfg.intermediate_size))
-    log(f"Qwen2-0.5B-shaped decoder: {cfg.num_hidden_layers} layers, "
+                    + mlp_params))
+    shape = (f"MoE E={cfg.num_experts} top-2" if cfg.num_experts
+             else "Qwen2-0.5B-shaped")
+    log(f"{shape} decoder: {cfg.num_hidden_layers} layers, "
         f"H={cfg.hidden_size}, GQA {cfg.num_attention_heads}/"
         f"{cfg.num_key_value_heads}, ~{n_params / 1e6:.0f}M params (bf16, "
         f"device-random-init) on {jax.default_backend()}")
     t0 = time.perf_counter()
     params = device_random_params(cfg, jnp.bfloat16)
-    jax.block_until_ready(params["layers"][-1]["down"]["kernel"])
+    last = params["layers"][-1]
+    jax.block_until_ready(last["moe"]["down"] if "moe" in last
+                          else last["down"]["kernel"])
     log(f"init: {time.perf_counter() - t0:.1f}s")
 
     rng = np.random.default_rng(0)
@@ -161,6 +198,7 @@ def main() -> None:
         "prefill_tok_per_s": round(prefill_tps, 1),
         "prompt_len": args.prompt_len,
         "layers": cfg.num_hidden_layers,
+        "moe_experts": cfg.num_experts,
     }))
 
 
