@@ -175,6 +175,10 @@ class LLMConfig(BaseModel):
     # local-jax: tokens decoded per device execution (lax.scan chunk) —
     # each execution costs a host round trip on remote backends
     decode_chunk: int = 8
+    # local-jax: >1 enables continuous batching (models/batched_decoder.py)
+    # — that many concurrent answer streams share one batched decode loop;
+    # 0/1 keeps the single-stream engine
+    batch_slots: int = 0
 
 
 class RoutingConfig(BaseModel):

@@ -236,15 +236,26 @@ class LLMClient:
         chip as retrieval — no torch in the serving path."""
         if self._local is None:
             try:
-                from legalrag_tpu.models.decoder import JaxDecoderLM
-
                 # cache sized so a full-context prompt can still generate
                 # max_new_tokens (generation clamps at capacity otherwise)
-                self._local = JaxDecoderLM.from_pretrained(
-                    self.cfg.model,
+                kw = dict(
                     max_len=self.cfg.max_context_tokens
                     + self.cfg.max_new_tokens,
                     decode_chunk=getattr(self.cfg, "decode_chunk", 8))
+                slots = getattr(self.cfg, "batch_slots", 0)
+                if slots and slots > 1:
+                    # continuous batching: concurrent answer streams share
+                    # one batched decode loop (models/batched_decoder.py)
+                    from legalrag_tpu.models.batched_decoder import \
+                        BatchedDecoderLM
+
+                    self._local = BatchedDecoderLM.from_pretrained(
+                        self.cfg.model, n_slots=slots, **kw)
+                else:
+                    from legalrag_tpu.models.decoder import JaxDecoderLM
+
+                    self._local = JaxDecoderLM.from_pretrained(
+                        self.cfg.model, **kw)
             except Exception as e:
                 raise LLMUnavailable(f"jax decoder load failed: {e}") from e
         return self._local

@@ -272,6 +272,13 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
     With ``kv_cache`` (list of ([B, S, Hkv, D], [B, S, Hkv, D]) per layer)
     the new keys/values are written at ``cache_len`` offsets and attention
     spans the cache; returns (logits, new_cache).
+
+    ``cache_len`` may be a scalar (all rows share one offset — the
+    single-stream path) or a ``[B]`` vector (each batch row writes at its
+    own offset — the continuous-batching decode path, where slots sit at
+    different sequence lengths; see models/batched_decoder.py). Vector
+    offsets use a scatter write; out-of-range rows are dropped by JAX's
+    scatter semantics, which retired slots rely on.
     """
     b, t = input_ids.shape
     h, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
@@ -309,14 +316,24 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
         k = _rope(k, positions, li_inv, li_scale)
         if kv_cache is not None:
             ck, cv = kv_cache[li]
-            ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_len, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_len, 0, 0))
+            if jnp.ndim(cache_len) == 0:
+                ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_len, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_len, 0, 0))
+                filled_to = cache_len + t                        # scalar
+            else:
+                # per-row offsets: row b's T new entries land at
+                # cache_len[b]..cache_len[b]+T-1 (scatter; OOB rows drop)
+                rows = cache_len[:, None] + jnp.arange(t)[None, :]
+                bidx = jnp.arange(b)[:, None]
+                ck = ck.at[bidx, rows].set(k)
+                cv = cv.at[bidx, rows].set(v)
+                filled_to = (cache_len + t)[:, None, None]       # [B, 1, 1]
             new_cache.append((ck, cv))
             k_att, v_att = ck, cv
             s = ck.shape[1]
             kv_pos = jnp.arange(s)[None, None, :]               # [1, 1, S]
             att_mask = ((kv_pos <= positions[:, :, None])        # causal
-                        & (kv_pos < cache_len + t))              # filled
+                        & (kv_pos < filled_to))                  # filled
         else:
             k_att, v_att = k, v
             kv_pos = positions[:, None, :]

@@ -90,6 +90,71 @@ def device_random_params(cfg, dtype):
     return params
 
 
+def bench_batched(args, cfg, params, rng) -> None:
+    """S concurrent streams through the continuous-batching engine vs the
+    same S requests decoded sequentially single-stream. Decode is
+    weights-bandwidth-bound, so the batched engine should approach S×
+    aggregate tokens/s at equal per-stream latency."""
+    import threading
+    import time as _time
+
+    from legalrag_tpu.models.batched_decoder import BatchedDecoderLM
+    from legalrag_tpu.models.decoder import JaxDecoderLM
+
+    s = args.batched
+    chunk = max(int(c) for c in args.chunks.split(",") if c)
+    prompts = [rng.integers(100, cfg.vocab_size - 100,
+                            args.prompt_len).tolist() for _ in range(s)]
+
+    # sequential single-stream baseline
+    lm = JaxDecoderLM(params, cfg, max_len=args.max_len, decode_chunk=chunk)
+    sum(1 for _ in lm.generate_stream(prompts[0],
+                                      max_new_tokens=2 * chunk))  # warm
+    t0 = _time.perf_counter()
+    n_seq = sum(sum(1 for _ in lm.generate_stream(p,
+                                                  max_new_tokens=args.new))
+                for p in prompts)
+    seq_dt = _time.perf_counter() - t0
+    seq_tps = n_seq / seq_dt
+    log(f"[sequential x{s}] {n_seq} tokens in {seq_dt:.2f}s -> "
+        f"{seq_tps:.1f} tok/s aggregate")
+
+    engine = BatchedDecoderLM(params, cfg, max_len=args.max_len,
+                              n_slots=s, decode_chunk=chunk)
+    counts = [0] * s
+
+    def run(i):
+        counts[i] = sum(1 for _ in engine.generate_stream(
+            prompts[i], max_new_tokens=args.new))
+
+    run(0)  # warm (compile prefill bucket + batched chunk program)
+    counts[0] = 0
+    t0 = _time.perf_counter()
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(s)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    bat_dt = _time.perf_counter() - t0
+    n_bat = sum(counts)
+    bat_tps = n_bat / bat_dt
+    engine.close()
+    log(f"[batched x{s}] {n_bat} tokens in {bat_dt:.2f}s -> "
+        f"{bat_tps:.1f} tok/s aggregate ({bat_tps / seq_tps:.2f}x)")
+    print(json.dumps({
+        "metric": "batched_decode_tok_per_s",
+        "value": round(bat_tps, 1),
+        "unit": "tokens/s",
+        "slots": s,
+        "chunk": chunk,
+        "sequential_tok_per_s": round(seq_tps, 1),
+        "speedup_vs_sequential": round(bat_tps / seq_tps, 2),
+        "prompt_len": args.prompt_len,
+        "new_tokens": args.new,
+        "layers": cfg.num_hidden_layers,
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--prompt-len", type=int, default=512)
@@ -102,6 +167,12 @@ def main() -> None:
                     "experts (top-2, moe_intermediate = intermediate/4) "
                     "instead of the dense MLP — quantifies the dense "
                     "stacked-expert formulation's decode cost")
+    ap.add_argument("--batched", type=int, default=0, metavar="S",
+                    help="benchmark continuous batching "
+                    "(models/batched_decoder.py): S concurrent streams "
+                    "sharing one batched decode loop vs the same S "
+                    "requests served sequentially single-stream — the "
+                    "aggregate-tokens/s win is the point of the engine")
     args = ap.parse_args()
 
     import jax
@@ -152,6 +223,10 @@ def main() -> None:
     rng = np.random.default_rng(0)
     prompt = rng.integers(100, cfg.vocab_size - 100,
                           args.prompt_len).tolist()
+
+    if args.batched:
+        bench_batched(args, cfg, params, rng)
+        return
 
     results = {}
     for chunk in [int(c) for c in args.chunks.split(",") if c]:
