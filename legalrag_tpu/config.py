@@ -179,6 +179,11 @@ class LLMConfig(BaseModel):
     # — that many concurrent answer streams share one batched decode loop;
     # 0/1 keeps the single-stream engine
     batch_slots: int = 0
+    # local-jax: >0 enables prompt-lookup speculative decoding with this
+    # draft length (models/spec_decode.py) — RAG answers quote retrieved
+    # provisions, so prompt n-gram drafts hit often; greedy output is
+    # token-identical to plain decoding. Single-stream engine only.
+    spec_k: int = 0
 
 
 class RoutingConfig(BaseModel):

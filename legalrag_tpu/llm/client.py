@@ -243,6 +243,7 @@ class LLMClient:
                     + self.cfg.max_new_tokens,
                     decode_chunk=getattr(self.cfg, "decode_chunk", 8))
                 slots = getattr(self.cfg, "batch_slots", 0)
+                spec_k = getattr(self.cfg, "spec_k", 0)
                 if slots and slots > 1:
                     # continuous batching: concurrent answer streams share
                     # one batched decode loop (models/batched_decoder.py)
@@ -251,6 +252,14 @@ class LLMClient:
 
                     self._local = BatchedDecoderLM.from_pretrained(
                         self.cfg.model, n_slots=slots, **kw)
+                elif spec_k and spec_k > 0:
+                    # prompt-lookup speculative decoding: draft from the
+                    # prompt's own n-grams, verify k tokens per forward
+                    from legalrag_tpu.models.spec_decode import \
+                        SpecLookupDecoderLM
+
+                    self._local = SpecLookupDecoderLM.from_pretrained(
+                        self.cfg.model, spec_k=spec_k, **kw)
                 else:
                     from legalrag_tpu.models.decoder import JaxDecoderLM
 

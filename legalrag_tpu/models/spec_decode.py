@@ -1,0 +1,275 @@
+"""Prompt-lookup speculative decoding — entirely on device.
+
+RAG answers quote the retrieved provisions: the statute text sits in the
+prompt and the generation copies spans of it (citations, quoted rules,
+article numbers). Prompt-lookup speculation exploits that: draft the next
+``k`` tokens by finding the most recent earlier occurrence of the current
+bigram in the sequence-so-far and copying what followed it, then verify
+all ``k`` drafts with ONE forward pass of ``k+1`` tokens. Decode is
+weights-bandwidth-bound, so a ``k+1``-token verify costs about the same
+HBM traffic as a 1-token step — every accepted draft is a nearly-free
+token. Greedy output is token-identical to plain decoding (the correction
+token at the first mismatch is the true greedy token); sampled output is
+distribution-exact by the standard speculative argument (each position is
+sampled from the true conditional given the accepted prefix; acceptance =
+"sample equals draft").
+
+The TPU-native part: the whole loop — bigram match, draft gather, verify
+forward, acceptance, token-buffer update, EOS/budget/capacity freezing —
+runs inside a ``lax.scan`` of ``spec_steps`` iterations per dispatch, over
+a device-resident ``[max_len]`` token buffer. No host round trip per
+speculation round (a dispatch costs ~200 ms on remote-relay backends);
+the host fetches one packed emissions array per launch. Static shapes
+throughout: the program set is {prefill per bucket, one spec program,
+per-token tail}.
+
+Correctness invariant shared with models/batched_decoder.py: rejected
+draft rows left in the KV cache sit at positions ≥ the new write pointer,
+and every later step writes row ``p`` before attending ``kv_pos ≤ p`` —
+stale rows are always overwritten before they can be attended.
+
+Replaces the same surface as the reference's HF ``model.generate`` loop
+(reference ``llm/client.py:306-369``), which decodes strictly one token
+per forward.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legalrag_tpu.models.decoder import (DecoderConfig, JaxDecoderLM,
+                                         _sample_top_p, decoder_forward)
+from legalrag_tpu.utils import get_logger
+from legalrag_tpu.utils.device import on_device
+
+log = get_logger("models.spec_decode")
+
+
+class SpecLookupDecoderLM(JaxDecoderLM):
+    """``JaxDecoderLM`` with prompt-lookup speculative decoding.
+
+    ``spec_k`` drafts are verified per speculation round; ``spec_steps``
+    rounds run per device dispatch. Exposes ``last_stats`` (per-stream
+    acceptance counters) for benchmarking. Falls back to the parent's
+    per-token tail within ``spec_k`` tokens of cache capacity.
+    """
+
+    def __init__(self, params: Dict, cfg: DecoderConfig, tokenizer=None,
+                 device=None, max_len: int = 4096, decode_chunk: int = 8,
+                 spec_k: int = 8, spec_steps: int = 4):
+        super().__init__(params, cfg, tokenizer, device=device,
+                         max_len=max_len, decode_chunk=decode_chunk)
+        self.spec_k = spec_k
+        self.spec_steps = spec_steps
+        self.last_stats: Dict[str, float] = {}
+        self._spec_fn = jax.jit(self._spec_scan,
+                                static_argnames=("greedy",),
+                                donate_argnums=(1, 2))
+
+    # ------------------------------------------------------------- program
+    def _spec_scan(self, params, cache, tokens, pos, pending, key, temp,
+                   top_p, eos_id, budget_left, greedy: bool):
+        """``spec_steps`` speculation rounds in ONE program.
+
+        State: ``tokens[i]`` = sequence token at position ``i`` for
+        ``i ≤ pos``; ``pending`` (= ``tokens[pos]``) is emitted but not
+        yet forwarded; cache rows ``0..pos-1`` are valid.
+
+        Per round: match the bigram ``(tokens[pos-1], tokens[pos])`` at
+        the most recent earlier position, copy the following ``k`` tokens
+        as the draft, forward ``[pending, draft]`` (k+1 tokens) writing
+        cache rows ``pos..pos+k``, take per-position targets (argmax or
+        sampled), accept the longest draft prefix that matches, emit the
+        targets over the accepted prefix plus the correction token, and
+        advance. Freezes in-program on EOS, token budget, or cache
+        capacity; emissions are -1-padded.
+
+        Returns (emissions [spec_steps, k+1], cache, tokens, pos, pending,
+        key, packed [active, hit_eos, emitted_total, pos]).
+        """
+        k = self.spec_k
+        max_len = self.max_len
+        idx_row = jnp.arange(max_len)
+        iota = jnp.arange(k + 1)
+
+        def step(carry, _):
+            cache, tokens, pos, pending, key, c_left, active, hit_eos \
+                = carry
+            # --- draft: most recent earlier occurrence of the current
+            # bigram; the k tokens that followed it (garbage if no match —
+            # the verify simply rejects)
+            a_tok = tokens[jnp.maximum(pos - 1, 0)]
+            prev = jnp.concatenate([tokens[:1], tokens[:-1]])  # tokens[i-1]
+            hit = ((idx_row >= 1) & (idx_row < pos)
+                   & (prev == a_tok) & (tokens == pending))
+            j = jnp.max(jnp.where(hit, idx_row, -1))
+            draft = jax.lax.dynamic_slice(tokens, (j + 1,), (k,))
+            # --- verify: one forward of [pending, draft] at pos..pos+k
+            seq = jnp.concatenate([pending[None], draft])[None, :]
+            positions = (pos + iota)[None, :]
+            logits, cache = decoder_forward(params, self.cfg, seq, positions,
+                                            kv_cache=cache, cache_len=pos)
+            lg = logits[0]                                   # [k+1, V]
+            if greedy:
+                targets = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            else:
+                ks = jax.random.split(key, k + 2)
+                key = ks[0]
+                targets = jax.vmap(
+                    lambda l, s: jax.random.categorical(
+                        s, _top_p_filter(l, top_p)))(
+                    lg / jnp.maximum(temp, 1e-6), ks[1:]).astype(jnp.int32)
+            # --- acceptance: longest draft prefix equal to the targets
+            acc = jnp.cumprod((draft == targets[:k]).astype(jnp.int32))
+            a = jnp.sum(acc)                                 # 0..k
+            cand = iota <= a                                 # emit g[0..a]
+            ie = jnp.min(jnp.where(cand & (targets == eos_id), iota, k + 1))
+            emit_mask = active & cand & (iota < ie) & (iota < c_left)
+            emissions = jnp.where(emit_mask, targets, -1)
+            n_emit = jnp.sum(emit_mask.astype(jnp.int32))
+            # --- advance (all no-ops when frozen: n_emit == 0 and the
+            # token scatter drops masked rows)
+            wr = jnp.where(emit_mask, pos + 1 + iota, max_len)
+            tokens = tokens.at[wr].set(targets, mode="drop")
+            # new pending = the correction/bonus token targets[a]; only
+            # meaningful when the round wasn't cut by EOS/budget — in the
+            # cut cases the stream is frozen and pending is never used
+            new_pending = targets[jnp.minimum(a, k)]
+            pending = jnp.where(active & (ie > a), new_pending, pending)
+            pos = pos + jnp.where(active, n_emit, 0)
+            c_left = c_left - n_emit
+            step_eos = active & (ie <= a)
+            hit_eos = hit_eos | step_eos
+            active = (active & ~step_eos & (c_left > 0)
+                      & (pos + k <= max_len - 1))
+            return (cache, tokens, pos, pending, key, c_left, active,
+                    hit_eos), emissions
+
+        carry0 = (cache, tokens, pos, pending, key, budget_left,
+                  jnp.bool_(True), jnp.bool_(False))
+        (cache, tokens, pos, pending, key, c_left, active, hit_eos), \
+            emissions = jax.lax.scan(step, carry0, None,
+                                     length=self.spec_steps)
+        packed = jnp.stack([active.astype(jnp.int32),
+                            hit_eos.astype(jnp.int32),
+                            (budget_left - c_left), pos])
+        return emissions, cache, tokens, pos, pending, key, packed
+
+    # ------------------------------------------------------------------ API
+    def generate_stream(self, prompt_ids: List[int],
+                        max_new_tokens: int = 256, temperature: float = 0.0,
+                        top_p: float = 0.9, eos_id: Optional[int] = None,
+                        seed: int = 0) -> Iterator[int]:
+        if self.spec_k <= 0:
+            yield from super().generate_stream(
+                prompt_ids, max_new_tokens, temperature, top_p, eos_id, seed)
+            return
+        t = len(prompt_ids)
+        if t >= self.max_len:
+            raise ValueError(
+                f"prompt ({t} tokens) does not fit the {self.max_len}-token "
+                "KV cache; truncate the prompt before generation")
+        budget = self.max_len - t
+        if max_new_tokens > budget:
+            log.warning("max_new_tokens %d exceeds cache budget %d; clamping",
+                        max_new_tokens, budget)
+            max_new_tokens = budget
+        stats = {"launches": 0, "tokens": 0, "spec_rounds": 0}
+        self.last_stats = stats
+        greedy = not temperature > 0
+        with on_device(self.device):
+            ids = jnp.asarray([prompt_ids], jnp.int32)
+            cache = self._empty_cache(1)
+            positions = jnp.arange(t, dtype=jnp.int32)[None, :]
+            logits, cache = decoder_forward(self.params, self.cfg, ids,
+                                            positions, kv_cache=cache,
+                                            cache_len=jnp.int32(0))
+            last = logits[0, -1]
+            key = jax.random.PRNGKey(seed)
+            if greedy:
+                pending_h = int(np.argmax(np.asarray(last)))
+            else:
+                key, sub = jax.random.split(key)
+                pending_h = int(_sample_top_p(
+                    (last / jnp.float32(max(temperature, 1e-6)))[None, :],
+                    jnp.float32(top_p), sub)[0])
+            if eos_id is not None and pending_h == eos_id:
+                return
+            yield pending_h
+            produced = 1
+            stats["tokens"] = 1
+            if produced >= max_new_tokens:
+                return
+            buf = np.zeros(self.max_len, np.int32)
+            buf[:t] = prompt_ids
+            buf[t] = pending_h
+            tokens = jnp.asarray(buf)
+            pos = jnp.int32(t)
+            pending = jnp.int32(pending_h)
+            temp_j = jnp.float32(max(temperature, 1e-6))
+            tp_j = jnp.float32(top_p)
+            eos_j = jnp.int32(-1 if eos_id is None else eos_id)
+            pos_h = t
+            # the spec program writes rows pos..pos+k per round; never
+            # launch it where that range would not fit (the scalar-offset
+            # cache write clamps rather than drops out of range)
+            while pos_h + self.spec_k <= self.max_len - 1:
+                emissions, cache, tokens, pos, pending, key, packed = \
+                    self._spec_fn(self.params, cache, tokens, pos, pending,
+                                  key, temp_j, tp_j, eos_j,
+                                  jnp.int32(max_new_tokens - produced),
+                                  greedy=greedy)
+                em = np.asarray(emissions)
+                st = np.asarray(packed)
+                stats["launches"] += 1
+                for row in em:
+                    any_emit = False
+                    for tok in row.tolist():
+                        if tok < 0:
+                            continue
+                        any_emit = True
+                        yield int(tok)
+                        produced += 1
+                        stats["tokens"] += 1
+                    if any_emit:
+                        stats["spec_rounds"] += 1
+                hit_eos = bool(st[1])
+                pos_h = int(st[3])
+                if hit_eos or produced >= max_new_tokens:
+                    return
+            # within spec_k of capacity — finish with per-token steps
+            # the final pending token was emitted but never forwarded;
+            # its logits are `last` only after a forward — run it now
+            last, cache = self._decode_step(
+                self.params, jnp.asarray([[int(pending)]], jnp.int32),
+                jnp.int32(pos_h), cache)
+            pos_h += 1
+            while produced < max_new_tokens and pos_h < self.max_len:
+                if greedy:
+                    tok = int(np.argmax(np.asarray(last[0])))
+                else:
+                    key, sub = jax.random.split(key)
+                    tok = int(_sample_top_p(last / temp_j, tp_j, sub)[0])
+                if eos_id is not None and tok == eos_id:
+                    return
+                yield tok
+                produced += 1
+                stats["tokens"] += 1
+                if produced < max_new_tokens and pos_h < self.max_len:
+                    last, cache = self._decode_step(
+                        self.params, jnp.asarray([[tok]], jnp.int32),
+                        jnp.int32(pos_h), cache)
+                    pos_h += 1
+
+
+def _top_p_filter(logits: jax.Array, top_p: jax.Array) -> jax.Array:
+    """Nucleus filter for a single [V] logits row."""
+    sorted_logits = jnp.sort(logits)[::-1]
+    probs = jax.nn.softmax(sorted_logits)
+    cum = jnp.cumsum(probs)
+    cutoff = sorted_logits[jnp.sum(cum < top_p)]
+    return jnp.where(logits >= cutoff, logits, -1e30)

@@ -155,6 +155,71 @@ def bench_batched(args, cfg, params, rng) -> None:
     }))
 
 
+def bench_spec(args, cfg, params, rng) -> None:
+    """Spec decode vs plain chunked decode on the same prompt.
+
+    Acceptance depends on how much the generation copies the prompt;
+    a random-init model's greedy chain is self-repetitive, which flatters
+    acceptance — so the acceptance rate is REPORTED, not assumed, and the
+    dispatch-cost comparison (ms per launch) is the transferable number.
+    """
+    import time as _time
+
+    from legalrag_tpu.models.decoder import JaxDecoderLM
+    from legalrag_tpu.models.spec_decode import SpecLookupDecoderLM
+
+    k = args.spec
+    chunk = max(int(c) for c in args.chunks.split(",") if c)
+    prompt = rng.integers(100, cfg.vocab_size - 100,
+                          args.prompt_len).tolist()
+
+    plain = JaxDecoderLM(params, cfg, max_len=args.max_len,
+                         decode_chunk=chunk)
+    sum(1 for _ in plain.generate_stream(prompt,
+                                         max_new_tokens=2 * chunk))  # warm
+    best = None
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        n_plain = sum(1 for _ in plain.generate_stream(
+            prompt, max_new_tokens=args.new))
+        dt = _time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    plain_tps = n_plain / best
+    log(f"[plain chunk={chunk}] {n_plain} tokens in {best:.2f}s -> "
+        f"{plain_tps:.1f} tok/s")
+
+    spec = SpecLookupDecoderLM(params, cfg, max_len=args.max_len,
+                               spec_k=k, spec_steps=4)
+    sum(1 for _ in spec.generate_stream(prompt, max_new_tokens=2 * k))
+    best, stats = None, None
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        n_spec = sum(1 for _ in spec.generate_stream(
+            prompt, max_new_tokens=args.new))
+        dt = _time.perf_counter() - t0
+        if best is None or dt < best:
+            best, stats = dt, dict(spec.last_stats)
+    spec_tps = n_spec / best
+    rounds = max(stats.get("spec_rounds", 1), 1)
+    accept = (stats["tokens"] - 1) / rounds  # tokens per speculation round
+    log(f"[spec k={k}] {n_spec} tokens in {best:.2f}s -> {spec_tps:.1f} "
+        f"tok/s; {stats['launches']} launches, {rounds} rounds, "
+        f"{accept:.2f} tokens/round accepted")
+    print(json.dumps({
+        "metric": "spec_decode_tok_per_s",
+        "value": round(spec_tps, 1),
+        "unit": "tokens/s",
+        "spec_k": k,
+        "plain_tok_per_s": round(plain_tps, 1),
+        "speedup_vs_plain": round(spec_tps / plain_tps, 2),
+        "accepted_per_round": round(accept, 2),
+        "launches": stats["launches"],
+        "prompt_len": args.prompt_len,
+        "new_tokens": args.new,
+        "layers": cfg.num_hidden_layers,
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--prompt-len", type=int, default=512)
@@ -173,6 +238,11 @@ def main() -> None:
                     "sharing one batched decode loop vs the same S "
                     "requests served sequentially single-stream — the "
                     "aggregate-tokens/s win is the point of the engine")
+    ap.add_argument("--spec", type=int, default=0, metavar="K",
+                    help="benchmark prompt-lookup speculative decoding "
+                    "(models/spec_decode.py) with draft length K vs plain "
+                    "chunked decode; reports measured acceptance "
+                    "(tokens per speculation round)")
     args = ap.parse_args()
 
     import jax
@@ -226,6 +296,9 @@ def main() -> None:
 
     if args.batched:
         bench_batched(args, cfg, params, rng)
+        return
+    if args.spec:
+        bench_spec(args, cfg, params, rng)
         return
 
     results = {}

@@ -1,0 +1,130 @@
+"""Prompt-lookup speculative decoding: greedy output must be
+token-identical to plain decoding across acceptance/rejection mixes, EOS,
+budget, and the capacity tail — tiny random-init config."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from legalrag_tpu.models.decoder import DecoderConfig, JaxDecoderLM
+from legalrag_tpu.models.spec_decode import SpecLookupDecoderLM
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = DecoderConfig(vocab_size=97, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        intermediate_size=64, max_position_embeddings=128,
+                        tie_word_embeddings=True)
+    rng = np.random.default_rng(11)
+
+    def mat(i, o, scale=0.05):
+        return jnp.asarray(rng.standard_normal((i, o)) * scale, jnp.float32)
+
+    h, ff, d = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim
+    hkv = cfg.num_key_value_heads
+    embed = mat(cfg.vocab_size, h, 0.1)
+    params = {
+        "embed": embed, "lm_head": embed.T,
+        "final_norm": jnp.ones(h, jnp.float32),
+        "layers": [
+            {"input_norm": jnp.ones(h, jnp.float32),
+             "q": {"kernel": mat(h, h), "bias": jnp.zeros(h)},
+             "k": {"kernel": mat(h, hkv * d), "bias": jnp.zeros(hkv * d)},
+             "v": {"kernel": mat(h, hkv * d), "bias": jnp.zeros(hkv * d)},
+             "o": {"kernel": mat(h, h)},
+             "post_norm": jnp.ones(h, jnp.float32),
+             "gate": {"kernel": mat(h, ff)},
+             "up": {"kernel": mat(h, ff)},
+             "down": {"kernel": mat(ff, h)}}
+            for _ in range(cfg.num_hidden_layers)
+        ],
+    }
+    return cfg, params
+
+
+# prompts chosen to exercise both draft acceptance (repetitive structure
+# the bigram lookup can exploit) and rejection (varied tokens)
+PROMPTS = [
+    [5, 6, 7, 5, 6, 7, 5, 6],          # strong bigram repeats
+    [12, 41, 3, 3, 3, 3, 9],           # degenerate run + tail
+    [22, 81, 14, 60, 33],              # no structure — rejections
+    [2, 2],                            # minimal prompt
+]
+
+
+def test_greedy_token_identical_to_plain(tiny):
+    cfg, params = tiny
+    ref = JaxDecoderLM(params, cfg, max_len=96, decode_chunk=1)
+    spec = SpecLookupDecoderLM(params, cfg, max_len=96, spec_k=4,
+                               spec_steps=2)
+    for p in PROMPTS:
+        want = list(ref.generate_stream(p, max_new_tokens=17))
+        got = list(spec.generate_stream(p, max_new_tokens=17))
+        assert got == want, p
+        assert spec.last_stats["tokens"] == len(got)
+        assert spec.last_stats["launches"] >= 1
+
+
+def test_eos_matches_plain(tiny):
+    cfg, params = tiny
+    ref = JaxDecoderLM(params, cfg, max_len=96, decode_chunk=1)
+    spec = SpecLookupDecoderLM(params, cfg, max_len=96, spec_k=4,
+                               spec_steps=2)
+    for p in PROMPTS[:2]:
+        full = list(ref.generate_stream(p, max_new_tokens=12))
+        eos = full[5]
+        want = list(ref.generate_stream(p, max_new_tokens=12, eos_id=eos))
+        got = list(spec.generate_stream(p, max_new_tokens=12, eos_id=eos))
+        assert got == want, p
+
+
+def test_capacity_tail_matches_plain(tiny):
+    """max_len small enough that the spec loop freezes for capacity and
+    the per-token tail finishes the stream."""
+    cfg, params = tiny
+    ref = JaxDecoderLM(params, cfg, max_len=24, decode_chunk=1)
+    spec = SpecLookupDecoderLM(params, cfg, max_len=24, spec_k=6,
+                               spec_steps=2)
+    p = PROMPTS[0]
+    want = list(ref.generate_stream(p, max_new_tokens=100))  # clamps to 16
+    got = list(spec.generate_stream(p, max_new_tokens=100))
+    assert got == want
+    assert len(got) == 24 - len(p)
+
+
+def test_budget_exact(tiny):
+    cfg, params = tiny
+    spec = SpecLookupDecoderLM(params, cfg, max_len=96, spec_k=4,
+                               spec_steps=3)
+    for n in (1, 2, 7, 13):
+        got = list(spec.generate_stream(PROMPTS[1], max_new_tokens=n))
+        assert len(got) == n
+
+
+def test_sampled_deterministic_and_valid(tiny):
+    cfg, params = tiny
+    spec = SpecLookupDecoderLM(params, cfg, max_len=96, spec_k=4,
+                               spec_steps=2)
+    kw = dict(max_new_tokens=9, temperature=0.8, top_p=0.9, seed=5)
+    out1 = list(spec.generate_stream(PROMPTS[0], **kw))
+    out2 = list(spec.generate_stream(PROMPTS[0], **kw))
+    assert out1 == out2
+    assert len(out1) == 9
+    assert all(0 <= t < cfg.vocab_size for t in out1)
+
+
+def test_spec_k_zero_is_plain_passthrough(tiny):
+    cfg, params = tiny
+    ref = JaxDecoderLM(params, cfg, max_len=64)
+    spec = SpecLookupDecoderLM(params, cfg, max_len=64, spec_k=0)
+    p = PROMPTS[2]
+    assert (list(spec.generate_stream(p, max_new_tokens=8))
+            == list(ref.generate_stream(p, max_new_tokens=8)))
+
+
+def test_prompt_too_long_raises(tiny):
+    cfg, params = tiny
+    spec = SpecLookupDecoderLM(params, cfg, max_len=16, spec_k=4)
+    with pytest.raises(ValueError):
+        list(spec.generate_stream(list(range(1, 20)), max_new_tokens=2))
