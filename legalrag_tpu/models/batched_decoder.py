@@ -52,7 +52,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from legalrag_tpu.models.decoder import DecoderConfig, decoder_forward
+from legalrag_tpu.models.decoder import (DecoderConfig, decoder_forward,
+                                         lm_logits, pad_bucket)
 from legalrag_tpu.utils import get_logger
 from legalrag_tpu.utils.device import on_device
 
@@ -178,15 +179,17 @@ class BatchedDecoderLM:
                                    (1, self.max_len, hkv, d)))
             for ck, cv in cache]
         positions = jnp.arange(t, dtype=jnp.int32)[None, :]
-        logits, row_cache = decoder_forward(params, self.cfg, ids, positions,
+        hidden, row_cache = decoder_forward(params, self.cfg, ids, positions,
                                             kv_cache=row_cache,
-                                            cache_len=jnp.int32(0))
+                                            cache_len=jnp.int32(0),
+                                            return_hidden=True)
         cache = [
             (jax.lax.dynamic_update_slice(ck, rk, (slot, 0, 0, 0)),
              jax.lax.dynamic_update_slice(cv, rv, (slot, 0, 0, 0)))
             for (ck, cv), (rk, rv) in zip(cache, row_cache)]
-        last_row = jax.lax.dynamic_slice(
-            logits, (0, true_len - 1, 0), (1, 1, logits.shape[-1]))[:, 0]
+        hrow = jax.lax.dynamic_slice(
+            hidden, (0, true_len - 1, 0), (1, 1, hidden.shape[-1]))
+        last_row = lm_logits(params, self.cfg, hrow)[:, 0]
         last = jax.lax.dynamic_update_slice(
             last, last_row.astype(last.dtype), (slot, 0))
         pos = pos.at[slot].set(true_len)
@@ -236,15 +239,10 @@ class BatchedDecoderLM:
         return toks, cache, last, pos, keys, active
 
     # --------------------------------------------------------------- worker
-    def _bucket(self, n: int) -> int:
-        b = self._PAD_BUCKET_MIN
-        while b < n:
-            b *= 2
-        return min(b, self.max_len)
-
     def _admit(self, st: _Stream, slot: int) -> None:
         ids = st.prompt_ids
-        bucket = self._bucket(len(ids))
+        bucket = pad_bucket(len(ids), lo=self._PAD_BUCKET_MIN,
+                            hi=self.max_len)
         padded = ids + [0] * (bucket - len(ids))
         self._cache, self._last, self._pos, self._keys = self._prefill_fn(
             self.params, self._cache, self._last, self._pos, self._keys,

@@ -263,10 +263,30 @@ def _moe_block(y: jax.Array, moe: Dict, cfg: DecoderConfig) -> jax.Array:
     return out
 
 
+def lm_logits(params: Dict, cfg: DecoderConfig, x: jax.Array) -> jax.Array:
+    """Final-norm hidden states → vocabulary logits (with Gemma softcap)."""
+    logits = jnp.dot(x, params["lm_head"],
+                     preferred_element_type=jnp.float32)
+    if cfg.final_logit_softcapping:
+        cap = cfg.final_logit_softcapping
+        logits = cap * jnp.tanh(logits / cap)
+    return logits
+
+
+def pad_bucket(n: int, lo: int = 16, hi: Optional[int] = None) -> int:
+    """Next power-of-two ≥ n (min ``lo``), capped at ``hi`` — the prompt
+    padding buckets that bound the prefill program count."""
+    b = lo
+    while b < n:
+        b *= 2
+    return min(b, hi) if hi is not None else b
+
+
 def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
                     positions: jax.Array,
                     kv_cache: Optional[List[Tuple[jax.Array, jax.Array]]] = None,
-                    cache_len: Optional[jax.Array] = None):
+                    cache_len: Optional[jax.Array] = None,
+                    return_hidden: bool = False):
     """[B, T] ids (+ positions [B, T]) → logits [B, T, V].
 
     With ``kv_cache`` (list of ([B, S, Hkv, D], [B, S, Hkv, D]) per layer)
@@ -279,6 +299,11 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
     different sequence lengths; see models/batched_decoder.py). Vector
     offsets use a scatter write; out-of-range rows are dropped by JAX's
     scatter semantics, which retired slots rely on.
+
+    ``return_hidden=True`` skips the LM head and returns the final-norm
+    hidden states instead of logits — prefill callers slice the one
+    position they need and apply :func:`lm_logits` to that row alone,
+    saving the T×H×V head matmul and the [T, V] logits buffer.
     """
     b, t = input_ids.shape
     h, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
@@ -378,11 +403,9 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
         x = x + mlp_out
 
     x = _rms_norm(x, params["final_norm"], cfg.rms_norm_eps, g)
-    logits = jnp.dot(x, params["lm_head"],
-                     preferred_element_type=jnp.float32)
-    if cfg.final_logit_softcapping:
-        cap = cfg.final_logit_softcapping
-        logits = cap * jnp.tanh(logits / cap)
+    if return_hidden:
+        return x, (new_cache if kv_cache is not None else None)
+    logits = lm_logits(params, cfg, x)
     return logits, (new_cache if kv_cache is not None else None)
 
 
@@ -514,6 +537,10 @@ class JaxDecoderLM:
         self._decode_chunk_fn = jax.jit(self._chunk,
                                         static_argnames=("n_steps",
                                                          "greedy"))
+        # prefill is ONE program per prompt bucket (right-padded): eager
+        # prefill costs hundreds of dispatches on remote-relay backends,
+        # and the in-jit last-row LM head saves the T×H×V logits matmul
+        self._prefill_fn = jax.jit(self._prefill)
 
     @classmethod
     def from_pretrained(cls, name_or_path: str, device=None, **kw
@@ -542,6 +569,23 @@ class JaxDecoderLM:
         return [(jnp.zeros((b, self.max_len, hkv, d), dt),
                  jnp.zeros((b, self.max_len, hkv, d), dt))
                 for _ in range(self.cfg.num_hidden_layers)]
+
+    def _prefill(self, params, ids, true_len):
+        """[1, L] right-padded prompt → (last real token's logits [1, V],
+        cache). Pad k/v rows land at positions ≥ true_len and are always
+        overwritten by decode steps before they can be attended (each step
+        writes row p before attending kv_pos ≤ p), so no pad masking is
+        needed; the causal mask already hides pads from the real tokens."""
+        t = ids.shape[1]
+        cache = self._empty_cache(ids.shape[0])
+        positions = jnp.arange(t, dtype=jnp.int32)[None, :]
+        hidden, cache = decoder_forward(params, self.cfg, ids, positions,
+                                        kv_cache=cache,
+                                        cache_len=jnp.int32(0),
+                                        return_hidden=True)
+        hrow = jax.lax.dynamic_slice(
+            hidden, (0, true_len - 1, 0), (1, 1, hidden.shape[-1]))
+        return lm_logits(params, self.cfg, hrow)[:, 0], cache
 
     def _step(self, params, token, pos, cache):
         positions = jnp.full((token.shape[0], 1), pos, jnp.int32)
@@ -595,13 +639,10 @@ class JaxDecoderLM:
                         max_new_tokens, budget, t, self.max_len)
             max_new_tokens = budget
         with on_device(self.device):
-            ids = jnp.asarray([prompt_ids], jnp.int32)
-            cache = self._empty_cache(1)
-            positions = jnp.arange(t, dtype=jnp.int32)[None, :]
-            logits, cache = decoder_forward(self.params, self.cfg, ids,
-                                            positions, kv_cache=cache,
-                                            cache_len=jnp.int32(0))
-            last = logits[:, -1]
+            bucket = pad_bucket(t, hi=self.max_len)
+            padded = list(prompt_ids) + [0] * (bucket - t)
+            last, cache = self._prefill_fn(
+                self.params, jnp.asarray([padded], jnp.int32), jnp.int32(t))
             key = jax.random.PRNGKey(seed)
             greedy = not temperature > 0
             temp = jnp.float32(max(temperature, 1e-6))

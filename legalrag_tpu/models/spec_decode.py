@@ -42,7 +42,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from legalrag_tpu.models.decoder import (DecoderConfig, JaxDecoderLM,
-                                         _sample_top_p, decoder_forward)
+                                         _sample_top_p, decoder_forward,
+                                         pad_bucket)
 from legalrag_tpu.utils import get_logger
 from legalrag_tpu.utils.device import on_device
 
@@ -182,13 +183,11 @@ class SpecLookupDecoderLM(JaxDecoderLM):
         self.last_stats = stats
         greedy = not temperature > 0
         with on_device(self.device):
-            ids = jnp.asarray([prompt_ids], jnp.int32)
-            cache = self._empty_cache(1)
-            positions = jnp.arange(t, dtype=jnp.int32)[None, :]
-            logits, cache = decoder_forward(self.params, self.cfg, ids,
-                                            positions, kv_cache=cache,
-                                            cache_len=jnp.int32(0))
-            last = logits[0, -1]
+            bucket = pad_bucket(t, hi=self.max_len)
+            padded = list(prompt_ids) + [0] * (bucket - t)
+            last2d, cache = self._prefill_fn(
+                self.params, jnp.asarray([padded], jnp.int32), jnp.int32(t))
+            last = last2d[0]
             key = jax.random.PRNGKey(seed)
             if greedy:
                 pending_h = int(np.argmax(np.asarray(last)))
