@@ -184,6 +184,10 @@ class LLMConfig(BaseModel):
     # provisions, so prompt n-gram drafts hit often; greedy output is
     # token-identical to plain decoding. Single-stream engine only.
     spec_k: int = 0
+    # local-jax: >1 shards the decoder tensor-parallel over that many
+    # local devices (parallel/decoder_tp.py) — Megatron-style column/row
+    # parallel projections via GSPMD, composing with any decode engine
+    tp_shards: int = 0
 
 
 class RoutingConfig(BaseModel):

@@ -1,0 +1,94 @@
+"""Tensor-parallel decoder serving — Megatron-style TP via GSPMD.
+
+Shards the decoder's weight matrices over the mesh ``model`` axis with
+``NamedSharding`` annotations and lets XLA's SPMD partitioner insert the
+collectives: attention q/k/v projections split by head (column parallel),
+the o-projection row parallel (one psum per layer), the MLP gate/up column
+parallel and down row parallel (second psum), the LM head vocab parallel.
+No code in the forward changes — ``decoder_forward`` is sharding-agnostic;
+placement alone (this module) turns single-chip generation into TP
+generation, the same way the retrieval engine's ``shard_views`` turns a
+single-chip index into a sharded one. Replaces the scale-up story the
+reference delegates to HF ``device_map`` (reference ``llm/client.py:146``,
+torch layer-offload, not tensor parallelism).
+
+GQA caveat: the KV cache shards over the kv-head axis only when
+``num_key_value_heads % model_axis == 0`` — otherwise the cache and k/v
+projections replicate (still correct; XLA all-gathers q-heads' reads).
+The expert axis of MoE layers shards over the same ``model`` axis (EP),
+matching ``_moe_block``'s design.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from legalrag_tpu.models.decoder import DecoderConfig
+from legalrag_tpu.parallel.mesh import MODEL_AXIS
+from legalrag_tpu.utils import get_logger
+
+log = get_logger("parallel.decoder_tp")
+
+
+def _spec_for(path: str, ndim: int, cfg: DecoderConfig, tp: int) -> P:
+    """PartitionSpec for one decoder param leaf, by its name path."""
+    # shard by whole heads — splitting a head's d-dim across shards is
+    # still correct under GSPMD but forces a reshard inside attention
+    col = cfg.num_attention_heads % tp == 0
+    kv_col = cfg.num_key_value_heads % tp == 0
+    ff = (cfg.moe_intermediate_size
+          if cfg.num_experts else cfg.intermediate_size)
+    ff_col = ff % tp == 0
+    if path.endswith("q.kernel"):
+        return P(None, MODEL_AXIS) if col else P()
+    if path.endswith(("k.kernel", "v.kernel")):
+        return P(None, MODEL_AXIS) if kv_col else P()
+    if path.endswith("q.bias"):
+        return P(MODEL_AXIS) if col else P()
+    if path.endswith(("k.bias", "v.bias")):
+        return P(MODEL_AXIS) if kv_col else P()
+    if path.endswith("o.kernel"):
+        return P(MODEL_AXIS, None) if col else P()
+    if path.endswith(("gate.kernel", "up.kernel")):
+        return P(None, MODEL_AXIS) if ff_col else P()
+    if path.endswith("down.kernel"):
+        return P(MODEL_AXIS, None) if ff_col else P()
+    # MoE stacked experts: shard the leading expert axis (EP)
+    if ".moe." in path and ndim == 3:
+        return P(MODEL_AXIS, None, None) if cfg.num_experts % tp == 0 \
+            else P()
+    if path.endswith("lm_head"):
+        return P(None, MODEL_AXIS) if cfg.vocab_size % tp == 0 else P()
+    return P()  # embed, norms, routers, shared-expert gates: replicate
+
+
+def shard_decoder_params(params: Dict, cfg: DecoderConfig, mesh: Mesh
+                         ) -> Dict:
+    """``device_put`` every decoder param with its TP sharding."""
+    tp = mesh.shape[MODEL_AXIS]
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            return {k: walk(v, f"{path}.{k}" if path else k)
+                    for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [walk(v, f"{path}.{i}") for i, v in enumerate(tree)]
+        spec = _spec_for(path, getattr(tree, "ndim", 0), cfg, tp)
+        return jax.device_put(tree, NamedSharding(mesh, spec))
+
+    sharded = walk(params, "")
+    log.info("decoder params sharded over %d-way %s axis", tp, MODEL_AXIS)
+    return sharded
+
+
+def tp_kv_cache_sharding(cfg: DecoderConfig, mesh: Mesh
+                         ) -> Optional[NamedSharding]:
+    """Sharding for KV cache arrays [B, S, Hkv, D] — kv-head parallel when
+    divisible, else None (replicate)."""
+    tp = mesh.shape[MODEL_AXIS]
+    if cfg.num_key_value_heads % tp == 0:
+        return NamedSharding(mesh, P(None, None, MODEL_AXIS, None))
+    return None

@@ -1,0 +1,139 @@
+"""Tensor-parallel decoder: generation with TP-sharded params must be
+token-identical to single-device generation — 8 virtual CPU devices."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from legalrag_tpu.models.decoder import DecoderConfig, JaxDecoderLM
+from legalrag_tpu.parallel.decoder_tp import (shard_decoder_params,
+                                              tp_kv_cache_sharding)
+from legalrag_tpu.parallel.mesh import MODEL_AXIS, make_mesh
+
+
+def _tiny_params(cfg, seed=0, moe=False):
+    rng = np.random.default_rng(seed)
+
+    def mat(i, o, scale=0.05):
+        return jnp.asarray(rng.standard_normal((i, o)) * scale, jnp.float32)
+
+    h, ff, d = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim
+    hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    embed = mat(cfg.vocab_size, h, 0.1)
+
+    def mlp():
+        if moe:
+            mi = cfg.moe_intermediate_size
+            e = cfg.num_experts
+            return {"moe": {
+                "router": mat(h, e),
+                "gate": jnp.stack([mat(h, mi) for _ in range(e)]),
+                "up": jnp.stack([mat(h, mi) for _ in range(e)]),
+                "down": jnp.stack([mat(mi, h) for _ in range(e)]),
+            }}
+        return {"gate": {"kernel": mat(h, ff)},
+                "up": {"kernel": mat(h, ff)},
+                "down": {"kernel": mat(ff, h)}}
+
+    return {
+        "embed": embed, "lm_head": embed.T,
+        "final_norm": jnp.ones(h, jnp.float32),
+        "layers": [
+            {"input_norm": jnp.ones(h, jnp.float32),
+             "q": {"kernel": mat(h, hq * d), "bias": jnp.zeros(hq * d)},
+             "k": {"kernel": mat(h, hkv * d), "bias": jnp.zeros(hkv * d)},
+             "v": {"kernel": mat(h, hkv * d), "bias": jnp.zeros(hkv * d)},
+             "o": {"kernel": mat(hq * d, h)},
+             "post_norm": jnp.ones(h, jnp.float32),
+             **mlp()}
+            for _ in range(cfg.num_hidden_layers)
+        ],
+    }
+
+
+@pytest.fixture(scope="module")
+def cpu8():
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    return devs[:8]
+
+
+def test_tp_generation_matches_single_device(cpu8):
+    cfg = DecoderConfig(vocab_size=97, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        intermediate_size=64, max_position_embeddings=64)
+    params = _tiny_params(cfg, seed=2)
+    want = list(JaxDecoderLM(params, cfg, max_len=48)
+                .generate_stream([5, 6, 7, 5, 6], max_new_tokens=10))
+
+    mesh = make_mesh(cpu8[:4], data=1, model=4)
+    sharded = shard_decoder_params(params, cfg, mesh)
+    # q/o/gate/up/down sharded 4-way; kv 16%4==0 sharded; vocab 97 -> lm
+    # head replicated (fallback path)
+    q = sharded["layers"][0]["q"]["kernel"]
+    assert not q.sharding.is_fully_replicated
+    assert sharded["lm_head"].sharding.is_fully_replicated
+    got = list(JaxDecoderLM(sharded, cfg, max_len=48)
+               .generate_stream([5, 6, 7, 5, 6], max_new_tokens=10))
+    assert got == want
+
+
+def test_tp_moe_expert_parallel_matches(cpu8):
+    cfg = DecoderConfig(vocab_size=96, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=4,
+                        intermediate_size=64, max_position_embeddings=64,
+                        model_type="mixtral", num_local_experts=4,
+                        num_experts_per_tok=2, moe_intermediate_size=32)
+    params = _tiny_params(cfg, seed=3, moe=True)
+    prompt = [9, 10, 11, 12]
+    want = list(JaxDecoderLM(params, cfg, max_len=32)
+                .generate_stream(prompt, max_new_tokens=8))
+
+    mesh = make_mesh(cpu8[:2], data=1, model=2)
+    sharded = shard_decoder_params(params, cfg, mesh)
+    moe = sharded["layers"][0]["moe"]
+    assert not moe["gate"].sharding.is_fully_replicated   # EP
+    assert not sharded["lm_head"].sharding.is_fully_replicated  # 96 % 2
+    got = list(JaxDecoderLM(sharded, cfg, max_len=32)
+               .generate_stream(prompt, max_new_tokens=8))
+    assert got == want
+
+
+def test_tp_indivisible_heads_replicate(cpu8):
+    """3 kv-heads on a 2-way mesh: k/v fall back to replication, q still
+    shards; generation stays correct."""
+    cfg = DecoderConfig(vocab_size=97, hidden_size=48, num_hidden_layers=1,
+                        num_attention_heads=6, num_key_value_heads=3,
+                        intermediate_size=64, max_position_embeddings=64)
+    params = _tiny_params(cfg, seed=4)
+    want = list(JaxDecoderLM(params, cfg, max_len=32)
+                .generate_stream([1, 2, 3], max_new_tokens=6))
+    mesh = make_mesh(cpu8[:2], data=1, model=2)
+    sharded = shard_decoder_params(params, cfg, mesh)
+    assert sharded["layers"][0]["k"]["kernel"].sharding.is_fully_replicated
+    assert not sharded["layers"][0]["q"]["kernel"].sharding \
+        .is_fully_replicated
+    assert tp_kv_cache_sharding(cfg, mesh) is None
+    got = list(JaxDecoderLM(sharded, cfg, max_len=32)
+               .generate_stream([1, 2, 3], max_new_tokens=6))
+    assert got == want
+
+
+def test_tp_spec_decode_matches(cpu8):
+    """Speculative decoding on TP-sharded params."""
+    from legalrag_tpu.models.spec_decode import SpecLookupDecoderLM
+
+    cfg = DecoderConfig(vocab_size=97, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        intermediate_size=64, max_position_embeddings=64)
+    params = _tiny_params(cfg, seed=5)
+    p = [7, 8, 9, 7, 8, 9, 7]
+    want = list(JaxDecoderLM(params, cfg, max_len=48)
+                .generate_stream(p, max_new_tokens=10))
+    mesh = make_mesh(cpu8[:4], data=1, model=4)
+    sharded = shard_decoder_params(params, cfg, mesh)
+    got = list(SpecLookupDecoderLM(sharded, cfg, max_len=48, spec_k=4)
+               .generate_stream(p, max_new_tokens=10))
+    assert got == want
