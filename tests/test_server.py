@@ -414,3 +414,102 @@ def test_warmup_prewarms_batch_buckets(en_chunks, tmp_path_factory):
                     json_body={"question": "delivery of the goods",
                                "top_k": 3})
     assert r.status == 200 and r.json()["hits"]
+
+
+def test_concurrent_sse_answers_share_batched_engine(client, app):
+    """N concurrent /rag/answer SSE streams served by the local-jax
+    provider with continuous batching: every stream completes, and the
+    batched engine actually multiplexes (occupancy > 1 observed)."""
+    import threading
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from legalrag_tpu.config import LLMConfig
+    from legalrag_tpu.llm.client import LLMClient
+    from legalrag_tpu.models.batched_decoder import BatchedDecoderLM
+    from legalrag_tpu.models.decoder import DecoderConfig
+
+    cfg = DecoderConfig(vocab_size=211, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        intermediate_size=64, max_position_embeddings=256)
+    rng = np.random.default_rng(17)
+
+    def mat(i, o, scale=0.05):
+        return jnp.asarray(rng.standard_normal((i, o)) * scale, jnp.float32)
+
+    h, ff, d = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim
+    hkv = cfg.num_key_value_heads
+    embed = mat(cfg.vocab_size, h, 0.1)
+    params = {
+        "embed": embed, "lm_head": embed.T,
+        "final_norm": jnp.ones(h, jnp.float32),
+        "layers": [
+            {"input_norm": jnp.ones(h, jnp.float32),
+             "q": {"kernel": mat(h, h), "bias": jnp.zeros(h)},
+             "k": {"kernel": mat(h, hkv * d), "bias": jnp.zeros(hkv * d)},
+             "v": {"kernel": mat(h, hkv * d), "bias": jnp.zeros(hkv * d)},
+             "o": {"kernel": mat(h, h)},
+             "post_norm": jnp.ones(h, jnp.float32),
+             "gate": {"kernel": mat(h, ff)},
+             "up": {"kernel": mat(h, ff)},
+             "down": {"kernel": mat(ff, h)}}
+            for _ in range(cfg.num_hidden_layers)
+        ],
+    }
+
+    class FakeTok:
+        eos_token_id = None
+
+        def apply_chat_template(self, msgs, tokenize=False,
+                                add_generation_prompt=True):
+            return " ".join(m["content"] for m in msgs)
+
+        def __call__(self, text, truncation=True, max_length=None):
+            return {"input_ids": [ord(c) % 200 + 1 for c in text][:24]}
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(96 + (i % 26) + 1) for i in ids)
+
+    engine = BatchedDecoderLM(params, cfg, tokenizer=FakeTok(),
+                              max_len=128, n_slots=4, decode_chunk=2)
+    llm_cfg = LLMConfig(provider="local-jax", temperature=0.0,
+                        max_new_tokens=24, max_context_tokens=64)
+    llm = LLMClient(llm_cfg)
+    llm._local = engine
+
+    old = app.state.pipeline.llm
+    app.state.pipeline.llm = llm
+    try:
+        questions = ["解除合同的条件", "出租人 义务", "security interest",
+                     "delivery of goods", "违约责任", "buyer remedies"]
+        results = [None] * len(questions)
+        occupancy = []
+
+        def run(i):
+            r = client.post("/rag/retrieve",
+                            json_body={"question": questions[i]})
+            rid = r.json()["retrieval_id"]
+            s = client.post("/rag/answer", json_body={"retrieval_id": rid,
+                                                      "stream": True})
+            results[i] = s.sse_events()
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(questions))]
+        for t in threads:
+            t.start()
+        while any(t.is_alive() for t in threads):
+            occupancy.append(sum(s is not None for s in engine._slots))
+            time.sleep(0.005)
+        for t in threads:
+            t.join(timeout=60)
+        for i, events in enumerate(results):
+            assert events is not None, i
+            kinds = [e for e, _ in events]
+            assert kinds[-1] == "done", (i, kinds[-3:])
+            toks = [p.get("text", "") for e, p in events if e == "token"]
+            assert len("".join(toks)) >= 5, (i, toks)
+        assert max(occupancy) >= 2, occupancy
+    finally:
+        app.state.pipeline.llm = old
+        engine.close()
