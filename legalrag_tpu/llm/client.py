@@ -246,12 +246,14 @@ class LLMClient:
                 spec_k = getattr(self.cfg, "spec_k", 0)
                 if slots and slots > 1:
                     # continuous batching: concurrent answer streams share
-                    # one batched decode loop (models/batched_decoder.py)
+                    # one batched decode loop (models/batched_decoder.py);
+                    # spec_k > 0 adds per-slot prompt-lookup speculation
                     from legalrag_tpu.models.batched_decoder import \
                         BatchedDecoderLM
 
                     self._local = BatchedDecoderLM.from_pretrained(
-                        self.cfg.model, n_slots=slots, **kw)
+                        self.cfg.model, n_slots=slots,
+                        spec_k=max(spec_k, 0), **kw)
                 elif spec_k and spec_k > 0:
                     # prompt-lookup speculative decoding: draft from the
                     # prompt's own n-grams, verify k tokens per forward

@@ -38,6 +38,14 @@ Design:
   fan tokens out to per-stream queues. ``generate_stream`` has the same
   contract as ``JaxDecoderLM.generate_stream`` but is thread-safe and
   concurrent.
+- **Batched speculation** (``spec_k > 0``). Combines this engine with
+  prompt-lookup speculative decoding (models/spec_decode.py): every slot
+  keeps a token-history row, drafts the k tokens that followed the most
+  recent occurrence of its current bigram, and ONE ``[S, k+1]`` forward at
+  per-slot cache offsets verifies all slots' drafts simultaneously —
+  per-slot acceptance, so fast-accepting streams advance k+1 positions in
+  the same dispatch where others advance 1. Admission reserves ``spec_k``
+  rows of KV headroom per stream.
 """
 
 from __future__ import annotations
@@ -52,8 +60,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from legalrag_tpu.models.decoder import (DecoderConfig, decoder_forward,
-                                         lm_logits, pad_bucket)
+from legalrag_tpu.models.decoder import (DecoderConfig, _top_p_filter,
+                                         decoder_forward, lm_logits,
+                                         pad_bucket)
 from legalrag_tpu.utils import get_logger
 from legalrag_tpu.utils.device import on_device
 
@@ -103,7 +112,7 @@ class BatchedDecoderLM:
 
     def __init__(self, params: Dict, cfg: DecoderConfig, tokenizer=None,
                  device=None, max_len: int = 4096, n_slots: int = 4,
-                 decode_chunk: int = 8):
+                 decode_chunk: int = 8, spec_k: int = 0, spec_steps: int = 4):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -111,12 +120,22 @@ class BatchedDecoderLM:
         self.max_len = max_len
         self.n_slots = n_slots
         self.decode_chunk = max(1, decode_chunk)
+        # spec_k > 0: batched speculative decoding — every slot drafts
+        # from its own prompt history and verifies k tokens per round in
+        # one [S, k+1] forward at per-slot cache offsets. Streams end
+        # spec_k tokens short of absolute cache capacity (each verify
+        # needs k rows of KV headroom); admission clamps budgets.
+        self.spec_k = spec_k
+        self.spec_steps = spec_steps
 
         with on_device(device):
             self._cache = self._empty_cache()
             self._last = jnp.zeros((n_slots, cfg.vocab_size), jnp.float32)
             self._pos = jnp.zeros((n_slots,), jnp.int32)
             self._keys = jnp.zeros((n_slots, 2), jnp.uint32)
+            if spec_k:
+                self._tokens = jnp.zeros((n_slots, max_len), jnp.int32)
+                self._pend_tok = jnp.zeros((n_slots,), jnp.int32)
 
         # device state (cache/last/pos/keys) is donated through every
         # launch; the small per-slot control vectors (temp/top_p/eos/limit/
@@ -126,6 +145,11 @@ class BatchedDecoderLM:
         self._decode_fn = jax.jit(self._decode_chunk,
                                   static_argnames=("n_steps",),
                                   donate_argnums=(1, 2, 3, 4))
+        if spec_k:
+            self._spec_prefill_fn = jax.jit(self._spec_prefill,
+                                            donate_argnums=(1, 2, 3, 4, 5))
+            self._spec_decode_fn = jax.jit(self._spec_decode,
+                                           donate_argnums=(1, 2, 3, 4, 5))
 
         self._slots: List[Optional[_Stream]] = [None] * n_slots
         self._pending: "deque[_Stream]" = deque()
@@ -238,6 +262,147 @@ class BatchedDecoderLM:
             step, (cache, last, pos, keys, active), None, length=n_steps)
         return toks, cache, last, pos, keys, active
 
+    # --------------------------------------------- speculative (spec_k > 0)
+    def _spec_prefill(self, params, cache, tokens, pos, keys, pending, ids,
+                      slot, true_len, key_row, temp, top_p):
+        """Spec-mode admission: prefill the slot, record the prompt in the
+        slot's token-history row, and produce the FIRST generated token
+        in-program (emitted by the host at admission time)."""
+        hkv, d = self.cfg.num_key_value_heads, self.cfg.head_dim
+        t = ids.shape[1]
+        row_cache = [
+            (jax.lax.dynamic_slice(ck, (slot, 0, 0, 0),
+                                   (1, self.max_len, hkv, d)),
+             jax.lax.dynamic_slice(cv, (slot, 0, 0, 0),
+                                   (1, self.max_len, hkv, d)))
+            for ck, cv in cache]
+        positions = jnp.arange(t, dtype=jnp.int32)[None, :]
+        hidden, row_cache = decoder_forward(params, self.cfg, ids, positions,
+                                            kv_cache=row_cache,
+                                            cache_len=jnp.int32(0),
+                                            return_hidden=True)
+        cache = [
+            (jax.lax.dynamic_update_slice(ck, rk, (slot, 0, 0, 0)),
+             jax.lax.dynamic_update_slice(cv, rv, (slot, 0, 0, 0)))
+            for (ck, cv), (rk, rv) in zip(cache, row_cache)]
+        hrow = jax.lax.dynamic_slice(
+            hidden, (0, true_len - 1, 0), (1, 1, hidden.shape[-1]))
+        logits = lm_logits(params, self.cfg, hrow)[0, 0]         # [V]
+        key2, sub = jax.random.split(key_row)
+        stok = jax.random.categorical(
+            sub, _top_p_filter(logits / jnp.maximum(temp, 1e-6), top_p)
+        ).astype(jnp.int32)
+        tok = jnp.where(temp > 0, stok,
+                        jnp.argmax(logits).astype(jnp.int32))
+        tokens = jax.lax.dynamic_update_slice(tokens, ids, (slot, 0))
+        tokens = tokens.at[slot, true_len].set(tok)
+        pos = pos.at[slot].set(true_len)
+        keys = keys.at[slot].set(jnp.where(temp > 0, key2, key_row))
+        pending = pending.at[slot].set(tok)
+        return cache, tokens, pos, keys, pending, tok
+
+    def _spec_decode(self, params, cache, tokens, pos, keys, pending, temp,
+                     top_p, eos_ids, limit, active):
+        """``spec_steps`` batched speculation rounds in ONE program.
+
+        Vectorizes models/spec_decode.py over slots: per-slot bigram match
+        over each slot's token-history row, per-slot drafts, one [S, k+1]
+        verify forward at per-slot cache offsets (vector cache_len), and
+        per-slot acceptance/EOS/budget freezing. ``limit`` is each slot's
+        last allowed token position + 1 (admission reserves spec_k rows of
+        KV headroom, so writes never clamp).
+        """
+        k = self.spec_k
+        s, max_len = self.n_slots, self.max_len
+        iota = jnp.arange(k + 1)
+        idx_row = jnp.arange(max_len)[None, :]
+        sidx = jnp.arange(s)
+
+        def step(carry, _):
+            cache, tokens, pos, keys, pending, active, hit_eos = carry
+            a_tok = tokens[sidx, jnp.maximum(pos - 1, 0)]
+            prev = jnp.concatenate([tokens[:, :1], tokens[:, :-1]], axis=1)
+            hit = ((idx_row >= 1) & (idx_row < pos[:, None])
+                   & (prev == a_tok[:, None])
+                   & (tokens == pending[:, None]))
+            j = jnp.max(jnp.where(hit, idx_row, -1), axis=1)
+            draft = jax.vmap(
+                lambda row, jj: jax.lax.dynamic_slice(row, (jj + 1,), (k,))
+            )(tokens, j)
+            seq = jnp.concatenate([pending[:, None], draft], axis=1)
+            positions = pos[:, None] + iota[None, :]
+            logits, cache = decoder_forward(params, self.cfg, seq,
+                                            positions, kv_cache=cache,
+                                            cache_len=pos)
+            gtok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            ks = jax.vmap(lambda kk: jax.random.split(kk, k + 2))(keys)
+            next_keys = ks[:, 0]
+            subs = ks[:, 1:].reshape(-1, 2)
+            scaled = (logits / jnp.maximum(temp, 1e-6)[:, None, None]
+                      ).reshape(-1, logits.shape[-1])
+            stok = jax.vmap(
+                lambda l, su, tp: jax.random.categorical(
+                    su, _top_p_filter(l, tp)))(
+                scaled, subs, jnp.repeat(top_p, k + 1)
+            ).astype(jnp.int32).reshape(s, k + 1)
+            targets = jnp.where((temp > 0)[:, None], stok, gtok)
+            acc = jnp.cumprod((draft == targets[:, :k]).astype(jnp.int32),
+                              axis=1)
+            a = jnp.sum(acc, axis=1)                            # [S]
+            cand = iota[None, :] <= a[:, None]
+            ie = jnp.min(jnp.where(cand & (targets == eos_ids[:, None]),
+                                   iota[None, :], k + 1), axis=1)
+            emit_mask = (active[:, None] & cand
+                         & (iota[None, :] < ie[:, None])
+                         & (pos[:, None] + 1 + iota[None, :]
+                            < limit[:, None]))
+            emissions = jnp.where(emit_mask, targets, -1)
+            n_emit = jnp.sum(emit_mask.astype(jnp.int32), axis=1)
+            wr = jnp.where(emit_mask, pos[:, None] + 1 + iota[None, :],
+                           max_len)
+            tokens = tokens.at[sidx[:, None], wr].set(targets, mode="drop")
+            new_pending = jnp.take_along_axis(
+                targets, jnp.minimum(a, k)[:, None], axis=1)[:, 0]
+            pending = jnp.where(active & (ie > a), new_pending, pending)
+            keys = jnp.where(active[:, None], next_keys, keys)
+            pos = pos + jnp.where(active, n_emit, 0)
+            step_eos = active & (ie <= a)
+            hit_eos = hit_eos | step_eos
+            active = (active & ~step_eos & (pos + 1 < limit)
+                      & (pos + k <= max_len - 1))
+            return (cache, tokens, pos, keys, pending, active,
+                    hit_eos), emissions
+
+        carry0 = (cache, tokens, pos, keys, pending, active,
+                  jnp.zeros((s,), bool))
+        (cache, tokens, pos, keys, pending, active, hit_eos), emissions = \
+            jax.lax.scan(step, carry0, None, length=self.spec_steps)
+        return emissions, cache, tokens, pos, keys, pending, hit_eos
+
+    def _spec_admit(self, st: _Stream, slot: int) -> None:
+        ids = st.prompt_ids
+        bucket = pad_bucket(len(ids), lo=self._PAD_BUCKET_MIN,
+                            hi=self.max_len)
+        padded = ids + [0] * (bucket - len(ids))
+        (self._cache, self._tokens, self._pos, self._keys,
+         self._pend_tok, tok) = self._spec_prefill_fn(
+            self.params, self._cache, self._tokens, self._pos, self._keys,
+            self._pend_tok, jnp.asarray([padded], jnp.int32),
+            jnp.int32(slot), jnp.int32(len(ids)),
+            jax.random.PRNGKey(st.seed), jnp.float32(st.temperature),
+            jnp.float32(st.top_p))
+        first = int(tok)
+        if st.eos_id is not None and first == st.eos_id:
+            st.out.put(None)
+            return
+        st.produced = 1
+        if not st.cancelled:
+            st.out.put(first)
+        if st.produced >= st.max_new:
+            st.out.put(None)
+            return
+        self._slots[slot] = st
+
     # --------------------------------------------------------------- worker
     def _admit(self, st: _Stream, slot: int) -> None:
         ids = st.prompt_ids
@@ -309,12 +474,24 @@ class BatchedDecoderLM:
                 self._finish(i)
         while pending and pending[0].cancelled:
             pending.popleft().out.put(None)
-        # admissions: fill free slots with waiting requests
+        # admissions: fill free slots with waiting requests; an admission
+        # failure fails only that stream (a popped stream would otherwise
+        # be invisible to the worker's outer error handler)
         for i in range(self.n_slots):
             if not pending:
                 break
             if self._slots[i] is None:
-                self._admit(pending.popleft(), i)
+                st = pending.popleft()
+                try:
+                    if self.spec_k:
+                        self._spec_admit(st, i)
+                    else:
+                        self._admit(st, i)
+                except BaseException as e:
+                    log.exception("admission failed: %s", e)
+                    st.error = e
+                    st.out.put(None)
+                    self._slots[i] = None
         if pending:  # no free slot — requeue, served as slots free up
             with self._cond:
                 pending.extend(self._pending)
@@ -322,6 +499,26 @@ class BatchedDecoderLM:
         if not any(s is not None for s in self._slots):
             return
         temp, top_p, eos, limit, active = self._control_vectors()
+        if self.spec_k:
+            (em, self._cache, self._tokens, self._pos, self._keys,
+             self._pend_tok, hit_eos) = self._spec_decode_fn(
+                self.params, self._cache, self._tokens, self._pos,
+                self._keys, self._pend_tok, temp, top_p, eos, limit, active)
+            em_host = np.asarray(em)                 # [spec_steps, S, k+1]
+            eos_host = np.asarray(hit_eos)
+            for i, st in enumerate(self._slots):
+                if st is None:
+                    continue
+                for r in range(em_host.shape[0]):
+                    for t in em_host[r, i].tolist():
+                        if t < 0:
+                            break
+                        st.produced += 1
+                        if not st.cancelled:
+                            st.out.put(int(t))
+                if bool(eos_host[i]) or st.produced >= st.max_new:
+                    self._finish(i)
+            return
         toks, self._cache, self._last, self._pos, self._keys, _ = \
             self._decode_fn(self.params, self._cache, self._last, self._pos,
                             self._keys, temp, top_p, eos, limit, active,
@@ -356,11 +553,18 @@ class BatchedDecoderLM:
             raise ValueError(
                 f"prompt ({t} tokens) does not fit the {self.max_len}-token "
                 "KV cache; truncate the prompt before generation")
-        budget = self.max_len - t
+        # spec mode reserves spec_k rows of KV headroom (every verify
+        # writes k rows past the last accepted position)
+        budget = self.max_len - t - self.spec_k
+        if budget < 1:
+            raise ValueError(
+                f"prompt ({t} tokens) leaves no budget in the "
+                f"{self.max_len}-token cache with spec_k={self.spec_k}")
         if max_new_tokens > budget:
             log.warning("max_new_tokens %d exceeds cache budget %d "
-                        "(prompt %d / max_len %d); clamping",
-                        max_new_tokens, budget, t, self.max_len)
+                        "(prompt %d / max_len %d / spec_k %d); clamping",
+                        max_new_tokens, budget, t, self.max_len,
+                        self.spec_k)
             max_new_tokens = budget
         st = _Stream(list(prompt_ids), max_new_tokens, eos_id,
                      temperature, top_p, seed)

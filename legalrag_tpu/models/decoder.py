@@ -676,6 +676,15 @@ class JaxDecoderLM:
                         self.params, tok[:, None], jnp.int32(pos + i), cache)
 
 
+def _top_p_filter(logits: jax.Array, top_p: jax.Array) -> jax.Array:
+    """Nucleus filter for a single [V] logits row."""
+    sorted_logits = jnp.sort(logits)[::-1]
+    probs = jax.nn.softmax(sorted_logits)
+    cum = jnp.cumsum(probs)
+    cutoff = sorted_logits[jnp.sum(cum < top_p)]
+    return jnp.where(logits >= cutoff, logits, -1e30)
+
+
 def _sample_top_p(logits: jax.Array, top_p: float, key) -> jax.Array:
     sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
     probs = jax.nn.softmax(sorted_logits, axis=-1)

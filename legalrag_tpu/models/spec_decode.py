@@ -42,8 +42,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from legalrag_tpu.models.decoder import (DecoderConfig, JaxDecoderLM,
-                                         _sample_top_p, decoder_forward,
-                                         pad_bucket)
+                                         _sample_top_p, _top_p_filter,
+                                         decoder_forward, pad_bucket)
 from legalrag_tpu.utils import get_logger
 from legalrag_tpu.utils.device import on_device
 
@@ -263,12 +263,3 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                         self.params, jnp.asarray([[tok]], jnp.int32),
                         jnp.int32(pos_h), cache)
                     pos_h += 1
-
-
-def _top_p_filter(logits: jax.Array, top_p: jax.Array) -> jax.Array:
-    """Nucleus filter for a single [V] logits row."""
-    sorted_logits = jnp.sort(logits)[::-1]
-    probs = jax.nn.softmax(sorted_logits)
-    cum = jnp.cumsum(probs)
-    cutoff = sorted_logits[jnp.sum(cum < top_p)]
-    return jnp.where(logits >= cutoff, logits, -1e30)
