@@ -155,10 +155,14 @@ def main() -> None:
     from legalrag_tpu.config import AppConfig
     from legalrag_tpu.retrieval.engine import FusedQueryEngine
 
+    import os
+
     cfg = AppConfig.load()
     bundle = ensure_index(cfg, "zh")
     log(f"zh index: {bundle.n_docs} docs on {jax.default_backend()}")
-    queries, gold = make_queries(bundle, N_QUERIES)
+    n_queries = (128 if os.environ.get("LEGALRAG_TPU_DOWN") == "1"
+                 else N_QUERIES)  # keep the CPU fallback bounded
+    queries, gold = make_queries(bundle, n_queries)
     batches = [queries[i:i + BATCH] for i in range(0, len(queries), BATCH)]
 
     engine = FusedQueryEngine(bundle, cfg.with_lang("zh"))
@@ -213,12 +217,20 @@ def main() -> None:
     log(f"cpu baseline: {n_base} queries in {cpu_dt:.2f}s (best of 3) -> "
         f"{cpu_qps:.1f} q/s; Recall@10={recall_at(base_rows, gold[:n_base], 10):.3f}")
 
+    tpu_down = os.environ.get("LEGALRAG_TPU_DOWN") == "1"
     out = {
         "metric": "hybrid_qps_per_chip",
         "value": round(tpu_qps, 2),
         "unit": "queries/s",
         "vs_baseline": round(tpu_qps / cpu_qps, 2),
     }
+    if tpu_down:
+        # relay-outage fallback (see __main__ probe): the "tpu" side above
+        # actually ran the fused engine on CPU — record that honestly and
+        # skip the accelerator-scale secondary figures
+        out["tpu_unavailable"] = True
+        print(json.dumps(out))
+        return
     large = measure_large_n()
     if large:
         out["large_n"] = large
@@ -287,5 +299,36 @@ def measure_large_n():
         return None
 
 
+def _probe_backend_or_fallback() -> None:
+    """The axon plugin's backend init blocks ~tens of minutes and then
+    raises when the TPU relay is down (observed round 3) — which would end
+    this process with NO JSON line for the driver. Probe the backend in a
+    killable subprocess first; on failure, re-exec self with the plugin
+    disabled so the headline still prints (CPU-measured, flagged
+    ``tpu_unavailable``)."""
+    import os
+    import subprocess
+
+    if os.environ.get("LEGALRAG_TPU_DOWN") == "1":
+        return  # already in fallback mode
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return  # no relay plugin in this environment; nothing to probe
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            check=True, capture_output=True, timeout=300)
+        return
+    except Exception as e:
+        log(f"TPU backend probe failed ({type(e).__name__}); relay down — "
+            "re-exec in CPU fallback mode")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["LEGALRAG_TPU_DOWN"] = "1"
+    env["LEGALRAG_FORCE_CPU"] = "1"
+    os.execve(sys.executable, [sys.executable, str(REPO / "bench.py")], env)
+
+
 if __name__ == "__main__":
+    _probe_backend_or_fallback()
     main()
