@@ -295,15 +295,23 @@ class LLMClient:
                   max_length=self.cfg.max_context_tokens)["input_ids"]
         out_ids: List[int] = []
         emitted = ""
-        for t in lm.generate_stream(
-                ids, max_new_tokens=max_new_tokens or self.cfg.max_new_tokens,
-                temperature=self.cfg.temperature, top_p=self.cfg.top_p,
-                eos_id=tok.eos_token_id):
-            out_ids.append(t)
-            text = tok.decode(out_ids, skip_special_tokens=True)
-            if len(text) > len(emitted) and not text.endswith("�"):
-                yield text[len(emitted):]
-                emitted = text
+        try:
+            for t in lm.generate_stream(
+                    ids,
+                    max_new_tokens=max_new_tokens or self.cfg.max_new_tokens,
+                    temperature=self.cfg.temperature, top_p=self.cfg.top_p,
+                    eos_id=tok.eos_token_id):
+                out_ids.append(t)
+                text = tok.decode(out_ids, skip_special_tokens=True)
+                if len(text) > len(emitted) and not text.endswith("�"):
+                    yield text[len(emitted):]
+                    emitted = text
+        finally:
+            from legalrag_tpu.utils.metrics import METRICS
+
+            METRICS.inc("legalrag_llm_tokens", len(out_ids),
+                        provider="local-jax")
+            METRICS.inc("legalrag_llm_streams", provider="local-jax")
 
     def _stream_local(self, messages: List[Message],
                       max_new_tokens: Optional[int]

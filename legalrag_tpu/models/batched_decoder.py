@@ -65,6 +65,7 @@ from legalrag_tpu.models.decoder import (DecoderConfig, _top_p_filter,
                                          pad_bucket)
 from legalrag_tpu.utils import get_logger
 from legalrag_tpu.utils.device import on_device
+from legalrag_tpu.utils.metrics import METRICS
 
 log = get_logger("models.batched_decoder")
 
@@ -499,6 +500,10 @@ class BatchedDecoderLM:
         if not any(s is not None for s in self._slots):
             return
         temp, top_p, eos, limit, active = self._control_vectors()
+        occ = sum(s is not None for s in self._slots)
+        engine = "batched-spec" if self.spec_k else "batched"
+        METRICS.inc("legalrag_gen_launches", engine=engine,
+                    occupancy=occ)
         if self.spec_k:
             (em, self._cache, self._tokens, self._pos, self._keys,
              self._pend_tok, hit_eos) = self._spec_decode_fn(
@@ -506,24 +511,34 @@ class BatchedDecoderLM:
                 self._keys, self._pend_tok, temp, top_p, eos, limit, active)
             em_host = np.asarray(em)                 # [spec_steps, S, k+1]
             eos_host = np.asarray(hit_eos)
+            n_launch_toks = 0
             for i, st in enumerate(self._slots):
                 if st is None:
                     continue
                 for r in range(em_host.shape[0]):
+                    emitted_row = False
                     for t in em_host[r, i].tolist():
                         if t < 0:
                             break
+                        emitted_row = True
                         st.produced += 1
+                        n_launch_toks += 1
                         if not st.cancelled:
                             st.out.put(int(t))
+                    if emitted_row:
+                        METRICS.inc("legalrag_gen_spec_rounds",
+                                    engine="batched-spec")
                 if bool(eos_host[i]) or st.produced >= st.max_new:
                     self._finish(i)
+            METRICS.inc("legalrag_gen_tokens", n_launch_toks,
+                        engine="batched-spec")
             return
         toks, self._cache, self._last, self._pos, self._keys, _ = \
             self._decode_fn(self.params, self._cache, self._last, self._pos,
                             self._keys, temp, top_p, eos, limit, active,
                             n_steps=self.decode_chunk)
         toks_host = np.asarray(toks)                         # [n_steps, S]
+        n_launch_toks = 0
         for i, st in enumerate(self._slots):
             if st is None:
                 continue
@@ -534,11 +549,13 @@ class BatchedDecoderLM:
                     self._finish(i)
                     break
                 st.produced += 1
+                n_launch_toks += 1
                 if not st.cancelled:
                     st.out.put(int(t))
                 if st.produced >= st.max_new:
                     self._finish(i)
                     break
+        METRICS.inc("legalrag_gen_tokens", n_launch_toks, engine="batched")
 
     # ------------------------------------------------------------------ API
     def generate_stream(self, prompt_ids: List[int],

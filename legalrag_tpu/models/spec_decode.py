@@ -165,6 +165,26 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                         max_new_tokens: int = 256, temperature: float = 0.0,
                         top_p: float = 0.9, eos_id: Optional[int] = None,
                         seed: int = 0) -> Iterator[int]:
+        gen = self._generate_impl(prompt_ids, max_new_tokens, temperature,
+                                  top_p, eos_id, seed)
+        try:
+            yield from gen
+        finally:
+            st = self.last_stats
+            if st.get("tokens"):
+                from legalrag_tpu.utils.metrics import METRICS
+
+                METRICS.inc("legalrag_gen_tokens", st["tokens"],
+                            engine="spec")
+                METRICS.inc("legalrag_gen_launches", st["launches"],
+                            engine="spec")
+                METRICS.inc("legalrag_gen_spec_rounds", st["spec_rounds"],
+                            engine="spec")
+
+    def _generate_impl(self, prompt_ids: List[int],
+                       max_new_tokens: int = 256, temperature: float = 0.0,
+                       top_p: float = 0.9, eos_id: Optional[int] = None,
+                       seed: int = 0) -> Iterator[int]:
         if self.spec_k <= 0:
             yield from super().generate_stream(
                 prompt_ids, max_new_tokens, temperature, top_p, eos_id, seed)
