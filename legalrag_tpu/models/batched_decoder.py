@@ -397,6 +397,7 @@ class BatchedDecoderLM:
             st.out.put(None)
             return
         st.produced = 1
+        METRICS.inc("legalrag_gen_tokens", 1, engine="batched-spec")
         if not st.cancelled:
             st.out.put(first)
         if st.produced >= st.max_new:

@@ -396,11 +396,181 @@ CDN — works in zero-egress environments), the counterpart of the
 reference's `data/graph/law_graph.html`."""),
 ]
 
+# ---------------------------------------------------------------- notebook 05
+SETUP05 = '''\
+# Setup: 4 virtual CPU devices (for the tensor-parallel demo) must be
+# requested BEFORE jax initializes. On a real TPU pod, drop both env vars.
+import os, sys, logging
+from pathlib import Path
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=4")
+os.environ.setdefault("LEGALRAG_FORCE_CPU", "1")
+ROOT = Path.cwd() if (Path.cwd() / "legalrag_tpu").exists() else Path.cwd().parent
+os.chdir(ROOT); sys.path.insert(0, str(ROOT))
+logging.getLogger("jax").setLevel(logging.ERROR)
+
+from legalrag_tpu.utils.device import apply_force_cpu
+apply_force_cpu()
+print("repo:", ROOT)'''
+
+NB05 = [
+    ("md", """\
+# Generation serving — the TPU-native decode engines
+
+The `local-jax` LLM provider (`llm/client.py`) serves answer generation
+on the same chip as retrieval through `models/decoder.py` — Qwen2/Qwen3
+(+YaRN), Llama-3.1, Mistral, Gemma-2/3, and MoE (Mixtral, Qwen2-MoE)
+checkpoints loaded from HF safetensors. Around that forward sit four
+production decode engines, selected by `AppConfig.llm` knobs:
+
+| engine | knob | what it buys |
+|---|---|---|
+| chunked decode | `decode_chunk` | N sample+decode steps per dispatch (`lax.scan`) — dispatch-cost amortization |
+| speculative | `spec_k > 0` | prompt-lookup drafts verified k-at-a-time; greedy output token-identical |
+| continuous batching | `batch_slots > 1` | concurrent SSE answers share ONE decode loop |
+| batched speculation | both | per-slot drafts, one `[S, k+1]` verify for all slots |
+| tensor parallel | `tp_shards > 1` | Megatron-style TP via GSPMD placement, composes with all of the above |
+
+This notebook demonstrates each on a tiny random-init model (no
+checkpoints ship in this image — with real weights, point `llm.model` at
+a local HF directory and everything below is identical).
+
+*Reference analogue: the qwen-local provider (`client.py:306-369`), a
+per-request HF `generate` loop.*"""),
+    ("code", SETUP05),
+    ("code", '''\
+import threading
+import jax, jax.numpy as jnp, numpy as np
+from legalrag_tpu.models.decoder import DecoderConfig, JaxDecoderLM
+
+cfg = DecoderConfig(vocab_size=211, hidden_size=64, num_hidden_layers=2,
+                    num_attention_heads=4, num_key_value_heads=2,
+                    intermediate_size=128, max_position_embeddings=256)
+rng = np.random.default_rng(0)
+def mat(i, o, s=0.05):
+    return jnp.asarray(rng.standard_normal((i, o)) * s, jnp.float32)
+h, ff, d, hkv = (cfg.hidden_size, cfg.intermediate_size, cfg.head_dim,
+                 cfg.num_key_value_heads)
+embed = mat(cfg.vocab_size, h, 0.1)
+params = {"embed": embed, "lm_head": embed.T, "final_norm": jnp.ones(h),
+          "layers": [
+              {"input_norm": jnp.ones(h),
+               "q": {"kernel": mat(h, h), "bias": jnp.zeros(h)},
+               "k": {"kernel": mat(h, hkv*d), "bias": jnp.zeros(hkv*d)},
+               "v": {"kernel": mat(h, hkv*d), "bias": jnp.zeros(hkv*d)},
+               "o": {"kernel": mat(h, h)}, "post_norm": jnp.ones(h),
+               "gate": {"kernel": mat(h, ff)}, "up": {"kernel": mat(h, ff)},
+               "down": {"kernel": mat(ff, h)}}
+              for _ in range(cfg.num_hidden_layers)]}
+
+lm = JaxDecoderLM(params, cfg, max_len=128, decode_chunk=8)
+prompt = list(rng.integers(1, 200, 20))
+reference = list(lm.generate_stream(prompt, max_new_tokens=24))
+print("chunked greedy decode:", reference)'''),
+    ("md", """\
+## Speculative decoding (prompt lookup)
+
+RAG answers quote the retrieved provisions, so the next tokens often
+already sit in the prompt. `SpecLookupDecoderLM` finds the most recent
+earlier occurrence of the current bigram in a device-resident token
+buffer, copies the following k tokens as a draft, and verifies all k
+with ONE (k+1)-token forward — several rounds per dispatch inside
+`lax.scan`. Greedy output is token-identical to plain decoding."""),
+    ("code", '''\
+from legalrag_tpu.models.spec_decode import SpecLookupDecoderLM
+
+spec = SpecLookupDecoderLM(params, cfg, max_len=128, spec_k=8, spec_steps=4)
+out = list(spec.generate_stream(prompt, max_new_tokens=24))
+assert out == reference, "greedy speculation must be token-identical"
+st = spec.last_stats
+print("identical to plain decode:", out == reference)
+print(f"dispatches: {st['launches']}  speculation rounds: "
+      f"{st['spec_rounds']}  tokens/round: "
+      f"{(st['tokens'] - 1) / max(st['spec_rounds'], 1):.2f}")'''),
+    ("md", """\
+## Continuous batching
+
+`BatchedDecoderLM` multiplexes concurrent streams over a fixed batch of
+KV slots: bucketed right-pad prefill into a free slot, per-slot scatter
+KV writes at per-slot positions, per-slot sampling state, in-program
+EOS/budget freezing. Decode is weights-bandwidth-bound, so serving S
+streams costs barely more than serving one — the slot-reuse invariant
+(a cache row is always written before it can be attended) means no
+cache zeroing on admission."""),
+    ("code", '''\
+from legalrag_tpu.models.batched_decoder import BatchedDecoderLM
+
+engine = BatchedDecoderLM(params, cfg, max_len=128, n_slots=4,
+                          decode_chunk=8)
+prompts = [list(rng.integers(1, 200, n)) for n in (20, 7, 13, 31)]
+want = [list(lm.generate_stream(p, max_new_tokens=16)) for p in prompts]
+got = [None] * 4
+threads = [threading.Thread(
+    target=lambda i=i: got.__setitem__(i, list(
+        engine.generate_stream(prompts[i], max_new_tokens=16))))
+    for i in range(4)]
+for t in threads: t.start()
+for t in threads: t.join()
+engine.close()
+print("4 concurrent streams token-identical to single-stream:",
+      got == want)'''),
+    ("md", """\
+## Batched speculation
+
+With `spec_k > 0` the two compose: every slot drafts from its own
+history and one `[S, k+1]` forward at per-slot cache offsets verifies
+all slots at once — fast-accepting streams advance k+1 positions in the
+same dispatch where others advance 1."""),
+    ("code", '''\
+engine = BatchedDecoderLM(params, cfg, max_len=128, n_slots=4,
+                          spec_k=6, spec_steps=3)
+got = [None] * 4
+threads = [threading.Thread(
+    target=lambda i=i: got.__setitem__(i, list(
+        engine.generate_stream(prompts[i], max_new_tokens=16))))
+    for i in range(4)]
+for t in threads: t.start()
+for t in threads: t.join()
+engine.close()
+print("4 concurrent SPECULATIVE streams token-identical:", got == want)'''),
+    ("md", """\
+## Tensor-parallel generation
+
+`parallel/decoder_tp.py` shards the decoder Megatron-style as pure
+GSPMD placement — q/k/v column-parallel by whole heads, o row-parallel,
+MLP gate/up column / down row parallel, LM head vocab-parallel — and
+the SPMD partitioner inserts the two per-layer psums. The engines are
+sharding-agnostic: the same `generate_stream` now runs tensor-parallel."""),
+    ("code", '''\
+from legalrag_tpu.parallel.decoder_tp import shard_decoder_params
+from legalrag_tpu.parallel.mesh import make_mesh
+
+devs = jax.devices("cpu")[:4]
+mesh = make_mesh(devs, data=1, model=4)
+sharded = shard_decoder_params(params, cfg, mesh)
+tp_lm = JaxDecoderLM(sharded, cfg, max_len=128, decode_chunk=8)
+tp_out = list(tp_lm.generate_stream(prompt, max_new_tokens=24))
+print("TP(4) output identical to single-device:", tp_out == reference)
+q = sharded["layers"][0]["q"]["kernel"]
+print("q projection sharding:", q.sharding.spec)'''),
+    ("md", """\
+## Serving integration
+
+All of this sits behind the HTTP server unchanged: set
+`llm.provider = "local-jax"` with `batch_slots`/`spec_k`/`tp_shards`,
+and concurrent `POST /rag/answer` SSE streams share the batched decode
+loop (the suite proves occupancy > 1 through the real server,
+`tests/test_server.py::test_concurrent_sse_answers_share_batched_engine`).
+Engine counters — tokens, launches by occupancy, speculation rounds —
+are exported on `GET /metrics`."""),
+]
+
 NOTEBOOKS = {
     "01_Launch_the_Server.ipynb": NB01,
     "02_LegalRAG_Pipeline.ipynb": NB02,
     "03_Retrieval_Performance_Evaluation.ipynb": NB03,
     "04_Law_Graph_Visualization.ipynb": NB04,
+    "05_Generation_Serving.ipynb": NB05,
 }
 
 
