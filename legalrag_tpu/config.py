@@ -188,6 +188,12 @@ class LLMConfig(BaseModel):
     # local devices (parallel/decoder_tp.py) — Megatron-style column/row
     # parallel projections via GSPMD, composing with any decode engine
     tp_shards: int = 0
+    # local-jax: >0 keeps the KV rows of that many recent prompts and
+    # prefills only the suffix on an exact shared token prefix — RAG
+    # prompts share the system template + few-shot example, so
+    # time-to-first-token scales with the per-request candidates only.
+    # Single-stream engines (plain / spec_k); ignored with batch_slots.
+    prefix_cache: int = 0
 
 
 class RoutingConfig(BaseModel):

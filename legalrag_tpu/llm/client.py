@@ -261,12 +261,16 @@ class LLMClient:
                         SpecLookupDecoderLM
 
                     self._local = SpecLookupDecoderLM.from_pretrained(
-                        self.cfg.model, spec_k=spec_k, **kw)
+                        self.cfg.model, spec_k=spec_k,
+                        prefix_cache=getattr(self.cfg, "prefix_cache", 0),
+                        **kw)
                 else:
                     from legalrag_tpu.models.decoder import JaxDecoderLM
 
                     self._local = JaxDecoderLM.from_pretrained(
-                        self.cfg.model, **kw)
+                        self.cfg.model,
+                        prefix_cache=getattr(self.cfg, "prefix_cache", 0),
+                        **kw)
                 tp = getattr(self.cfg, "tp_shards", 0)
                 if tp and tp > 1:
                     # re-place the loaded params tensor-parallel; the

@@ -519,15 +519,30 @@ def load_hf_decoder_params(model_dir: Path) -> Tuple[Dict, DecoderConfig]:
 # generation
 
 class JaxDecoderLM:
-    """Greedy / sampled generation with a jitted KV-cache decode step."""
+    """Greedy / sampled generation with a jitted KV-cache decode step.
+
+    ``prefix_cache > 0`` enables automatic prefix caching: the KV rows of
+    the last N prompts are kept (LRU), and a new prompt sharing a token
+    prefix with any of them (exact longest-common-prefix, ≥
+    ``_PREFIX_MIN`` tokens) prefills only its suffix — KV rows depend
+    only on preceding tokens, so reuse is exact. RAG prompts share the
+    system template + few-shot example across requests, which is
+    precisely this win (time-to-first-token scales with the suffix).
+    """
+
+    _PREFIX_MIN = 16
 
     def __init__(self, params: Dict, cfg: DecoderConfig, tokenizer=None,
-                 device=None, max_len: int = 4096, decode_chunk: int = 8):
+                 device=None, max_len: int = 4096, decode_chunk: int = 8,
+                 prefix_cache: int = 0):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.device = device
         self.max_len = max_len
+        self.prefix_cache_size = prefix_cache
+        self._prefix_entries: List = []   # [(prompt_ids, rows, t)] LRU
+        self.prefix_stats = {"hits": 0, "misses": 0, "saved_tokens": 0}
         # tokens generated per device execution: each execution costs a
         # host round trip (~200 ms on remote-relay backends), so decoding
         # runs a lax.scan of `decode_chunk` steps per launch and streams
@@ -541,6 +556,9 @@ class JaxDecoderLM:
         # prefill costs hundreds of dispatches on remote-relay backends,
         # and the in-jit last-row LM head saves the T×H×V logits matmul
         self._prefill_fn = jax.jit(self._prefill)
+        self._prefill_prefix_fn = jax.jit(self._prefill_with_prefix)
+        self._extract_rows_fn = jax.jit(self._extract_rows,
+                                        static_argnames=("tb",))
 
     @classmethod
     def from_pretrained(cls, name_or_path: str, device=None, **kw
@@ -586,6 +604,80 @@ class JaxDecoderLM:
         hrow = jax.lax.dynamic_slice(
             hidden, (0, true_len - 1, 0), (1, 1, hidden.shape[-1]))
         return lm_logits(params, self.cfg, hrow)[:, 0], cache
+
+    def _prefill_with_prefix(self, params, prefix_rows, p_len, ids,
+                             true_len):
+        """Suffix prefill over reused prefix KV rows: install the cached
+        rows into a fresh cache, forward the [1, SB] right-padded suffix
+        at positions p_len.., return the last real suffix token's logits.
+        Donor rows beyond p_len (the donor prompt's own suffix) are
+        overwritten by this suffix prefill / later decode steps before
+        they can ever be attended — the usual invariant."""
+        cache = self._empty_cache(ids.shape[0])
+        cache = [
+            (jax.lax.dynamic_update_slice(ck, pk, (0, 0, 0, 0)),
+             jax.lax.dynamic_update_slice(cv, pv, (0, 0, 0, 0)))
+            for (ck, cv), (pk, pv) in zip(cache, prefix_rows)]
+        sb = ids.shape[1]
+        positions = (p_len + jnp.arange(sb, dtype=jnp.int32))[None, :]
+        hidden, cache = decoder_forward(params, self.cfg, ids, positions,
+                                        kv_cache=cache, cache_len=p_len,
+                                        return_hidden=True)
+        hrow = jax.lax.dynamic_slice(
+            hidden, (0, true_len - 1, 0), (1, 1, hidden.shape[-1]))
+        return lm_logits(params, self.cfg, hrow)[:, 0], cache
+
+    def _extract_rows(self, cache, tb: int):
+        hkv, d = self.cfg.num_key_value_heads, self.cfg.head_dim
+        return [
+            (jax.lax.dynamic_slice(ck, (0, 0, 0, 0), (1, tb, hkv, d)),
+             jax.lax.dynamic_slice(cv, (0, 0, 0, 0), (1, tb, hkv, d)))
+            for ck, cv in cache]
+
+    def _prefill_prompt(self, prompt_ids: List[int]):
+        """Prefill a prompt → (last logits [1, V], cache), via the prefix
+        cache when a long-enough exact token prefix is already resident."""
+        t = len(prompt_ids)
+        hit = None
+        if self.prefix_cache_size:
+            best, best_l = None, 0
+            for entry in self._prefix_entries:
+                e_ids = entry[0]
+                l = 0
+                for a, b in zip(prompt_ids, e_ids):
+                    if a != b:
+                        break
+                    l += 1
+                l = min(l, t - 1)  # at least one suffix token must run
+                if l > best_l:
+                    best, best_l = entry, l
+            if best is not None and best_l >= self._PREFIX_MIN:
+                sb = pad_bucket(t - best_l, hi=self.max_len)
+                if best_l + sb > self.max_len:
+                    # shrink the reused prefix so the padded suffix fits
+                    best_l = self.max_len - sb
+                if best_l >= self._PREFIX_MIN:
+                    hit = (best, best_l, sb)
+        if hit is not None:
+            entry, l, sb = hit
+            sfx = list(prompt_ids[l:]) + [0] * (sb - (t - l))
+            last, cache = self._prefill_prefix_fn(
+                self.params, entry[1], jnp.int32(l),
+                jnp.asarray([sfx], jnp.int32), jnp.int32(t - l))
+            self.prefix_stats["hits"] += 1
+            self.prefix_stats["saved_tokens"] += l
+        else:
+            bucket = pad_bucket(t, hi=self.max_len)
+            padded = list(prompt_ids) + [0] * (bucket - t)
+            last, cache = self._prefill_fn(
+                self.params, jnp.asarray([padded], jnp.int32), jnp.int32(t))
+            self.prefix_stats["misses"] += 1
+        if self.prefix_cache_size:
+            tb = pad_bucket(t, hi=self.max_len)
+            rows = self._extract_rows_fn(cache, tb=tb)
+            self._prefix_entries.insert(0, (list(prompt_ids), rows, t))
+            del self._prefix_entries[self.prefix_cache_size:]
+        return last, cache
 
     def _step(self, params, token, pos, cache):
         positions = jnp.full((token.shape[0], 1), pos, jnp.int32)
@@ -639,10 +731,7 @@ class JaxDecoderLM:
                         max_new_tokens, budget, t, self.max_len)
             max_new_tokens = budget
         with on_device(self.device):
-            bucket = pad_bucket(t, hi=self.max_len)
-            padded = list(prompt_ids) + [0] * (bucket - t)
-            last, cache = self._prefill_fn(
-                self.params, jnp.asarray([padded], jnp.int32), jnp.int32(t))
+            last, cache = self._prefill_prompt(list(prompt_ids))
             key = jax.random.PRNGKey(seed)
             greedy = not temperature > 0
             temp = jnp.float32(max(temperature, 1e-6))

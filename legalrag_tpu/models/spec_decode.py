@@ -43,7 +43,7 @@ import numpy as np
 
 from legalrag_tpu.models.decoder import (DecoderConfig, JaxDecoderLM,
                                          _sample_top_p, _top_p_filter,
-                                         decoder_forward, pad_bucket)
+                                         decoder_forward)
 from legalrag_tpu.utils import get_logger
 from legalrag_tpu.utils.device import on_device
 
@@ -61,9 +61,11 @@ class SpecLookupDecoderLM(JaxDecoderLM):
 
     def __init__(self, params: Dict, cfg: DecoderConfig, tokenizer=None,
                  device=None, max_len: int = 4096, decode_chunk: int = 8,
-                 spec_k: int = 8, spec_steps: int = 4):
+                 spec_k: int = 8, spec_steps: int = 4,
+                 prefix_cache: int = 0):
         super().__init__(params, cfg, tokenizer, device=device,
-                         max_len=max_len, decode_chunk=decode_chunk)
+                         max_len=max_len, decode_chunk=decode_chunk,
+                         prefix_cache=prefix_cache)
         self.spec_k = spec_k
         self.spec_steps = spec_steps
         self.last_stats: Dict[str, float] = {}
@@ -203,10 +205,7 @@ class SpecLookupDecoderLM(JaxDecoderLM):
         self.last_stats = stats
         greedy = not temperature > 0
         with on_device(self.device):
-            bucket = pad_bucket(t, hi=self.max_len)
-            padded = list(prompt_ids) + [0] * (bucket - t)
-            last2d, cache = self._prefill_fn(
-                self.params, jnp.asarray([padded], jnp.int32), jnp.int32(t))
+            last2d, cache = self._prefill_prompt(list(prompt_ids))
             last = last2d[0]
             key = jax.random.PRNGKey(seed)
             if greedy:
