@@ -192,7 +192,7 @@ class LLMConfig(BaseModel):
     # prefills only the suffix on an exact shared token prefix — RAG
     # prompts share the system template + few-shot example, so
     # time-to-first-token scales with the per-request candidates only.
-    # Single-stream engines (plain / spec_k); ignored with batch_slots.
+    # Applies to every engine (incl. batched admission).
     prefix_cache: int = 0
 
 

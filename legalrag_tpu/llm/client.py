@@ -253,7 +253,9 @@ class LLMClient:
 
                     self._local = BatchedDecoderLM.from_pretrained(
                         self.cfg.model, n_slots=slots,
-                        spec_k=max(spec_k, 0), **kw)
+                        spec_k=max(spec_k, 0),
+                        prefix_cache=getattr(self.cfg, "prefix_cache", 0),
+                        **kw)
                 elif spec_k and spec_k > 0:
                     # prompt-lookup speculative decoding: draft from the
                     # prompt's own n-grams, verify k tokens per forward

@@ -60,9 +60,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from legalrag_tpu.models.decoder import (DecoderConfig, _top_p_filter,
-                                         decoder_forward, lm_logits,
-                                         pad_bucket)
+from legalrag_tpu.models.decoder import (DecoderConfig, PrefixKVCache,
+                                         _top_p_filter, decoder_forward,
+                                         lm_logits, pad_bucket)
 from legalrag_tpu.utils import get_logger
 from legalrag_tpu.utils.device import on_device
 from legalrag_tpu.utils.metrics import METRICS
@@ -113,7 +113,8 @@ class BatchedDecoderLM:
 
     def __init__(self, params: Dict, cfg: DecoderConfig, tokenizer=None,
                  device=None, max_len: int = 4096, n_slots: int = 4,
-                 decode_chunk: int = 8, spec_k: int = 0, spec_steps: int = 4):
+                 decode_chunk: int = 8, spec_k: int = 0, spec_steps: int = 4,
+                 prefix_cache: int = 0):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -128,6 +129,9 @@ class BatchedDecoderLM:
         # needs k rows of KV headroom); admission clamps budgets.
         self.spec_k = spec_k
         self.spec_steps = spec_steps
+        # exact prompt-prefix KV reuse at admission (see decoder.py
+        # PrefixKVCache) — RAG requests share the system template
+        self._prefix = PrefixKVCache(prefix_cache) if prefix_cache else None
 
         with on_device(device):
             self._cache = self._empty_cache()
@@ -151,6 +155,15 @@ class BatchedDecoderLM:
                                             donate_argnums=(1, 2, 3, 4, 5))
             self._spec_decode_fn = jax.jit(self._spec_decode,
                                            donate_argnums=(1, 2, 3, 4, 5))
+        if prefix_cache:
+            self._prefill_prefix_fn = jax.jit(self._prefill_prefix,
+                                              donate_argnums=(1, 2, 3, 4))
+            self._extract_slot_rows_fn = jax.jit(self._extract_slot_rows,
+                                                 static_argnames=("tb",))
+            if spec_k:
+                self._spec_prefill_prefix_fn = jax.jit(
+                    self._spec_prefill_prefix,
+                    donate_argnums=(1, 2, 3, 4, 5))
 
         self._slots: List[Optional[_Stream]] = [None] * n_slots
         self._pending: "deque[_Stream]" = deque()
@@ -220,6 +233,78 @@ class BatchedDecoderLM:
         pos = pos.at[slot].set(true_len)
         keys = keys.at[slot].set(key_row)
         return cache, last, pos, keys
+
+    def _slot_rows(self, cache, slot):
+        hkv, d = self.cfg.num_key_value_heads, self.cfg.head_dim
+        return [
+            (jax.lax.dynamic_slice(ck, (slot, 0, 0, 0),
+                                   (1, self.max_len, hkv, d)),
+             jax.lax.dynamic_slice(cv, (slot, 0, 0, 0),
+                                   (1, self.max_len, hkv, d)))
+            for ck, cv in cache]
+
+    def _extract_slot_rows(self, cache, slot, tb: int):
+        hkv, d = self.cfg.num_key_value_heads, self.cfg.head_dim
+        return [
+            (jax.lax.dynamic_slice(ck, (slot, 0, 0, 0), (1, tb, hkv, d)),
+             jax.lax.dynamic_slice(cv, (slot, 0, 0, 0), (1, tb, hkv, d)))
+            for ck, cv in cache]
+
+    def _prefix_forward(self, params, cache, prefix_rows, p_len, ids_sfx,
+                        slot, true_sfx):
+        """Shared body of the prefix-reuse admissions: install the cached
+        prefix rows into the slot, forward the right-padded suffix at
+        offset positions, and return (updated cache, last real logits)."""
+        row_cache = self._slot_rows(cache, slot)
+        row_cache = [
+            (jax.lax.dynamic_update_slice(rk, pk, (0, 0, 0, 0)),
+             jax.lax.dynamic_update_slice(rv, pv, (0, 0, 0, 0)))
+            for (rk, rv), (pk, pv) in zip(row_cache, prefix_rows)]
+        sb = ids_sfx.shape[1]
+        positions = (p_len + jnp.arange(sb, dtype=jnp.int32))[None, :]
+        hidden, row_cache = decoder_forward(params, self.cfg, ids_sfx,
+                                            positions, kv_cache=row_cache,
+                                            cache_len=p_len,
+                                            return_hidden=True)
+        cache = [
+            (jax.lax.dynamic_update_slice(ck, rk, (slot, 0, 0, 0)),
+             jax.lax.dynamic_update_slice(cv, rv, (slot, 0, 0, 0)))
+            for (ck, cv), (rk, rv) in zip(cache, row_cache)]
+        hrow = jax.lax.dynamic_slice(
+            hidden, (0, true_sfx - 1, 0), (1, 1, hidden.shape[-1]))
+        return cache, lm_logits(params, self.cfg, hrow)[:, 0]
+
+    def _prefill_prefix(self, params, cache, last, pos, keys, prefix_rows,
+                        p_len, ids_sfx, slot, true_sfx, key_row):
+        cache, last_row = self._prefix_forward(params, cache, prefix_rows,
+                                               p_len, ids_sfx, slot,
+                                               true_sfx)
+        last = jax.lax.dynamic_update_slice(
+            last, last_row.astype(last.dtype), (slot, 0))
+        pos = pos.at[slot].set(p_len + true_sfx)
+        keys = keys.at[slot].set(key_row)
+        return cache, last, pos, keys
+
+    def _spec_prefill_prefix(self, params, cache, tokens, pos, keys,
+                             pending, prefix_rows, p_len, ids_sfx, full_ids,
+                             slot, true_sfx, key_row, temp, top_p):
+        cache, last_row = self._prefix_forward(params, cache, prefix_rows,
+                                               p_len, ids_sfx, slot,
+                                               true_sfx)
+        logits = last_row[0]
+        key2, sub = jax.random.split(key_row)
+        stok = jax.random.categorical(
+            sub, _top_p_filter(logits / jnp.maximum(temp, 1e-6), top_p)
+        ).astype(jnp.int32)
+        tok = jnp.where(temp > 0, stok,
+                        jnp.argmax(logits).astype(jnp.int32))
+        total = p_len + true_sfx
+        tokens = jax.lax.dynamic_update_slice(tokens, full_ids, (slot, 0))
+        tokens = tokens.at[slot, total].set(tok)
+        pos = pos.at[slot].set(total)
+        keys = keys.at[slot].set(jnp.where(temp > 0, key2, key_row))
+        pending = pending.at[slot].set(tok)
+        return cache, tokens, pos, keys, pending, tok
 
     def _decode_chunk(self, params, cache, last, pos, keys, temp, top_p,
                       eos_ids, limit, active, n_steps: int):
@@ -382,16 +467,32 @@ class BatchedDecoderLM:
 
     def _spec_admit(self, st: _Stream, slot: int) -> None:
         ids = st.prompt_ids
-        bucket = pad_bucket(len(ids), lo=self._PAD_BUCKET_MIN,
-                            hi=self.max_len)
-        padded = ids + [0] * (bucket - len(ids))
-        (self._cache, self._tokens, self._pos, self._keys,
-         self._pend_tok, tok) = self._spec_prefill_fn(
-            self.params, self._cache, self._tokens, self._pos, self._keys,
-            self._pend_tok, jnp.asarray([padded], jnp.int32),
-            jnp.int32(slot), jnp.int32(len(ids)),
-            jax.random.PRNGKey(st.seed), jnp.float32(st.temperature),
-            jnp.float32(st.top_p))
+        hit = self._prefix.match(ids, self.max_len) if self._prefix else None
+        if hit is not None:
+            rows, l, sb = hit
+            sfx = ids[l:] + [0] * (sb - (len(ids) - l))
+            tb = pad_bucket(len(ids), hi=self.max_len)
+            full = ids + [0] * (tb - len(ids))
+            (self._cache, self._tokens, self._pos, self._keys,
+             self._pend_tok, tok) = self._spec_prefill_prefix_fn(
+                self.params, self._cache, self._tokens, self._pos,
+                self._keys, self._pend_tok, rows, jnp.int32(l),
+                jnp.asarray([sfx], jnp.int32),
+                jnp.asarray([full], jnp.int32), jnp.int32(slot),
+                jnp.int32(len(ids) - l), jax.random.PRNGKey(st.seed),
+                jnp.float32(st.temperature), jnp.float32(st.top_p))
+        else:
+            bucket = pad_bucket(len(ids), lo=self._PAD_BUCKET_MIN,
+                                hi=self.max_len)
+            padded = ids + [0] * (bucket - len(ids))
+            (self._cache, self._tokens, self._pos, self._keys,
+             self._pend_tok, tok) = self._spec_prefill_fn(
+                self.params, self._cache, self._tokens, self._pos,
+                self._keys, self._pend_tok, jnp.asarray([padded], jnp.int32),
+                jnp.int32(slot), jnp.int32(len(ids)),
+                jax.random.PRNGKey(st.seed), jnp.float32(st.temperature),
+                jnp.float32(st.top_p))
+        self._store_prefix(ids, slot)
         first = int(tok)
         if st.eos_id is not None and first == st.eos_id:
             st.out.put(None)
@@ -406,15 +507,37 @@ class BatchedDecoderLM:
         self._slots[slot] = st
 
     # --------------------------------------------------------------- worker
+    def _store_prefix(self, ids: List[int], slot: int) -> None:
+        if self._prefix is None:
+            return
+        tb = pad_bucket(len(ids), hi=self.max_len)
+        rows = self._extract_slot_rows_fn(self._cache, jnp.int32(slot),
+                                          tb=tb)
+        self._prefix.store(ids, rows, len(ids))
+
     def _admit(self, st: _Stream, slot: int) -> None:
         ids = st.prompt_ids
-        bucket = pad_bucket(len(ids), lo=self._PAD_BUCKET_MIN,
-                            hi=self.max_len)
-        padded = ids + [0] * (bucket - len(ids))
-        self._cache, self._last, self._pos, self._keys = self._prefill_fn(
-            self.params, self._cache, self._last, self._pos, self._keys,
-            jnp.asarray([padded], jnp.int32), jnp.int32(slot),
-            jnp.int32(len(ids)), jax.random.PRNGKey(st.seed))
+        hit = self._prefix.match(ids, self.max_len) if self._prefix else None
+        if hit is not None:
+            rows, l, sb = hit
+            sfx = ids[l:] + [0] * (sb - (len(ids) - l))
+            self._cache, self._last, self._pos, self._keys = \
+                self._prefill_prefix_fn(
+                    self.params, self._cache, self._last, self._pos,
+                    self._keys, rows, jnp.int32(l),
+                    jnp.asarray([sfx], jnp.int32), jnp.int32(slot),
+                    jnp.int32(len(ids) - l), jax.random.PRNGKey(st.seed))
+        else:
+            bucket = pad_bucket(len(ids), lo=self._PAD_BUCKET_MIN,
+                                hi=self.max_len)
+            padded = ids + [0] * (bucket - len(ids))
+            self._cache, self._last, self._pos, self._keys = \
+                self._prefill_fn(
+                    self.params, self._cache, self._last, self._pos,
+                    self._keys, jnp.asarray([padded], jnp.int32),
+                    jnp.int32(slot), jnp.int32(len(ids)),
+                    jax.random.PRNGKey(st.seed))
+        self._store_prefix(ids, slot)
         self._slots[slot] = st
 
     def _control_vectors(self):

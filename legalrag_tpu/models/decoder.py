@@ -518,6 +518,51 @@ def load_hf_decoder_params(model_dir: Path) -> Tuple[Dict, DecoderConfig]:
 # ---------------------------------------------------------------------------
 # generation
 
+class PrefixKVCache:
+    """LRU of recent prompts' KV rows, for exact prefix reuse.
+
+    ``match`` returns (rows, l, sb): reuse the first ``l`` cached rows and
+    prefill a suffix padded to bucket ``sb`` (shrinking ``l`` when the
+    padded suffix would not fit the cache). ``store`` inserts a prompt's
+    rows at the front and evicts past ``size``.
+    """
+
+    def __init__(self, size: int, min_len: int = 16):
+        self.size = size
+        self.min_len = min_len
+        self.entries: List = []    # [(prompt_ids, rows, t)]
+        self.stats = {"hits": 0, "misses": 0, "saved_tokens": 0}
+
+    def match(self, prompt_ids: List[int], max_len: int):
+        t = len(prompt_ids)
+        best, best_l = None, 0
+        for entry in self.entries:
+            l = 0
+            for a, b in zip(prompt_ids, entry[0]):
+                if a != b:
+                    break
+                l += 1
+            l = min(l, t - 1)  # at least one suffix token must run
+            if l > best_l:
+                best, best_l = entry, l
+        if best is None or best_l < self.min_len:
+            self.stats["misses"] += 1
+            return None
+        sb = pad_bucket(t - best_l, hi=max_len)
+        if best_l + sb > max_len:
+            best_l = max_len - sb  # shrink so the padded suffix fits
+        if best_l < self.min_len:
+            self.stats["misses"] += 1
+            return None
+        self.stats["hits"] += 1
+        self.stats["saved_tokens"] += best_l
+        return best[1], best_l, sb
+
+    def store(self, prompt_ids: List[int], rows, t: int) -> None:
+        self.entries.insert(0, (list(prompt_ids), rows, t))
+        del self.entries[self.size:]
+
+
 class JaxDecoderLM:
     """Greedy / sampled generation with a jitted KV-cache decode step.
 
@@ -540,9 +585,8 @@ class JaxDecoderLM:
         self.tokenizer = tokenizer
         self.device = device
         self.max_len = max_len
-        self.prefix_cache_size = prefix_cache
-        self._prefix_entries: List = []   # [(prompt_ids, rows, t)] LRU
-        self.prefix_stats = {"hits": 0, "misses": 0, "saved_tokens": 0}
+        self._prefix = (PrefixKVCache(prefix_cache, self._PREFIX_MIN)
+                        if prefix_cache else None)
         # tokens generated per device execution: each execution costs a
         # host round trip (~200 ms on remote-relay backends), so decoding
         # runs a lax.scan of `decode_chunk` steps per launch and streams
@@ -634,49 +678,32 @@ class JaxDecoderLM:
              jax.lax.dynamic_slice(cv, (0, 0, 0, 0), (1, tb, hkv, d)))
             for ck, cv in cache]
 
+    @property
+    def prefix_stats(self):
+        return self._prefix.stats if self._prefix else \
+            {"hits": 0, "misses": 0, "saved_tokens": 0}
+
     def _prefill_prompt(self, prompt_ids: List[int]):
         """Prefill a prompt → (last logits [1, V], cache), via the prefix
         cache when a long-enough exact token prefix is already resident."""
         t = len(prompt_ids)
-        hit = None
-        if self.prefix_cache_size:
-            best, best_l = None, 0
-            for entry in self._prefix_entries:
-                e_ids = entry[0]
-                l = 0
-                for a, b in zip(prompt_ids, e_ids):
-                    if a != b:
-                        break
-                    l += 1
-                l = min(l, t - 1)  # at least one suffix token must run
-                if l > best_l:
-                    best, best_l = entry, l
-            if best is not None and best_l >= self._PREFIX_MIN:
-                sb = pad_bucket(t - best_l, hi=self.max_len)
-                if best_l + sb > self.max_len:
-                    # shrink the reused prefix so the padded suffix fits
-                    best_l = self.max_len - sb
-                if best_l >= self._PREFIX_MIN:
-                    hit = (best, best_l, sb)
+        hit = self._prefix.match(prompt_ids, self.max_len) \
+            if self._prefix else None
         if hit is not None:
-            entry, l, sb = hit
+            rows, l, sb = hit
             sfx = list(prompt_ids[l:]) + [0] * (sb - (t - l))
             last, cache = self._prefill_prefix_fn(
-                self.params, entry[1], jnp.int32(l),
+                self.params, rows, jnp.int32(l),
                 jnp.asarray([sfx], jnp.int32), jnp.int32(t - l))
-            self.prefix_stats["hits"] += 1
-            self.prefix_stats["saved_tokens"] += l
         else:
             bucket = pad_bucket(t, hi=self.max_len)
             padded = list(prompt_ids) + [0] * (bucket - t)
             last, cache = self._prefill_fn(
                 self.params, jnp.asarray([padded], jnp.int32), jnp.int32(t))
-            self.prefix_stats["misses"] += 1
-        if self.prefix_cache_size:
+        if self._prefix is not None:
             tb = pad_bucket(t, hi=self.max_len)
-            rows = self._extract_rows_fn(cache, tb=tb)
-            self._prefix_entries.insert(0, (list(prompt_ids), rows, t))
-            del self._prefix_entries[self.prefix_cache_size:]
+            self._prefix.store(prompt_ids,
+                               self._extract_rows_fn(cache, tb=tb), t)
         return last, cache
 
     def _step(self, params, token, pos, cache):

@@ -108,3 +108,39 @@ def test_sampled_with_prefix_cache_deterministic(tiny):
     list(warm.generate_stream(SYSTEM + [60], max_new_tokens=2))  # seed cache
     assert list(warm.generate_stream(q, **kw)) == want
     assert warm.prefix_stats["hits"] >= 1
+
+
+def test_batched_engine_prefix_cache(tiny):
+    """Continuous batching with prefix reuse at admission: warm == cold,
+    across both plain and speculative modes."""
+    import threading
+
+    from legalrag_tpu.models.batched_decoder import BatchedDecoderLM
+
+    cfg, params = tiny
+    cold = JaxDecoderLM(params, cfg, max_len=96, decode_chunk=1)
+    prompts = [SYSTEM + [70, 71, 72], SYSTEM + [80, 81],
+               SYSTEM + [90, 91, 92, 93]]
+    want = {tuple(p): list(cold.generate_stream(p, max_new_tokens=10))
+            for p in prompts}
+    for spec_k in (0, 4):
+        engine = BatchedDecoderLM(params, cfg, max_len=96, n_slots=2,
+                                  decode_chunk=4, spec_k=spec_k,
+                                  spec_steps=2, prefix_cache=4)
+        try:
+            got = {}
+
+            def go(p):
+                got[tuple(p)] = list(engine.generate_stream(
+                    p, max_new_tokens=10))
+
+            ts = [threading.Thread(target=go, args=(p,)) for p in prompts]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join(timeout=180)
+            for p in prompts:
+                assert got[tuple(p)] == want[tuple(p)], (spec_k, p)
+            assert engine._prefix.stats["hits"] >= 1, spec_k
+        finally:
+            engine.close()
