@@ -161,7 +161,7 @@ class RetrievalConfig(BaseModel):
 
 
 class LLMConfig(BaseModel):
-    provider: str = "disabled"  # openai | local | disabled
+    provider: str = "disabled"  # openai | local | local-jax | disabled
     model: str = "gpt-4o-mini"
     api_key: Optional[str] = Field(default_factory=lambda: os.environ.get("OPENAI_API_KEY"))
     base_url: Optional[str] = Field(default_factory=lambda: os.environ.get("OPENAI_BASE_URL"))

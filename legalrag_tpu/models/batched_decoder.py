@@ -208,23 +208,14 @@ class BatchedDecoderLM:
         logits (index true_len-1) seed the slot's sampling state. Pad rows
         are left in the cache — see the module invariant.
         """
-        hkv, d = self.cfg.num_key_value_heads, self.cfg.head_dim
         t = ids.shape[1]
-        row_cache = [
-            (jax.lax.dynamic_slice(ck, (slot, 0, 0, 0),
-                                   (1, self.max_len, hkv, d)),
-             jax.lax.dynamic_slice(cv, (slot, 0, 0, 0),
-                                   (1, self.max_len, hkv, d)))
-            for ck, cv in cache]
+        row_cache = self._slot_rows(cache, slot)
         positions = jnp.arange(t, dtype=jnp.int32)[None, :]
         hidden, row_cache = decoder_forward(params, self.cfg, ids, positions,
                                             kv_cache=row_cache,
                                             cache_len=jnp.int32(0),
                                             return_hidden=True)
-        cache = [
-            (jax.lax.dynamic_update_slice(ck, rk, (slot, 0, 0, 0)),
-             jax.lax.dynamic_update_slice(cv, rv, (slot, 0, 0, 0)))
-            for (ck, cv), (rk, rv) in zip(cache, row_cache)]
+        cache = self._write_slot_rows(cache, row_cache, slot)
         hrow = jax.lax.dynamic_slice(
             hidden, (0, true_len - 1, 0), (1, 1, hidden.shape[-1]))
         last_row = lm_logits(params, self.cfg, hrow)[:, 0]
@@ -233,6 +224,13 @@ class BatchedDecoderLM:
         pos = pos.at[slot].set(true_len)
         keys = keys.at[slot].set(key_row)
         return cache, last, pos, keys
+
+    @staticmethod
+    def _write_slot_rows(cache, row_cache, slot):
+        return [
+            (jax.lax.dynamic_update_slice(ck, rk, (slot, 0, 0, 0)),
+             jax.lax.dynamic_update_slice(cv, rv, (slot, 0, 0, 0)))
+            for (ck, cv), (rk, rv) in zip(cache, row_cache)]
 
     def _slot_rows(self, cache, slot):
         hkv, d = self.cfg.num_key_value_heads, self.cfg.head_dim
@@ -266,10 +264,7 @@ class BatchedDecoderLM:
                                             positions, kv_cache=row_cache,
                                             cache_len=p_len,
                                             return_hidden=True)
-        cache = [
-            (jax.lax.dynamic_update_slice(ck, rk, (slot, 0, 0, 0)),
-             jax.lax.dynamic_update_slice(cv, rv, (slot, 0, 0, 0)))
-            for (ck, cv), (rk, rv) in zip(cache, row_cache)]
+        cache = self._write_slot_rows(cache, row_cache, slot)
         hrow = jax.lax.dynamic_slice(
             hidden, (0, true_sfx - 1, 0), (1, 1, hidden.shape[-1]))
         return cache, lm_logits(params, self.cfg, hrow)[:, 0]
@@ -354,23 +349,14 @@ class BatchedDecoderLM:
         """Spec-mode admission: prefill the slot, record the prompt in the
         slot's token-history row, and produce the FIRST generated token
         in-program (emitted by the host at admission time)."""
-        hkv, d = self.cfg.num_key_value_heads, self.cfg.head_dim
         t = ids.shape[1]
-        row_cache = [
-            (jax.lax.dynamic_slice(ck, (slot, 0, 0, 0),
-                                   (1, self.max_len, hkv, d)),
-             jax.lax.dynamic_slice(cv, (slot, 0, 0, 0),
-                                   (1, self.max_len, hkv, d)))
-            for ck, cv in cache]
+        row_cache = self._slot_rows(cache, slot)
         positions = jnp.arange(t, dtype=jnp.int32)[None, :]
         hidden, row_cache = decoder_forward(params, self.cfg, ids, positions,
                                             kv_cache=row_cache,
                                             cache_len=jnp.int32(0),
                                             return_hidden=True)
-        cache = [
-            (jax.lax.dynamic_update_slice(ck, rk, (slot, 0, 0, 0)),
-             jax.lax.dynamic_update_slice(cv, rv, (slot, 0, 0, 0)))
-            for (ck, cv), (rk, rv) in zip(cache, row_cache)]
+        cache = self._write_slot_rows(cache, row_cache, slot)
         hrow = jax.lax.dynamic_slice(
             hidden, (0, true_len - 1, 0), (1, 1, hidden.shape[-1]))
         logits = lm_logits(params, self.cfg, hrow)[0, 0]         # [V]
