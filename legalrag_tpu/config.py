@@ -175,6 +175,9 @@ class LLMConfig(BaseModel):
     # local-jax: tokens decoded per device execution (lax.scan chunk) —
     # each execution costs a host round trip on remote backends
     decode_chunk: int = 8
+    # local-jax: prompts longer than this prefill in sequential chunks at
+    # cache offsets (exact), capping prefill attention-score memory
+    prefill_chunk: int = 1024
     # local-jax: >1 enables continuous batching (models/batched_decoder.py)
     # — that many concurrent answer streams share one batched decode loop;
     # 0/1 keeps the single-stream engine

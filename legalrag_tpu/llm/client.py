@@ -242,6 +242,7 @@ class LLMClient:
                     max_len=self.cfg.max_context_tokens
                     + self.cfg.max_new_tokens,
                     decode_chunk=getattr(self.cfg, "decode_chunk", 8))
+                pc = getattr(self.cfg, "prefill_chunk", 0)
                 slots = getattr(self.cfg, "batch_slots", 0)
                 spec_k = getattr(self.cfg, "spec_k", 0)
                 if slots and slots > 1:
@@ -265,14 +266,14 @@ class LLMClient:
                     self._local = SpecLookupDecoderLM.from_pretrained(
                         self.cfg.model, spec_k=spec_k,
                         prefix_cache=getattr(self.cfg, "prefix_cache", 0),
-                        **kw)
+                        **(dict(prefill_chunk=pc, **kw) if pc else kw))
                 else:
                     from legalrag_tpu.models.decoder import JaxDecoderLM
 
                     self._local = JaxDecoderLM.from_pretrained(
                         self.cfg.model,
                         prefix_cache=getattr(self.cfg, "prefix_cache", 0),
-                        **kw)
+                        **(dict(prefill_chunk=pc, **kw) if pc else kw))
                 tp = getattr(self.cfg, "tp_shards", 0)
                 if tp and tp > 1:
                     # re-place the loaded params tensor-parallel; the

@@ -579,12 +579,18 @@ class JaxDecoderLM:
 
     def __init__(self, params: Dict, cfg: DecoderConfig, tokenizer=None,
                  device=None, max_len: int = 4096, decode_chunk: int = 8,
-                 prefix_cache: int = 0):
+                 prefix_cache: int = 0, prefill_chunk: int = 1024):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.device = device
         self.max_len = max_len
+        # prompts longer than this prefill in sequential chunks at cache
+        # offsets (exact — each chunk attends the already-filled cache):
+        # a single T-token prefill materializes [H, T, T] attention scores
+        # (~1 GB f32 at 4k context on Qwen2-0.5B geometry); chunking caps
+        # that at [H, C, T]
+        self.prefill_chunk = max(prefill_chunk, 16)
         self._prefix = (PrefixKVCache(prefix_cache, self._PREFIX_MIN)
                         if prefix_cache else None)
         # tokens generated per device execution: each execution costs a
@@ -601,6 +607,8 @@ class JaxDecoderLM:
         # and the in-jit last-row LM head saves the T×H×V logits matmul
         self._prefill_fn = jax.jit(self._prefill)
         self._prefill_prefix_fn = jax.jit(self._prefill_with_prefix)
+        self._prefill_chunk_fn = jax.jit(self._prefill_chunk_step,
+                                         donate_argnums=(1,))
         self._extract_rows_fn = jax.jit(self._extract_rows,
                                         static_argnames=("tb",))
 
@@ -671,6 +679,19 @@ class JaxDecoderLM:
             hidden, (0, true_len - 1, 0), (1, 1, hidden.shape[-1]))
         return lm_logits(params, self.cfg, hrow)[:, 0], cache
 
+    def _prefill_chunk_step(self, params, cache, ids, p_len, true_len):
+        """One prefill chunk at cache offset ``p_len``: forward the
+        right-padded [1, C] chunk over the already-filled cache; returns
+        (logits of chunk token true_len-1, cache)."""
+        c = ids.shape[1]
+        positions = (p_len + jnp.arange(c, dtype=jnp.int32))[None, :]
+        hidden, cache = decoder_forward(params, self.cfg, ids, positions,
+                                        kv_cache=cache, cache_len=p_len,
+                                        return_hidden=True)
+        hrow = jax.lax.dynamic_slice(
+            hidden, (0, true_len - 1, 0), (1, 1, hidden.shape[-1]))
+        return lm_logits(params, self.cfg, hrow)[:, 0], cache
+
     def _extract_rows(self, cache, tb: int):
         hkv, d = self.cfg.num_key_value_heads, self.cfg.head_dim
         return [
@@ -689,12 +710,30 @@ class JaxDecoderLM:
         t = len(prompt_ids)
         hit = self._prefix.match(prompt_ids, self.max_len) \
             if self._prefix else None
+        if hit is not None and t - hit[1] > self.prefill_chunk:
+            hit = None  # long suffix: take the chunked cold path instead
         if hit is not None:
             rows, l, sb = hit
             sfx = list(prompt_ids[l:]) + [0] * (sb - (t - l))
             last, cache = self._prefill_prefix_fn(
                 self.params, rows, jnp.int32(l),
                 jnp.asarray([sfx], jnp.int32), jnp.int32(t - l))
+        elif t > self.prefill_chunk:
+            # chunked prefill: sequential fixed-size chunks at cache
+            # offsets — numerically identical to a single-shot prefill
+            # (each chunk's causal attention spans the filled cache)
+            c = self.prefill_chunk
+            cache = self._empty_cache(1)
+            last = None
+            for off in range(0, t, c):
+                piece = list(prompt_ids[off:off + c])
+                n = len(piece)
+                # the padded chunk must fit the cache rows [off, max_len)
+                cb = c if n == c else pad_bucket(n, hi=self.max_len - off)
+                piece += [0] * (cb - n)
+                last, cache = self._prefill_chunk_fn(
+                    self.params, cache, jnp.asarray([piece], jnp.int32),
+                    jnp.int32(off), jnp.int32(n))
         else:
             bucket = pad_bucket(t, hi=self.max_len)
             padded = list(prompt_ids) + [0] * (bucket - t)

@@ -99,3 +99,18 @@ def test_sampled_generation_valid(tiny):
                                   seed=1))
     assert len(out) == 6
     assert all(0 <= t < cfg.vocab_size for t in out)
+
+
+def test_chunked_prefill_matches_single_shot(tiny):
+    """Prompts longer than prefill_chunk prefill in sequential chunks at
+    cache offsets — generation must be token-identical to a single-shot
+    prefill, including a non-multiple final chunk."""
+    cfg, params = tiny
+    rng = np.random.default_rng(41)
+    single = JaxDecoderLM(params, cfg, max_len=64, prefill_chunk=4096)
+    chunked = JaxDecoderLM(params, cfg, max_len=64, prefill_chunk=16)
+    for plen in (17, 32, 45):
+        p = list(rng.integers(1, 90, plen))
+        want = list(single.generate_stream(p, max_new_tokens=8))
+        got = list(chunked.generate_stream(p, max_new_tokens=8))
+        assert got == want, plen
