@@ -137,3 +137,40 @@ def test_tp_spec_decode_matches(cpu8):
     got = list(SpecLookupDecoderLM(sharded, cfg, max_len=48, spec_k=4)
                .generate_stream(p, max_new_tokens=10))
     assert got == want
+
+
+def test_tp_batched_engine_matches(cpu8):
+    """Continuous batching on TP-sharded params — the engines are
+    sharding-agnostic, so the batched decode loop must run tensor-parallel
+    unchanged."""
+    import threading
+
+    from legalrag_tpu.models.batched_decoder import BatchedDecoderLM
+
+    cfg = DecoderConfig(vocab_size=96, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        intermediate_size=64, max_position_embeddings=64)
+    params = _tiny_params(cfg, seed=6)
+    prompts = [[5, 6, 7, 5, 6], [9, 10, 11]]
+    want = {tuple(p): list(JaxDecoderLM(params, cfg, max_len=48)
+                           .generate_stream(p, max_new_tokens=8))
+            for p in prompts}
+    mesh = make_mesh(cpu8[:2], data=1, model=2)
+    sharded = shard_decoder_params(params, cfg, mesh)
+    engine = BatchedDecoderLM(sharded, cfg, max_len=48, n_slots=2,
+                              decode_chunk=4, spec_k=4, spec_steps=2)
+    try:
+        got = {}
+
+        def go(p):
+            got[tuple(p)] = list(engine.generate_stream(p,
+                                                        max_new_tokens=8))
+
+        ts = [threading.Thread(target=go, args=(p,)) for p in prompts]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=180)
+        assert got == want
+    finally:
+        engine.close()

@@ -513,3 +513,51 @@ def test_concurrent_sse_answers_share_batched_engine(client, app):
     finally:
         app.state.pipeline.llm = old
         engine.close()
+
+
+def test_sse_survives_engine_death_mid_stream(client, app):
+    """A decode engine dying mid-generation must degrade the SSE answer
+    (client falls back to the retrieval-only text), never hang or 500."""
+    from legalrag_tpu.config import LLMConfig
+    from legalrag_tpu.llm.client import LLMClient
+
+    class DyingEngine:
+        class tokenizer:  # noqa: N801 - attribute namespace
+            eos_token_id = None
+
+            @staticmethod
+            def apply_chat_template(m, tokenize=False,
+                                    add_generation_prompt=True):
+                return " ".join(x["content"] for x in m)
+
+            @staticmethod
+            def __call__(text, truncation=True, max_length=None):
+                return {"input_ids": [1, 2, 3]}
+
+            @staticmethod
+            def decode(ids, skip_special_tokens=True):
+                return "x" * len(ids)
+
+        tokenizer = tokenizer()
+
+        def generate_stream(self, ids, **kw):
+            yield 5
+            yield 6
+            raise RuntimeError("accelerator lost mid-decode")
+
+    llm = LLMClient(LLMConfig(provider="local-jax"))
+    llm._local = DyingEngine()
+    old = app.state.pipeline.llm
+    app.state.pipeline.llm = llm
+    try:
+        r = client.post("/rag/retrieve", json_body={"question": "违约责任"})
+        rid = r.json()["retrieval_id"]
+        s = client.post("/rag/answer", json_body={"retrieval_id": rid,
+                                                  "stream": True})
+        events = s.sse_events()
+        kinds = [e for e, _ in events]
+        assert kinds[-1] == "done"
+        text = "".join(p.get("text", "") for e, p in events if e == "token")
+        assert "检索" in text or "unavailable" in text  # degraded answer
+    finally:
+        app.state.pipeline.llm = old
