@@ -220,6 +220,55 @@ def bench_spec(args, cfg, params, rng) -> None:
     }))
 
 
+def bench_prefix(args, cfg, params, rng) -> None:
+    """Time-to-first-token with a P-token shared prefix, cold vs warm.
+
+    Mirrors the RAG serving shape: every request = shared system
+    template + few-shot example (the prefix) + per-request candidate
+    provisions + question (the suffix)."""
+    import time as _time
+
+    from legalrag_tpu.models.decoder import JaxDecoderLM
+
+    p_shared = args.prefix_cache
+    sfx_len = max(args.prompt_len - p_shared, 16)
+    shared = rng.integers(100, cfg.vocab_size - 100, p_shared).tolist()
+
+    def prompt():
+        return shared + rng.integers(100, cfg.vocab_size - 100,
+                                     sfx_len).tolist()
+
+    lm = JaxDecoderLM(params, cfg, max_len=args.max_len, decode_chunk=1,
+                      prefix_cache=4)
+    next(iter(lm.generate_stream(prompt(), max_new_tokens=1)))  # compile
+
+    def ttft():
+        t0 = _time.perf_counter()
+        next(iter(lm.generate_stream(prompt(), max_new_tokens=1)))
+        return _time.perf_counter() - t0
+
+    # cold: flush the cache so no prefix matches
+    cold = []
+    for _ in range(3):
+        lm._prefix.entries.clear()
+        cold.append(ttft())
+    warm = [ttft() for _ in range(3)]  # prefix resident from prior request
+    cold_s, warm_s = min(cold), min(warm)
+    log(f"TTFT prompt={p_shared}+{sfx_len}: cold {cold_s * 1e3:.1f} ms, "
+        f"warm {warm_s * 1e3:.1f} ms ({cold_s / warm_s:.2f}x); "
+        f"stats {lm.prefix_stats}")
+    print(json.dumps({
+        "metric": "prefix_cache_ttft_ms",
+        "value": round(warm_s * 1e3, 1),
+        "unit": "ms",
+        "cold_ttft_ms": round(cold_s * 1e3, 1),
+        "speedup": round(cold_s / warm_s, 2),
+        "shared_prefix": p_shared,
+        "suffix_len": sfx_len,
+        "layers": cfg.num_hidden_layers,
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--prompt-len", type=int, default=512)
@@ -243,6 +292,11 @@ def main() -> None:
                     "(models/spec_decode.py) with draft length K vs plain "
                     "chunked decode; reports measured acceptance "
                     "(tokens per speculation round)")
+    ap.add_argument("--prefix-cache", type=int, default=0, metavar="P",
+                    help="benchmark exact prompt-prefix KV reuse: "
+                    "time-to-first-token for a prompt whose first P "
+                    "tokens are shared with the previous request, cold "
+                    "vs warm (llm.prefix_cache)")
     args = ap.parse_args()
 
     import jax
@@ -299,6 +353,9 @@ def main() -> None:
         return
     if args.spec:
         bench_spec(args, cfg, params, rng)
+        return
+    if args.prefix_cache:
+        bench_prefix(args, cfg, params, rng)
         return
 
     results = {}
