@@ -232,21 +232,29 @@ class BatchedDecoderLM:
              jax.lax.dynamic_update_slice(cv, rv, (slot, 0, 0, 0)))
             for (ck, cv), (rk, rv) in zip(cache, row_cache)]
 
-    def _slot_rows(self, cache, slot):
-        hkv, d = self.cfg.num_key_value_heads, self.cfg.head_dim
-        return [
-            (jax.lax.dynamic_slice(ck, (slot, 0, 0, 0),
-                                   (1, self.max_len, hkv, d)),
-             jax.lax.dynamic_slice(cv, (slot, 0, 0, 0),
-                                   (1, self.max_len, hkv, d)))
-            for ck, cv in cache]
-
-    def _extract_slot_rows(self, cache, slot, tb: int):
+    def _slot_rows(self, cache, slot, tb: Optional[int] = None):
+        """Slice one slot's cache rows out as a B=1 cache (first ``tb``
+        rows; all of them by default)."""
+        tb = self.max_len if tb is None else tb
         hkv, d = self.cfg.num_key_value_heads, self.cfg.head_dim
         return [
             (jax.lax.dynamic_slice(ck, (slot, 0, 0, 0), (1, tb, hkv, d)),
              jax.lax.dynamic_slice(cv, (slot, 0, 0, 0), (1, tb, hkv, d)))
             for ck, cv in cache]
+
+    def _extract_slot_rows(self, cache, slot, tb: int):
+        return self._slot_rows(cache, slot, tb)
+
+    def _first_token(self, logits, key_row, temp, top_p):
+        """Sample the admission-time first token from prefill logits [V]
+        (greedy at temp 0); returns (token, advanced key)."""
+        key2, sub = jax.random.split(key_row)
+        stok = jax.random.categorical(
+            sub, _top_p_filter(logits / jnp.maximum(temp, 1e-6), top_p)
+        ).astype(jnp.int32)
+        tok = jnp.where(temp > 0, stok,
+                        jnp.argmax(logits).astype(jnp.int32))
+        return tok, jnp.where(temp > 0, key2, key_row)
 
     def _prefix_forward(self, params, cache, prefix_rows, p_len, ids_sfx,
                         slot, true_sfx):
@@ -286,18 +294,12 @@ class BatchedDecoderLM:
         cache, last_row = self._prefix_forward(params, cache, prefix_rows,
                                                p_len, ids_sfx, slot,
                                                true_sfx)
-        logits = last_row[0]
-        key2, sub = jax.random.split(key_row)
-        stok = jax.random.categorical(
-            sub, _top_p_filter(logits / jnp.maximum(temp, 1e-6), top_p)
-        ).astype(jnp.int32)
-        tok = jnp.where(temp > 0, stok,
-                        jnp.argmax(logits).astype(jnp.int32))
+        tok, key_adv = self._first_token(last_row[0], key_row, temp, top_p)
         total = p_len + true_sfx
         tokens = jax.lax.dynamic_update_slice(tokens, full_ids, (slot, 0))
         tokens = tokens.at[slot, total].set(tok)
         pos = pos.at[slot].set(total)
-        keys = keys.at[slot].set(jnp.where(temp > 0, key2, key_row))
+        keys = keys.at[slot].set(key_adv)
         pending = pending.at[slot].set(tok)
         return cache, tokens, pos, keys, pending, tok
 
@@ -360,16 +362,11 @@ class BatchedDecoderLM:
         hrow = jax.lax.dynamic_slice(
             hidden, (0, true_len - 1, 0), (1, 1, hidden.shape[-1]))
         logits = lm_logits(params, self.cfg, hrow)[0, 0]         # [V]
-        key2, sub = jax.random.split(key_row)
-        stok = jax.random.categorical(
-            sub, _top_p_filter(logits / jnp.maximum(temp, 1e-6), top_p)
-        ).astype(jnp.int32)
-        tok = jnp.where(temp > 0, stok,
-                        jnp.argmax(logits).astype(jnp.int32))
+        tok, key_adv = self._first_token(logits, key_row, temp, top_p)
         tokens = jax.lax.dynamic_update_slice(tokens, ids, (slot, 0))
         tokens = tokens.at[slot, true_len].set(tok)
         pos = pos.at[slot].set(true_len)
-        keys = keys.at[slot].set(jnp.where(temp > 0, key2, key_row))
+        keys = keys.at[slot].set(key_adv)
         pending = pending.at[slot].set(tok)
         return cache, tokens, pos, keys, pending, tok
 
