@@ -356,6 +356,7 @@ def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
             agen = st.pipeline.answer_stream_from_hits(
                 question, hits, decision, llm=llm)
             scanner = StructuredAnswerScanner()
+            answer_buf = []
             last_ping = time.time()
             gen = agen.__aiter__()
             while True:
@@ -381,10 +382,17 @@ def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
                     last_ping = now
                 if not chunk:
                     continue
+                answer_buf.append(chunk)
                 yield sse_event("token", {"text": chunk,
                                           "dt": round(now - t0, 3)})
                 for ev, payload in scanner.feed(chunk):
                     yield sse_event(ev, payload)
+            # citation verification over the full streamed answer — which
+            # article refs are supported by the retrieved hits
+            from legalrag_tpu.pipeline.citations import verify_citations
+
+            yield sse_event("citations",
+                            verify_citations("".join(answer_buf), hits))
             yield sse_event("done", {"ok": True,
                                      "dt": round(time.time() - t0, 3)})
         except Exception as e:
@@ -418,6 +426,7 @@ def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
             return StreamingResponse(_sse_stream(question, hits, decision, llm))
         ans = st.pipeline.answer_from_hits(question, hits, decision, llm=llm)
         return Response({"question": question, "answer": ans.answer,
+                         "citations": ans.citations,
                          "decision": decision.model_dump() if decision else None,
                          "hits": [_hit_payload(h) for h in hits]})
 
@@ -435,6 +444,7 @@ def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
             return StreamingResponse(_sse_stream(question, hits, decision, llm))
         ans = st.pipeline.answer_from_hits(question, hits, decision, llm=llm)
         return Response({"question": question, "answer": ans.answer,
+                         "citations": ans.citations,
                          "decision": decision.model_dump(),
                          "hits": [_hit_payload(h) for h in hits]})
 

@@ -141,8 +141,11 @@ class RagPipeline:
         log.info("[TIMING] prompt_build=%.1fms", (time.perf_counter() - t0) * 1e3)
         client = llm or self.llm
         raw = client.chat(messages, tag="answer")
-        return RagAnswer(question=question, answer=self._trim_to_answer(raw),
-                         hits=hits)
+        answer = self._trim_to_answer(raw)
+        from legalrag_tpu.pipeline.citations import verify_citations
+
+        return RagAnswer(question=question, answer=answer, hits=hits,
+                         citations=verify_citations(answer, hits))
 
     async def answer_stream_from_hits(
             self, question: str, hits: List[RetrievalHit],

@@ -143,6 +143,10 @@ class RagAnswer(BaseModel):
     question: str
     answer: str
     hits: List[RetrievalHit]
+    # citation verification (pipeline/citations.py): which article refs in
+    # the answer are supported by the retrieved hits. Beyond-reference
+    # field; None when verification was not run.
+    citations: Optional[Dict[str, Any]] = None
 
 
 class CaseEntry(BaseModel):

@@ -561,3 +561,47 @@ def test_sse_survives_engine_death_mid_stream(client, app):
         assert "检索" in text or "unavailable" in text  # degraded answer
     finally:
         app.state.pipeline.llm = old
+
+
+def test_citations_event_and_field(client, app):
+    """The SSE stream emits a `citations` event (supported vs
+    hallucinated refs) before done; the non-stream answer carries the
+    same verification field."""
+    r = client.post("/rag/retrieve", json_body={"question": "解除合同"})
+    body = r.json()
+    rid = body["retrieval_id"]
+    top_id = body["hits"][0]["chunk"]["article_id"]
+    answer = f"依据第{top_id}条，可以解除合同；另见第99999条。"
+
+    class CitingLLM:
+        is_degraded = False
+
+        def chat(self, messages, tag="chat", **kw):
+            return answer
+
+        def chat_stream(self, messages, tag="chat", **kw):
+            for i in range(0, len(answer), 5):
+                yield answer[i:i + 5]
+
+        def degraded_answer(self, messages):
+            return "degraded"
+
+    old = app.state.pipeline.llm
+    app.state.pipeline.llm = CitingLLM()
+    try:
+        s = client.post("/rag/answer", json_body={"retrieval_id": rid,
+                                                  "stream": True})
+        events = s.sse_events()
+        kinds = [e for e, _ in events]
+        assert kinds[-2:] == ["citations", "done"]
+        cit = dict(events[kinds.index("citations")][1])
+        assert [c["ref"] for c in cit["supported"]] == [top_id]
+        assert cit["unsupported"] == ["99999"]
+
+        a = client.post("/rag/answer", json_body={"retrieval_id": rid,
+                                                  "stream": False})
+        cit2 = a.json()["citations"]
+        assert [c["ref"] for c in cit2["supported"]] == [top_id]
+        assert cit2["unsupported"] == ["99999"]
+    finally:
+        app.state.pipeline.llm = old
