@@ -389,12 +389,20 @@ class BatchedDecoderLM:
 
         def step(carry, _):
             cache, tokens, pos, keys, pending, active, hit_eos = carry
+            # trigram-preferred prompt lookup (see spec_decode.py — draft
+            # quality only affects acceptance, never output)
             a_tok = tokens[sidx, jnp.maximum(pos - 1, 0)]
+            a2_tok = tokens[sidx, jnp.maximum(pos - 2, 0)]
             prev = jnp.concatenate([tokens[:, :1], tokens[:, :-1]], axis=1)
-            hit = ((idx_row >= 1) & (idx_row < pos[:, None])
-                   & (prev == a_tok[:, None])
-                   & (tokens == pending[:, None]))
-            j = jnp.max(jnp.where(hit, idx_row, -1), axis=1)
+            prev2 = jnp.concatenate([tokens[:, :2], tokens[:, :-2]], axis=1)
+            hit2 = ((idx_row >= 1) & (idx_row < pos[:, None])
+                    & (prev == a_tok[:, None])
+                    & (tokens == pending[:, None]))
+            hit3 = (hit2 & (idx_row >= 2) & (prev2 == a2_tok[:, None])
+                    & (pos >= 2)[:, None])
+            j3 = jnp.max(jnp.where(hit3, idx_row, -1), axis=1)
+            j2 = jnp.max(jnp.where(hit2, idx_row, -1), axis=1)
+            j = jnp.where(j3 >= 0, j3, j2)
             draft = jax.vmap(
                 lambda row, jj: jax.lax.dynamic_slice(row, (jj + 1,), (k,))
             )(tokens, j)

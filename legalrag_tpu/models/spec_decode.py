@@ -104,13 +104,20 @@ class SpecLookupDecoderLM(JaxDecoderLM):
             cache, tokens, pos, pending, key, c_left, active, hit_eos \
                 = carry
             # --- draft: most recent earlier occurrence of the current
-            # bigram; the k tokens that followed it (garbage if no match —
-            # the verify simply rejects)
+            # trigram (falling back to the bigram); the k tokens that
+            # followed it. Draft quality only affects SPEED — a bad draft
+            # is simply rejected by the verify — so the longer-context
+            # match raises acceptance without touching correctness.
             a_tok = tokens[jnp.maximum(pos - 1, 0)]
+            a2_tok = tokens[jnp.maximum(pos - 2, 0)]
             prev = jnp.concatenate([tokens[:1], tokens[:-1]])  # tokens[i-1]
-            hit = ((idx_row >= 1) & (idx_row < pos)
-                   & (prev == a_tok) & (tokens == pending))
-            j = jnp.max(jnp.where(hit, idx_row, -1))
+            prev2 = jnp.concatenate([tokens[:2], tokens[:-2]])
+            hit2 = ((idx_row >= 1) & (idx_row < pos)
+                    & (prev == a_tok) & (tokens == pending))
+            hit3 = hit2 & (idx_row >= 2) & (prev2 == a2_tok) & (pos >= 2)
+            j3 = jnp.max(jnp.where(hit3, idx_row, -1))
+            j2 = jnp.max(jnp.where(hit2, idx_row, -1))
+            j = jnp.where(j3 >= 0, j3, j2)
             draft = jax.lax.dynamic_slice(tokens, (j + 1,), (k,))
             # --- verify: one forward of [pending, draft] at pos..pos+k
             seq = jnp.concatenate([pending[None], draft])[None, :]
