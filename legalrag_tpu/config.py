@@ -167,6 +167,10 @@ class LLMConfig(BaseModel):
     base_url: Optional[str] = Field(default_factory=lambda: os.environ.get("OPENAI_BASE_URL"))
     temperature: float = 0.3
     top_p: float = 0.9
+    # HF RepetitionPenaltyLogitsProcessor semantics (the reference's
+    # qwen-local passes 1.05); 1.0 = off. Incompatible with spec_k
+    # engines (the client falls back / the batched engine refuses).
+    repetition_penalty: float = 1.0
     max_new_tokens: int = 1024
     max_context_tokens: int = 4096
     request_timeout: float = 30.0

@@ -245,6 +245,13 @@ class LLMClient:
                 pc = getattr(self.cfg, "prefill_chunk", 0)
                 slots = getattr(self.cfg, "batch_slots", 0)
                 spec_k = getattr(self.cfg, "spec_k", 0)
+                if spec_k and getattr(self.cfg, "repetition_penalty",
+                                      1.0) != 1.0:
+                    log.warning("repetition_penalty %.2f disables "
+                                "speculative decoding (incompatible with "
+                                "parallel verification)",
+                                self.cfg.repetition_penalty)
+                    spec_k = 0
                 if slots and slots > 1:
                     # continuous batching: concurrent answer streams share
                     # one batched decode loop (models/batched_decoder.py);
@@ -307,7 +314,9 @@ class LLMClient:
                     ids,
                     max_new_tokens=max_new_tokens or self.cfg.max_new_tokens,
                     temperature=self.cfg.temperature, top_p=self.cfg.top_p,
-                    eos_id=tok.eos_token_id):
+                    eos_id=tok.eos_token_id,
+                    repetition_penalty=getattr(self.cfg,
+                                               "repetition_penalty", 1.0)):
                 out_ids.append(t)
                 text = tok.decode(out_ids, skip_special_tokens=True)
                 if len(text) > len(emitted) and not text.endswith("�"):

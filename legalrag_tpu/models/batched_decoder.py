@@ -61,8 +61,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from legalrag_tpu.models.decoder import (DecoderConfig, PrefixKVCache,
-                                         _top_p_filter, decoder_forward,
-                                         lm_logits, pad_bucket)
+                                         _top_p_filter,
+                                         apply_repetition_penalty,
+                                         decoder_forward, lm_logits,
+                                         pad_bucket)
 from legalrag_tpu.utils import get_logger
 from legalrag_tpu.utils.device import on_device
 from legalrag_tpu.utils.metrics import METRICS
@@ -86,9 +88,11 @@ class _Stream:
     """Host bookkeeping for one in-flight request."""
 
     __slots__ = ("out", "prompt_ids", "max_new", "eos_id", "temperature",
-                 "top_p", "seed", "produced", "cancelled", "error")
+                 "top_p", "seed", "produced", "cancelled", "error",
+                 "repetition_penalty")
 
-    def __init__(self, prompt_ids, max_new, eos_id, temperature, top_p, seed):
+    def __init__(self, prompt_ids, max_new, eos_id, temperature, top_p, seed,
+                 repetition_penalty=1.0):
         self.out: "queue.Queue" = queue.Queue()
         self.prompt_ids = prompt_ids
         self.max_new = max_new
@@ -96,6 +100,7 @@ class _Stream:
         self.temperature = temperature
         self.top_p = top_p
         self.seed = seed
+        self.repetition_penalty = repetition_penalty
         self.produced = 0
         self.cancelled = False
         self.error: Optional[BaseException] = None
@@ -138,6 +143,7 @@ class BatchedDecoderLM:
             self._last = jnp.zeros((n_slots, cfg.vocab_size), jnp.float32)
             self._pos = jnp.zeros((n_slots,), jnp.int32)
             self._keys = jnp.zeros((n_slots, 2), jnp.uint32)
+            self._rep = jnp.zeros((n_slots, cfg.vocab_size), bool)
             if spec_k:
                 self._tokens = jnp.zeros((n_slots, max_len), jnp.int32)
                 self._pend_tok = jnp.zeros((n_slots,), jnp.int32)
@@ -146,10 +152,10 @@ class BatchedDecoderLM:
         # launch; the small per-slot control vectors (temp/top_p/eos/limit/
         # active) live host-side and ride each dispatch
         self._prefill_fn = jax.jit(self._prefill,
-                                   donate_argnums=(1, 2, 3, 4))
+                                   donate_argnums=(1, 2, 3, 4, 5))
         self._decode_fn = jax.jit(self._decode_chunk,
                                   static_argnames=("n_steps",),
-                                  donate_argnums=(1, 2, 3, 4))
+                                  donate_argnums=(1, 2, 3, 4, 5))
         if spec_k:
             self._spec_prefill_fn = jax.jit(self._spec_prefill,
                                             donate_argnums=(1, 2, 3, 4, 5))
@@ -157,7 +163,8 @@ class BatchedDecoderLM:
                                            donate_argnums=(1, 2, 3, 4, 5))
         if prefix_cache:
             self._prefill_prefix_fn = jax.jit(self._prefill_prefix,
-                                              donate_argnums=(1, 2, 3, 4))
+                                              donate_argnums=(1, 2, 3, 4,
+                                                              5))
             self._extract_slot_rows_fn = jax.jit(self._extract_slot_rows,
                                                  static_argnames=("tb",))
             if spec_k:
@@ -200,8 +207,8 @@ class BatchedDecoderLM:
                  jnp.zeros((self.n_slots, self.max_len, hkv, d), dt))
                 for _ in range(self.cfg.num_hidden_layers)]
 
-    def _prefill(self, params, cache, last, pos, keys, ids, slot, true_len,
-                 key_row):
+    def _prefill(self, params, cache, last, pos, keys, rep, ids, slot,
+                 true_len, key_row, mask_row):
         """B=1 prefill of ``ids`` [1, L] into ``slot``'s cache rows.
 
         L is the (right-padded) bucket length; the last *real* token's
@@ -223,7 +230,8 @@ class BatchedDecoderLM:
             last, last_row.astype(last.dtype), (slot, 0))
         pos = pos.at[slot].set(true_len)
         keys = keys.at[slot].set(key_row)
-        return cache, last, pos, keys
+        rep = rep.at[slot].set(mask_row)
+        return cache, last, pos, keys, rep
 
     @staticmethod
     def _write_slot_rows(cache, row_cache, slot):
@@ -277,8 +285,9 @@ class BatchedDecoderLM:
             hidden, (0, true_sfx - 1, 0), (1, 1, hidden.shape[-1]))
         return cache, lm_logits(params, self.cfg, hrow)[:, 0]
 
-    def _prefill_prefix(self, params, cache, last, pos, keys, prefix_rows,
-                        p_len, ids_sfx, slot, true_sfx, key_row):
+    def _prefill_prefix(self, params, cache, last, pos, keys, rep,
+                        prefix_rows, p_len, ids_sfx, slot, true_sfx,
+                        key_row, mask_row):
         cache, last_row = self._prefix_forward(params, cache, prefix_rows,
                                                p_len, ids_sfx, slot,
                                                true_sfx)
@@ -286,7 +295,8 @@ class BatchedDecoderLM:
             last, last_row.astype(last.dtype), (slot, 0))
         pos = pos.at[slot].set(p_len + true_sfx)
         keys = keys.at[slot].set(key_row)
-        return cache, last, pos, keys
+        rep = rep.at[slot].set(mask_row)
+        return cache, last, pos, keys, rep
 
     def _spec_prefill_prefix(self, params, cache, tokens, pos, keys,
                              pending, prefix_rows, p_len, ids_sfx, full_ids,
@@ -303,8 +313,8 @@ class BatchedDecoderLM:
         pending = pending.at[slot].set(tok)
         return cache, tokens, pos, keys, pending, tok
 
-    def _decode_chunk(self, params, cache, last, pos, keys, temp, top_p,
-                      eos_ids, limit, active, n_steps: int):
+    def _decode_chunk(self, params, cache, last, pos, keys, rep, temp,
+                      top_p, pen, eos_ids, limit, active, n_steps: int):
         """``n_steps`` batched sample+decode steps in ONE program.
 
         Per step, per slot: sample a token from ``last`` (greedy when
@@ -316,11 +326,12 @@ class BatchedDecoderLM:
         max_len = self.max_len
 
         def step(carry, _):
-            cache, last, pos, keys, active = carry
+            cache, last, pos, keys, rep, active = carry
             splits = jax.vmap(jax.random.split)(keys)        # [S, 2, 2]
             next_keys, subs = splits[:, 0], splits[:, 1]
-            gtok = jnp.argmax(last, axis=-1).astype(jnp.int32)
-            scaled = last / jnp.maximum(temp, 1e-6)[:, None]
+            scored = apply_repetition_penalty(last, rep, pen[:, None])
+            gtok = jnp.argmax(scored, axis=-1).astype(jnp.int32)
+            scaled = scored / jnp.maximum(temp, 1e-6)[:, None]
             stok = _sample_top_p_per_slot(scaled, top_p, subs)
             tok = jnp.where(temp > 0, stok, gtok)
             emit = jnp.where(active, tok, -1)
@@ -336,14 +347,16 @@ class BatchedDecoderLM:
             keep = active[:, None]
             last2 = jnp.where(keep, logits[:, -1], last)
             keys2 = jnp.where(keep, next_keys, keys)
+            rep2 = rep.at[jnp.arange(tok.shape[0]), tok].set(True)
             hit_eos = active & (tok == eos_ids)
             pos2 = pos + active.astype(jnp.int32)
             active2 = active & ~hit_eos & (pos2 < limit)
-            return (new_cache, last2, pos2, keys2, active2), emit
+            return (new_cache, last2, pos2, keys2, rep2, active2), emit
 
-        (cache, last, pos, keys, active), toks = jax.lax.scan(
-            step, (cache, last, pos, keys, active), None, length=n_steps)
-        return toks, cache, last, pos, keys, active
+        (cache, last, pos, keys, rep, active), toks = jax.lax.scan(
+            step, (cache, last, pos, keys, rep, active), None,
+            length=n_steps)
+        return toks, cache, last, pos, keys, rep, active
 
     # --------------------------------------------- speculative (spec_k > 0)
     def _spec_prefill(self, params, cache, tokens, pos, keys, pending, ids,
@@ -508,26 +521,29 @@ class BatchedDecoderLM:
 
     def _admit(self, st: _Stream, slot: int) -> None:
         ids = st.prompt_ids
+        mask_row = np.zeros(self.cfg.vocab_size, bool)
+        mask_row[ids] = True   # repetition-penalty history = the prompt
         hit = self._prefix.match(ids, self.max_len) if self._prefix else None
         if hit is not None:
             rows, l, sb = hit
             sfx = ids[l:] + [0] * (sb - (len(ids) - l))
-            self._cache, self._last, self._pos, self._keys = \
-                self._prefill_prefix_fn(
+            (self._cache, self._last, self._pos, self._keys,
+             self._rep) = self._prefill_prefix_fn(
                     self.params, self._cache, self._last, self._pos,
-                    self._keys, rows, jnp.int32(l),
+                    self._keys, self._rep, rows, jnp.int32(l),
                     jnp.asarray([sfx], jnp.int32), jnp.int32(slot),
-                    jnp.int32(len(ids) - l), jax.random.PRNGKey(st.seed))
+                    jnp.int32(len(ids) - l), jax.random.PRNGKey(st.seed),
+                    jnp.asarray(mask_row))
         else:
             bucket = pad_bucket(len(ids), lo=self._PAD_BUCKET_MIN,
                                 hi=self.max_len)
             padded = ids + [0] * (bucket - len(ids))
-            self._cache, self._last, self._pos, self._keys = \
-                self._prefill_fn(
+            (self._cache, self._last, self._pos, self._keys,
+             self._rep) = self._prefill_fn(
                     self.params, self._cache, self._last, self._pos,
-                    self._keys, jnp.asarray([padded], jnp.int32),
+                    self._keys, self._rep, jnp.asarray([padded], jnp.int32),
                     jnp.int32(slot), jnp.int32(len(ids)),
-                    jax.random.PRNGKey(st.seed))
+                    jax.random.PRNGKey(st.seed), jnp.asarray(mask_row))
         self._store_prefix(ids, slot)
         self._slots[slot] = st
 
@@ -535,6 +551,7 @@ class BatchedDecoderLM:
         s = self.n_slots
         temp = np.zeros(s, np.float32)
         top_p = np.full(s, 0.9, np.float32)
+        pen = np.ones(s, np.float32)
         eos = np.full(s, -1, np.int32)
         limit = np.zeros(s, np.int32)
         active = np.zeros(s, bool)
@@ -543,11 +560,12 @@ class BatchedDecoderLM:
                 continue
             temp[i] = st.temperature
             top_p[i] = st.top_p
+            pen[i] = st.repetition_penalty
             eos[i] = -1 if st.eos_id is None else st.eos_id
             limit[i] = min(len(st.prompt_ids) + st.max_new, self.max_len)
             active[i] = True
-        return (jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(eos),
-                jnp.asarray(limit), jnp.asarray(active))
+        return (jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(pen),
+                jnp.asarray(eos), jnp.asarray(limit), jnp.asarray(active))
 
     def _finish(self, slot: int) -> None:
         st = self._slots[slot]
@@ -614,7 +632,7 @@ class BatchedDecoderLM:
                 self._pending = pending
         if not any(s is not None for s in self._slots):
             return
-        temp, top_p, eos, limit, active = self._control_vectors()
+        temp, top_p, pen, eos, limit, active = self._control_vectors()
         occ = sum(s is not None for s in self._slots)
         engine = "batched-spec" if self.spec_k else "batched"
         METRICS.inc("legalrag_gen_launches", engine=engine,
@@ -648,10 +666,11 @@ class BatchedDecoderLM:
             METRICS.inc("legalrag_gen_tokens", n_launch_toks,
                         engine="batched-spec")
             return
-        toks, self._cache, self._last, self._pos, self._keys, _ = \
+        (toks, self._cache, self._last, self._pos, self._keys,
+         self._rep, _) = \
             self._decode_fn(self.params, self._cache, self._last, self._pos,
-                            self._keys, temp, top_p, eos, limit, active,
-                            n_steps=self.decode_chunk)
+                            self._keys, self._rep, temp, top_p, pen, eos,
+                            limit, active, n_steps=self.decode_chunk)
         toks_host = np.asarray(toks)                         # [n_steps, S]
         n_launch_toks = 0
         for i, st in enumerate(self._slots):
@@ -676,10 +695,17 @@ class BatchedDecoderLM:
     def generate_stream(self, prompt_ids: List[int],
                         max_new_tokens: int = 256, temperature: float = 0.0,
                         top_p: float = 0.9, eos_id: Optional[int] = None,
-                        seed: int = 0) -> Iterator[int]:
+                        seed: int = 0,
+                        repetition_penalty: float = 1.0) -> Iterator[int]:
         """Same contract as ``JaxDecoderLM.generate_stream``, but any number
         of threads may stream concurrently — requests join the shared batch
         as slots free up (FIFO admission)."""
+        if self.spec_k and repetition_penalty != 1.0:
+            raise ValueError(
+                "repetition_penalty is incompatible with batched "
+                "speculation (each verify target would depend on the "
+                "drafts accepted before it); use spec_k=0 for penalized "
+                "decoding")
         t = len(prompt_ids)
         if t >= self.max_len:
             raise ValueError(
@@ -699,7 +725,7 @@ class BatchedDecoderLM:
                         self.spec_k)
             max_new_tokens = budget
         st = _Stream(list(prompt_ids), max_new_tokens, eos_id,
-                     temperature, top_p, seed)
+                     temperature, top_p, seed, repetition_penalty)
         with self._cond:
             if self._closed:
                 raise RuntimeError("BatchedDecoderLM is closed")

@@ -752,34 +752,38 @@ class JaxDecoderLM:
         return logits[:, -1], cache
 
     def _chunk(self, params, last, pos0, cache, key, temperature, top_p,
-               n_steps: int, greedy: bool):
+               rep_mask, penalty, n_steps: int, greedy: bool):
         """``n_steps`` sample+decode steps in ONE program (lax.scan):
-        returns (tokens [n_steps, B], last logits, cache, key). Token
-        semantics match the per-token loop exactly for greedy decoding and
-        for sampling given the same key sequence."""
+        returns (tokens [n_steps, B], last logits, cache, key, rep_mask).
+        Token semantics match the per-token loop exactly for greedy
+        decoding and for sampling given the same key sequence.
+        ``rep_mask [B, V]`` marks already-seen tokens for the repetition
+        penalty (a bitwise no-op at penalty 1.0)."""
 
         def step(carry, _):
-            last, pos, cache, key = carry
+            last, pos, cache, key, rep_mask = carry
+            scored = apply_repetition_penalty(last, rep_mask, penalty)
             if greedy:
-                tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
+                tok = jnp.argmax(scored, axis=-1).astype(jnp.int32)
             else:
                 key, sub = jax.random.split(key)
-                tok = _sample_top_p(last / temperature, top_p, sub)
+                tok = _sample_top_p(scored / temperature, top_p, sub)
+            rep_mask = rep_mask.at[jnp.arange(tok.shape[0]), tok].set(True)
             positions = jnp.full((tok.shape[0], 1), pos, jnp.int32)
             logits, cache = decoder_forward(params, self.cfg, tok[:, None],
                                             positions, kv_cache=cache,
                                             cache_len=pos)
-            return (logits[:, -1], pos + 1, cache, key), tok
+            return (logits[:, -1], pos + 1, cache, key, rep_mask), tok
 
-        (last, _, cache, key), toks = jax.lax.scan(
-            step, (last, jnp.asarray(pos0, jnp.int32), cache, key), None,
-            length=n_steps)
-        return toks, last, cache, key
+        (last, _, cache, key, rep_mask), toks = jax.lax.scan(
+            step, (last, jnp.asarray(pos0, jnp.int32), cache, key, rep_mask),
+            None, length=n_steps)
+        return toks, last, cache, key, rep_mask
 
     def generate_stream(self, prompt_ids: List[int], max_new_tokens: int = 256,
                         temperature: float = 0.0, top_p: float = 0.9,
-                        eos_id: Optional[int] = None, seed: int = 0
-                        ) -> Iterator[int]:
+                        eos_id: Optional[int] = None, seed: int = 0,
+                        repetition_penalty: float = 1.0) -> Iterator[int]:
         """Yields token ids; prefill then per-token jitted decode steps."""
         t = len(prompt_ids)
         if t >= self.max_len:
@@ -802,14 +806,18 @@ class JaxDecoderLM:
             greedy = not temperature > 0
             temp = jnp.float32(max(temperature, 1e-6))
             tp = jnp.float32(top_p)
+            pen = jnp.float32(repetition_penalty)
+            mask0 = np.zeros((1, self.cfg.vocab_size), bool)
+            mask0[0, list(prompt_ids)] = True
+            rep_mask = jnp.asarray(mask0)
             pos, produced = t, 0
             # full chunks via ONE scan program per launch; the sub-chunk
             # tail falls back to per-token steps so the program set stays
             # {chunk, 1} regardless of max_new_tokens
             while produced + self.decode_chunk <= max_new_tokens:
-                toks, last, cache, key = self._decode_chunk_fn(
-                    self.params, last, pos, cache, key, temp, tp,
-                    n_steps=self.decode_chunk, greedy=greedy)
+                toks, last, cache, key, rep_mask = self._decode_chunk_fn(
+                    self.params, last, pos, cache, key, temp, tp, rep_mask,
+                    pen, n_steps=self.decode_chunk, greedy=greedy)
                 pos += self.decode_chunk
                 produced += self.decode_chunk
                 for tok_host in np.asarray(toks)[:, 0].tolist():
@@ -817,11 +825,13 @@ class JaxDecoderLM:
                         return
                     yield int(tok_host)
             for i in range(max_new_tokens - produced):
+                scored = apply_repetition_penalty(last, rep_mask, pen)
                 if greedy:
-                    tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
+                    tok = jnp.argmax(scored, axis=-1).astype(jnp.int32)
                 else:
                     key, sub = jax.random.split(key)
-                    tok = _sample_top_p(last / temp, tp, sub)
+                    tok = _sample_top_p(scored / temp, tp, sub)
+                rep_mask = rep_mask.at[0, tok[0]].set(True)
                 tok_host = int(tok[0])
                 if eos_id is not None and tok_host == eos_id:
                     return
@@ -829,6 +839,17 @@ class JaxDecoderLM:
                 if produced + i + 1 < max_new_tokens:  # final logits unused
                     last, cache = self._decode_step(
                         self.params, tok[:, None], jnp.int32(pos + i), cache)
+
+
+def apply_repetition_penalty(logits: jax.Array, seen_mask: jax.Array,
+                             penalty) -> jax.Array:
+    """HF ``RepetitionPenaltyLogitsProcessor`` semantics: for every token
+    already seen (prompt + generated), positive logits divide by the
+    penalty and negative logits multiply by it. ``penalty == 1.0`` is a
+    bitwise identity, so engines apply it unconditionally with one
+    program. ``logits [..., V]``, ``seen_mask [..., V]`` bool."""
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen_mask, penalized, logits)
 
 
 def _top_p_filter(logits: jax.Array, top_p: jax.Array) -> jax.Array:

@@ -174,9 +174,10 @@ class SpecLookupDecoderLM(JaxDecoderLM):
     def generate_stream(self, prompt_ids: List[int],
                         max_new_tokens: int = 256, temperature: float = 0.0,
                         top_p: float = 0.9, eos_id: Optional[int] = None,
-                        seed: int = 0) -> Iterator[int]:
+                        seed: int = 0,
+                        repetition_penalty: float = 1.0) -> Iterator[int]:
         gen = self._generate_impl(prompt_ids, max_new_tokens, temperature,
-                                  top_p, eos_id, seed)
+                                  top_p, eos_id, seed, repetition_penalty)
         try:
             yield from gen
         finally:
@@ -194,10 +195,15 @@ class SpecLookupDecoderLM(JaxDecoderLM):
     def _generate_impl(self, prompt_ids: List[int],
                        max_new_tokens: int = 256, temperature: float = 0.0,
                        top_p: float = 0.9, eos_id: Optional[int] = None,
-                       seed: int = 0) -> Iterator[int]:
-        if self.spec_k <= 0:
+                       seed: int = 0,
+                       repetition_penalty: float = 1.0) -> Iterator[int]:
+        if self.spec_k <= 0 or repetition_penalty != 1.0:
+            # a repetition penalty makes every target depend on the tokens
+            # accepted before it WITHIN the verify window — incompatible
+            # with parallel verification; fall back to plain decoding
             yield from super().generate_stream(
-                prompt_ids, max_new_tokens, temperature, top_p, eos_id, seed)
+                prompt_ids, max_new_tokens, temperature, top_p, eos_id,
+                seed, repetition_penalty)
             return
         t = len(prompt_ids)
         if t >= self.max_len:
