@@ -19,7 +19,6 @@ equivalence, and determinism.
 
 from __future__ import annotations
 
-import functools
 import json
 import math
 from pathlib import Path
