@@ -12,6 +12,11 @@ import os
 os.environ.setdefault("XLA_FLAGS",
                       os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8")
 os.environ["LEGALRAG_FORCE_CPU"] = "1"
+# The suite (and every subprocess it spawns — CLI e2e, multihost workers)
+# is CPU-only: scrub the TPU relay plugin from the inherited env so child
+# processes neither pay its handshake nor hang when the relay is down.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import sys
 from pathlib import Path
@@ -19,9 +24,14 @@ from pathlib import Path
 import jax
 import pytest
 
-# The axon TPU plugin force-registers itself and wins the default-backend
-# race even with JAX_PLATFORMS=cpu; pin the default device so all jitted
-# code in tests runs on (8 virtual) CPU devices with f32 exactness.
+# The suite is CPU-only by design. Restrict backend init to the CPU
+# platform BEFORE the first backend use: initializing the axon TPU plugin
+# would (a) waste the relay handshake per test process and (b) block ~28
+# minutes and then raise when the relay is down (observed round 3) —
+# jax.devices("cpu") alone still initializes every registered platform.
+jax.config.update("jax_platforms", "cpu")
+# Pin the default device so all jitted code in tests runs on (8 virtual)
+# CPU devices with f32 exactness.
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 REPO = Path(__file__).resolve().parent.parent
