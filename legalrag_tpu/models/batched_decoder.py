@@ -74,14 +74,12 @@ log = get_logger("models.batched_decoder")
 
 def _sample_top_p_per_slot(logits: jax.Array, top_p: jax.Array,
                            keys: jax.Array) -> jax.Array:
-    """Per-slot nucleus sampling: logits [S, V], top_p [S], keys [S, 2]."""
-    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    cutoff_idx = jnp.sum(cum < top_p[:, None], axis=-1)
-    cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
-    filtered = jnp.where(logits >= cutoff, logits, -1e30)
-    return jax.vmap(jax.random.categorical)(keys, filtered).astype(jnp.int32)
+    """Per-slot nucleus sampling: logits [S, V], top_p [S], keys [S, 2].
+    One vmap over the shared single-row filter so the nucleus semantics
+    cannot diverge between engines."""
+    return jax.vmap(
+        lambda l, tp, k: jax.random.categorical(k, _top_p_filter(l, tp))
+    )(logits, top_p, keys).astype(jnp.int32)
 
 
 class _Stream:
@@ -173,6 +171,7 @@ class BatchedDecoderLM:
                     donate_argnums=(1, 2, 3, 4, 5))
 
         self._slots: List[Optional[_Stream]] = [None] * n_slots
+        self._admitted_firsts: List = []  # spec-mode deferred first tokens
         self._pending: "deque[_Stream]" = deque()
         self._cond = threading.Condition()
         self._closed = False
@@ -497,18 +496,12 @@ class BatchedDecoderLM:
                 jax.random.PRNGKey(st.seed), jnp.float32(st.temperature),
                 jnp.float32(st.top_p))
         self._store_prefix(ids, slot)
-        first = int(tok)
-        if st.eos_id is not None and first == st.eos_id:
-            st.out.put(None)
-            return
-        st.produced = 1
-        METRICS.inc("legalrag_gen_tokens", 1, engine="batched-spec")
-        if not st.cancelled:
-            st.out.put(first)
-        if st.produced >= st.max_new:
-            st.out.put(None)
-            return
+        # do NOT sync on the first token here — the fetch happens after
+        # the tick dispatches the decode launch, overlapping the round
+        # trip with device execution (the slot is installed now so the
+        # launch includes it; a first-token EOS discards its row)
         self._slots[slot] = st
+        self._admitted_firsts.append((st, slot, tok))
 
     # --------------------------------------------------------------- worker
     def _store_prefix(self, ids: List[int], slot: int) -> None:
@@ -595,6 +588,7 @@ class BatchedDecoderLM:
                 for st in list(pending):
                     st.error = e
                     st.out.put(None)
+                self._admitted_firsts.clear()
                 for i in range(self.n_slots):
                     st = self._slots[i]
                     if st is not None:
@@ -642,6 +636,22 @@ class BatchedDecoderLM:
              self._pend_tok, hit_eos) = self._spec_decode_fn(
                 self.params, self._cache, self._tokens, self._pos,
                 self._keys, self._pend_tok, temp, top_p, eos, limit, active)
+            # deferred admission first tokens: the int() syncs overlap the
+            # decode execution just dispatched above
+            for st, slot, tok_dev in self._admitted_firsts:
+                if self._slots[slot] is not st:
+                    continue
+                first = int(tok_dev)
+                if st.eos_id is not None and first == st.eos_id:
+                    self._finish(slot)   # discards this launch's row
+                    continue
+                st.produced = 1
+                METRICS.inc("legalrag_gen_tokens", 1, engine="batched-spec")
+                if not st.cancelled:
+                    st.out.put(first)
+                if st.produced >= st.max_new:
+                    self._finish(slot)
+            self._admitted_firsts.clear()
             em_host = np.asarray(em)                 # [spec_steps, S, k+1]
             eos_host = np.asarray(hit_eos)
             n_launch_toks = 0
@@ -733,10 +743,24 @@ class BatchedDecoderLM:
             self._cond.notify()
         try:
             while True:
-                # liveness guard: tokens arrive at least once per decode
-                # chunk while the worker is healthy; a multi-minute gap
-                # means the engine died without failing this stream
-                item = st.out.get(timeout=600)
+                # liveness guard: poll in short slices and check the
+                # worker thread is alive — a healthy COLD start can take
+                # up to ~12 min loading programs onto a remote relay
+                # (docs/operations.md), so a fixed short timeout would
+                # spuriously kill first streams; a dead worker fails fast
+                waited = 0.0
+                while True:
+                    try:
+                        item = st.out.get(timeout=30)
+                        break
+                    except queue.Empty:
+                        waited += 30
+                        if not self._worker.is_alive():
+                            raise RuntimeError(
+                                "decode worker died") from st.error
+                        if waited >= 1800:
+                            raise RuntimeError(
+                                "generation stalled for 30 minutes")
                 if item is None:
                     if st.error is not None:
                         raise RuntimeError(

@@ -176,12 +176,16 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                         top_p: float = 0.9, eos_id: Optional[int] = None,
                         seed: int = 0,
                         repetition_penalty: float = 1.0) -> Iterator[int]:
+        # the stats dict is created here and passed down so concurrent
+        # misuse can't cross-wire the metrics; last_stats is a snapshot
+        stats = {"launches": 0, "tokens": 0, "spec_rounds": 0}
         gen = self._generate_impl(prompt_ids, max_new_tokens, temperature,
-                                  top_p, eos_id, seed, repetition_penalty)
+                                  top_p, eos_id, seed, repetition_penalty,
+                                  stats)
         try:
             yield from gen
         finally:
-            st = self.last_stats
+            st = stats
             if st.get("tokens"):
                 from legalrag_tpu.utils.metrics import METRICS
 
@@ -196,7 +200,8 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                        max_new_tokens: int = 256, temperature: float = 0.0,
                        top_p: float = 0.9, eos_id: Optional[int] = None,
                        seed: int = 0,
-                       repetition_penalty: float = 1.0) -> Iterator[int]:
+                       repetition_penalty: float = 1.0,
+                       stats: Optional[Dict] = None) -> Iterator[int]:
         if self.spec_k <= 0 or repetition_penalty != 1.0:
             # a repetition penalty makes every target depend on the tokens
             # accepted before it WITHIN the verify window — incompatible
@@ -215,7 +220,8 @@ class SpecLookupDecoderLM(JaxDecoderLM):
             log.warning("max_new_tokens %d exceeds cache budget %d; clamping",
                         max_new_tokens, budget)
             max_new_tokens = budget
-        stats = {"launches": 0, "tokens": 0, "spec_rounds": 0}
+        if stats is None:
+            stats = {"launches": 0, "tokens": 0, "spec_rounds": 0}
         self.last_stats = stats
         greedy = not temperature > 0
         with on_device(self.device):

@@ -39,9 +39,12 @@ def _spec_for(path: str, ndim: int, cfg: DecoderConfig, tp: int) -> P:
     # still correct under GSPMD but forces a reshard inside attention
     col = cfg.num_attention_heads % tp == 0
     kv_col = cfg.num_key_value_heads % tp == 0
-    ff = (cfg.moe_intermediate_size
-          if cfg.num_experts else cfg.intermediate_size)
-    ff_col = ff % tp == 0
+    # plain gate/up/down leaves exist only on DENSE layers (in MoE models
+    # too: Qwen2-MoE mixes dense and sparse layers), so their sharding
+    # gates on intermediate_size; stacked expert weights take the ndim==3
+    # branch below. (A real Mixtral config has no moe_intermediate_size —
+    # never read it here.)
+    ff_col = cfg.intermediate_size % tp == 0
     if path.endswith("q.kernel"):
         return P(None, MODEL_AXIS) if col else P()
     if path.endswith(("k.kernel", "v.kernel")):

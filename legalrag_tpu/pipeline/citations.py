@@ -22,22 +22,32 @@ from legalrag_tpu.corpus.preprocess import normalize_article_no
 from legalrag_tpu.schemas import RetrievalHit
 
 _ZH_REF = re.compile(r"第[零一二两三四五六七八九十百千万\d]+条")
-# en: "§ 2-201", "Section 2-201", "Article 9" (UCC hyphenated sections
-# dominate; a bare "Article N" names a UCC article, matched as a prefix)
-_EN_SEC = re.compile(r"(?:§|[Ss]ection)\s*(\d+[A-Za-z]?-\d+[a-zA-Z]?)")
+# en: "§ 2-201", "Section 2-201" (hyphen or typographic dash — the corpus
+# normalizer accepts all three, corpus/preprocess.py), and bare
+# "Article 9", which names a whole UCC article and is verified as a
+# prefix of the hits' section ids
+_EN_SEC = re.compile(r"(?:§|[Ss]ection)\s*(\d+[A-Za-z]?)[-–—](\d+[a-zA-Z]?)")
 _EN_ART = re.compile(r"[Aa]rticle\s+(\d+[A-Za-z]?)\b")
 
 
 def extract_article_refs(text: str) -> List[str]:
-    """Normalized, order-preserving, deduplicated refs found in ``text``."""
+    """Normalized, order-preserving, deduplicated refs found in ``text``.
+
+    en article-level refs are returned as ``Article N`` (section refs and
+    zh article ids are bare)."""
     refs: List[str] = []
     for m in _ZH_REF.finditer(text):
         norm = normalize_article_no(m.group(0), "zh")
         if norm and norm not in refs:
             refs.append(norm)
     for m in _EN_SEC.finditer(text):
-        if m.group(1) not in refs:
-            refs.append(m.group(1))
+        ref = f"{m.group(1)}-{m.group(2)}"
+        if ref not in refs:
+            refs.append(ref)
+    for m in _EN_ART.finditer(text):
+        ref = f"Article {m.group(1)}"
+        if ref not in refs:
+            refs.append(ref)
     return refs
 
 
@@ -61,6 +71,13 @@ def verify_citations(text: str, hits: Sequence[RetrievalHit]) -> Dict:
     supported, unsupported = [], []
     for ref in extract_article_refs(text):
         hit = by_id.get(ref)
+        if hit is None and ref.startswith("Article "):
+            # article-level en ref: supported if any hit's section id
+            # belongs to that article ("Article 2" ⊇ "2-201")
+            art = ref.split(" ", 1)[1]
+            hit = next((h for h in hits
+                        if str(h.chunk.article_id).split("-")[0] == art),
+                       None)
         if hit is not None:
             supported.append({"ref": ref,
                               "article_id": str(hit.chunk.article_id),

@@ -44,3 +44,12 @@ def test_verify_en_hits():
 def test_no_refs_yields_empty_lists():
     out = verify_citations("本案应当综合判断。", [_hit("1")])
     assert out == {"supported": [], "unsupported": []}
+
+
+def test_en_article_level_and_dash_refs():
+    hits = [_hit("2-201", lang="en", article_no="§ 2-201")]
+    # en-dash section ref + article-level ref supported via prefix
+    out = verify_citations("Under § 2–201 and Article 2; but Article 9 "
+                           "does not apply.", hits)
+    assert [c["ref"] for c in out["supported"]] == ["2-201", "Article 2"]
+    assert out["unsupported"] == ["Article 9"]
