@@ -163,6 +163,11 @@ def main() -> None:
     n_queries = (128 if os.environ.get("LEGALRAG_TPU_DOWN") == "1"
                  else N_QUERIES)  # keep the CPU fallback bounded
     queries, gold = make_queries(bundle, n_queries)
+    if len(queries) > BATCH:
+        # uniform batches only: a smaller-bucketed tail batch would break
+        # the single stacked-rows fetch in one_pass
+        keep = len(queries) // BATCH * BATCH
+        queries, gold = queries[:keep], gold[:keep]
     batches = [queries[i:i + BATCH] for i in range(0, len(queries), BATCH)]
 
     engine = FusedQueryEngine(bundle, cfg.with_lang("zh"))

@@ -39,12 +39,18 @@ DEGRADED_ANSWER = {
           "unavailable; showing retrieved provisions only.)",
 }
 
-_NO_SAMPLING_FAMILIES = ("gpt-5", "o1", "o3", "thinking")
-
 
 def _is_reasoning_model(model: str) -> bool:
+    """gpt-5/o1/o3/"thinking" families reject sampling params (reference
+    client.py:28-41). o1/o3 match as whole name segments — a bare
+    substring test would misclassify names that merely contain the
+    letters (e.g. "turbo1" served via an OpenAI-compatible base_url)."""
+    import re as _re
+
     m = (model or "").lower()
-    return any(f in m for f in _NO_SAMPLING_FAMILIES)
+    if "gpt-5" in m or "thinking" in m:
+        return True
+    return any(seg in ("o1", "o3") for seg in _re.split(r"[^a-z0-9]+", m))
 
 
 class LLMUnavailable(RuntimeError):
@@ -62,14 +68,18 @@ class LLMClient:
         self.provider = cfg.provider
         if self.provider == "openai" and not self.api_key:
             self.provider = "disabled"
-        self._local = None  # lazy transformers pipeline
+        self._local = None  # lazy local engine (torch or JAX)
+        # serving threads share this client; without the lock two first
+        # requests would each load the model (minutes + GBs on device)
+        self._load_lock = threading.Lock()
 
     # ------------------------------------------------------------ factories
     @classmethod
     def from_config(cls, cfg: AppConfig) -> "LLMClient":
-        if cls._singleton is None or cls._singleton.cfg is not cfg.llm:
-            cls._singleton = cls(cfg.llm)
-        return cls._singleton
+        with cls._cache_lock:
+            if cls._singleton is None or cls._singleton.cfg is not cfg.llm:
+                cls._singleton = cls(cfg.llm)
+            return cls._singleton
 
     @classmethod
     def from_config_with_key(cls, cfg: AppConfig, user_key: str) -> "LLMClient":
@@ -110,19 +120,30 @@ class LLMClient:
     def chat_stream(self, messages: List[Message], tag: str = "chat",
                     max_new_tokens: Optional[int] = None
                     ) -> Generator[str, None, None]:
+        yielded = False
         try:
-            if self.provider == "openai":
-                yield from self._stream_openai(messages, max_new_tokens)
-                return
-            if self.provider == "local":
-                yield from self._stream_local(messages, max_new_tokens)
-                return
-            if self.provider == "local-jax":
-                yield from self._stream_jax(messages, max_new_tokens)
+            streams = {"openai": self._stream_openai,
+                       "local": self._stream_local,
+                       "local-jax": self._stream_jax}
+            fn = streams.get(self.provider)
+            if fn is not None:
+                for chunk in fn(messages, max_new_tokens):
+                    yielded = True
+                    yield chunk
                 return
         except Exception as e:
             log.warning("[%s] llm stream %s failed: %s", get_request_id(), tag, e)
-        yield self.degraded_answer(messages)
+        if yielded:
+            # a provider died mid-answer: appending the full "no model is
+            # configured" boilerplate after half an answer reads as
+            # contradictory — mark the truncation instead
+            from legalrag_tpu.utils import has_chinese
+
+            text = " ".join(m.get("content", "") for m in messages)
+            yield ("……（生成中断）" if has_chinese(text)
+                   else " … (generation interrupted)")
+        else:
+            yield self.degraded_answer(messages)
 
     def degraded_answer(self, messages: List[Message]) -> str:
         text = " ".join(m.get("content", "") for m in messages)
@@ -195,6 +216,10 @@ class LLMClient:
 
     # ---------------------------------------------------------------- local
     def _load_local(self):
+        with self._load_lock:
+            return self._load_local_locked()
+
+    def _load_local_locked(self):
         if self._local is None:
             try:
                 import torch
@@ -234,6 +259,10 @@ class LLMClient:
     def _load_jax_lm(self):
         """TPU-native decoder (models/decoder.py): generation on the same
         chip as retrieval — no torch in the serving path."""
+        with self._load_lock:
+            return self._load_jax_lm_locked()
+
+    def _load_jax_lm_locked(self):
         if self._local is None:
             try:
                 # cache sized so a full-context prompt can still generate
@@ -322,6 +351,14 @@ class LLMClient:
                 if len(text) > len(emitted) and not text.endswith("�"):
                     yield text[len(emitted):]
                     emitted = text
+            # flush the withheld tail: the incremental loop holds chunks
+            # back while the byte stream ends in a partial UTF-8 char, and
+            # the stream can END there (eos/budget right after the first
+            # half of a multi-token character — common for zh under BPE)
+            final = tok.decode(out_ids, skip_special_tokens=True)
+            if len(final) > len(emitted):
+                yield final[len(emitted):]
+                emitted = final
         finally:
             from legalrag_tpu.utils.metrics import METRICS
 
@@ -336,8 +373,11 @@ class LLMClient:
 
         tok, model = self._load_local()
         inputs = self._local_inputs(tok, messages).to(model.device)
+        # timeout: a generate() exception otherwise dies silently in the
+        # daemon thread and the consumer blocks forever
         streamer = TextIteratorStreamer(tok, skip_prompt=True,
-                                        skip_special_tokens=True)
+                                        skip_special_tokens=True,
+                                        timeout=300.0)
         kwargs = dict(**inputs, streamer=streamer,
                       max_new_tokens=max_new_tokens or self.cfg.max_new_tokens,
                       do_sample=self.cfg.temperature > 0,

@@ -597,10 +597,13 @@ class JaxDecoderLM:
         # runs a lax.scan of `decode_chunk` steps per launch and streams
         # chunk-by-chunk (1 = per-token, the reference-style loop)
         self.decode_chunk = max(1, decode_chunk)
-        self._decode_step = jax.jit(self._step)
+        # donate the KV cache (and the other consumed carries) so XLA
+        # aliases instead of copying the full cache every decode launch
+        self._decode_step = jax.jit(self._step, donate_argnums=(3,))
         self._decode_chunk_fn = jax.jit(self._chunk,
                                         static_argnames=("n_steps",
-                                                         "greedy"))
+                                                         "greedy"),
+                                        donate_argnums=(1, 3, 4, 7))
         # prefill is ONE program per prompt bucket (right-padded): eager
         # prefill costs hundreds of dispatches on remote-relay backends,
         # and the in-jit last-row LM head saves the T×H×V logits matmul
