@@ -128,3 +128,33 @@ def test_prompt_too_long_raises(tiny):
     spec = SpecLookupDecoderLM(params, cfg, max_len=16, spec_k=4)
     with pytest.raises(ValueError):
         list(spec.generate_stream(list(range(1, 20)), max_new_tokens=2))
+
+
+def test_sampled_spec_is_distribution_exact(tiny):
+    """Speculative sampling must preserve the sampling distribution
+    (accept-while-equal is exact for any proposal). Compare empirical
+    next-token distributions, spec vs plain, over many seeds at a
+    position INSIDE the speculation loop."""
+    cfg, params = tiny
+    plain = JaxDecoderLM(params, cfg, max_len=64, decode_chunk=4)
+    spec = SpecLookupDecoderLM(params, cfg, max_len=64, spec_k=4,
+                               spec_steps=2)
+    prompt = [5, 6, 7, 5, 6]
+    n = 300
+    kw = dict(max_new_tokens=3, temperature=1.2, top_p=0.95)
+
+    def counts(engine):
+        c = {}
+        for seed in range(n):
+            toks = list(engine.generate_stream(prompt, seed=seed, **kw))
+            # position 2 = the second generated token: produced by the
+            # first speculation round in the spec engine
+            c[toks[1]] = c.get(toks[1], 0) + 1
+        return c
+
+    cp, cs = counts(plain), counts(spec)
+    support = set(cp) | set(cs)
+    tv = 0.5 * sum(abs(cp.get(t, 0) - cs.get(t, 0)) for t in support) / n
+    # total-variation noise floor for n=300 is ~0.1; a broken acceptance
+    # rule (e.g. biased toward drafts) shifts mass far more than 0.2
+    assert tv < 0.2, (tv, cp, cs)
