@@ -131,12 +131,17 @@ class ServerState:
             log.error("pipeline build failed: %s", e, exc_info=True)
 
     def _warmup(self) -> None:
+        # warm with the DEFAULT top_k so the compiled k-bucket matches
+        # what real requests use (top_k=3 would warm bucket 16 while
+        # serving runs bucket 64 — the first live request would then pay
+        # a cold compile in-request despite /ready being true)
+        k = self.cfg.retrieval.top_k
         try:
-            self.pipeline.retriever.search("法律条文", top_k=3)
+            self.pipeline.retriever.search("法律条文", top_k=k)
         except Exception as e:
             log.warning("zh warmup skipped: %s", e)
         try:
-            self.pipeline.retriever.search("legal provision", top_k=3)
+            self.pipeline.retriever.search("legal provision", top_k=k)
         except Exception as e:
             log.warning("en warmup skipped: %s", e)
         self._prewarm_buckets()
@@ -203,6 +208,17 @@ class ServerState:
 
 def _hit_payload(h) -> Dict[str, Any]:
     return h.model_dump(exclude_none=True)
+
+
+def _int_or_422(value, name: str):
+    """Body params arrive as arbitrary JSON; a string top_k would reach
+    deep into the engine before failing (e.g. "5" * oversample)."""
+    if value is None:
+        return None
+    if isinstance(value, bool) or not isinstance(value, (int, float)) \
+            or int(value) != value:
+        raise HTTPError(422, f"{name} must be an integer")
+    return int(value)
 
 
 def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
@@ -273,7 +289,7 @@ def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
         question = (body.get("question") or "").strip()
         if not question:
             raise HTTPError(422, "question is required")
-        top_k = body.get("top_k")
+        top_k = _int_or_422(body.get("top_k"), "top_k")
         METRICS.inc("legalrag_requests", endpoint="retrieve")
         with METRICS.timed("legalrag_retrieve_seconds"):
             hits, decision = st.retrieve(question, top_k)
@@ -295,13 +311,17 @@ def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
         body = req.json()
         from legalrag_tpu.utils.metrics import METRICS
 
-        questions = [q.strip() for q in body.get("questions") or [] if q and q.strip()]
+        raw_qs = body.get("questions")
+        if not isinstance(raw_qs, list):  # a string would iterate per CHAR
+            raise HTTPError(422, "questions must be a list of strings")
+        questions = [q.strip() for q in raw_qs
+                     if isinstance(q, str) and q.strip()]
         if not questions:
             raise HTTPError(422, "questions (non-empty list) is required")
         if len(questions) > cfg.engine.max_query_batch * 4:
             raise HTTPError(422, f"at most {cfg.engine.max_query_batch * 4} "
                             "questions per call")
-        top_k = body.get("top_k") or cfg.retrieval.top_k
+        top_k = _int_or_422(body.get("top_k"), "top_k") or cfg.retrieval.top_k
         METRICS.inc("legalrag_requests", endpoint="retrieve_batch")
         METRICS.inc("legalrag_batch_queries", value=len(questions))
         from legalrag_tpu.utils import detect_lang
@@ -311,7 +331,16 @@ def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
             by_lang.setdefault(detect_lang(q), []).append((i, q))
         results: list = [None] * len(questions)
         for lang, items in by_lang.items():
-            bundle = st.pipeline.retriever.cache.get(lang)
+            try:
+                bundle = st.pipeline.retriever.cache.get(lang)
+            except FileNotFoundError:
+                # one language having no index must not fail the whole
+                # mixed batch: those questions get empty hit lists
+                log.warning("retrieve_batch: no %s index; %d question(s) "
+                            "get empty results", lang, len(items))
+                for i, _q in items:
+                    results[i] = []
+                continue
             engine = st.engine_for(lang, bundle)
             try:
                 hits = engine.search_hits([q for _, q in items], top_k)

@@ -86,8 +86,17 @@ def bm25_sparse_scores(term_ids: jax.Array, term_counts: jax.Array,
                        offsets: jax.Array, post_docs: jax.Array,
                        post_w: jax.Array, n_docs_pad: int, chunk: int = 512,
                        interpret: bool = False) -> jax.Array:
-    """[B, L] padded query term ids/counts → [B, n_docs_pad] BM25 scores."""
+    """[B, L] padded query term ids/counts → [B, n_docs_pad] BM25 scores.
+
+    ``chunk`` must not exceed the chunk ``build_postings`` padded with
+    (default 512): the kernel windows each term's postings from its raw
+    offset, so the tail window over-reads up to chunk-1 slots into the
+    builder's padding headroom."""
     b, max_terms = term_ids.shape
+    if post_docs.shape[0] % chunk != 0:
+        raise ValueError(
+            f"postings length {post_docs.shape[0]} is not a multiple of "
+            f"chunk={chunk}; use the chunk build_postings was built with")
     kernel = functools.partial(_bm25_sparse_kernel, chunk=chunk,
                                max_terms=max_terms)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -148,6 +157,47 @@ def bm25_sparse_scores_xla(term_ids: jax.Array, term_counts: jax.Array,
     return jax.vmap(one_query)(term_ids, term_counts)
 
 
+def _gather_postings(ids, counts, offsets, post_docs, post_w, per_term,
+                     sentinel):
+    """CSR gather front-end shared by the sorted/merge top-k paths:
+    [T] term ids/counts → ([T, P] doc ids with sentinel pads, [T, P]
+    contribution weights)."""
+    starts = offsets[ids]
+    sizes = offsets[ids + 1] - starts
+    pos = jnp.arange(per_term)[None, :]
+    gather_idx = starts[:, None] + pos
+    valid = (pos < sizes[:, None]) & (counts[:, None] > 0)
+    docs = jnp.where(valid, post_docs[gather_idx], sentinel)
+    w = jnp.where(valid,
+                  post_w[gather_idx] * counts[:, None].astype(jnp.float32),
+                  0.0)
+    return docs, w
+
+
+def _segment_topk(docs_s, w_s, k, sentinel):
+    """Doc-id-sorted postings → per-doc segment totals → top-k.
+
+    The segment-start prefix propagates by cummax over each segment's
+    first POSITION (monotone by construction), then a gather — exact for
+    ANY weight sign. (Propagating the prefix VALUES by cummax would
+    silently under-count when contributions are negative, which the
+    epsilon-floored idf produces on degenerate corpora whose mean raw idf
+    is negative.)"""
+    cum = jnp.cumsum(w_s)
+    n = docs_s.shape[0]
+    is_last = docs_s != jnp.concatenate(
+        [docs_s[1:], jnp.full((1,), -1, docs_s.dtype)])
+    is_first = docs_s != jnp.concatenate(
+        [jnp.full((1,), -1, docs_s.dtype), docs_s[:-1]])
+    prev_cum = jnp.concatenate([jnp.zeros((1,), cum.dtype), cum[:-1]])
+    first_idx = jax.lax.cummax(
+        jnp.where(is_first, jnp.arange(n, dtype=jnp.int32), -1))
+    seg_total = cum - prev_cum[first_idx]  # position 0 is always a first
+    score = jnp.where(is_last & (docs_s < sentinel), seg_total, -1e30)
+    s, i = jax.lax.top_k(score, k)
+    return s.astype(jnp.float32), docs_s[i]
+
+
 @functools.partial(jax.jit, static_argnames=("k", "max_postings"))
 def bm25_sparse_topk_sorted(term_ids: jax.Array, term_counts: jax.Array,
                             offsets: jax.Array, post_docs: jax.Array,
@@ -169,31 +219,10 @@ def bm25_sparse_topk_sorted(term_ids: jax.Array, term_counts: jax.Array,
     sentinel = jnp.int32(2 ** 30)
 
     def one_query(ids, counts):
-        starts = offsets[ids]
-        sizes = offsets[ids + 1] - starts
-        pos = jnp.arange(per_term)[None, :]
-        gather_idx = starts[:, None] + pos
-        valid = (pos < sizes[:, None]) & (counts[:, None] > 0)
-        docs = jnp.where(valid, post_docs[gather_idx], sentinel).ravel()
-        w = jnp.where(valid,
-                      post_w[gather_idx] * counts[:, None].astype(jnp.float32),
-                      0.0).ravel()
-        docs_s, w_s = jax.lax.sort((docs, w), num_keys=1)
-        cum = jnp.cumsum(w_s)
-        is_last = docs_s != jnp.concatenate(
-            [docs_s[1:], jnp.full((1,), -1, docs_s.dtype)])
-        is_first = docs_s != jnp.concatenate(
-            [jnp.full((1,), -1, docs_s.dtype), docs_s[:-1]])
-        prev_cum = jnp.concatenate([jnp.zeros((1,), cum.dtype), cum[:-1]])
-        # propagate each segment's starting prefix to all its positions
-        # (contributions are ≥ 0, so prev_cum is nondecreasing and cummax
-        # of first-position values is exact)
-        seg_start = jax.lax.cummax(
-            jnp.where(is_first, prev_cum, -jnp.inf))
-        seg_total = cum - seg_start
-        score = jnp.where(is_last & (docs_s < sentinel), seg_total, -1e30)
-        s, i = jax.lax.top_k(score, k)
-        return s.astype(jnp.float32), docs_s[i]
+        docs, w = _gather_postings(ids, counts, offsets, post_docs, post_w,
+                                   per_term, sentinel)
+        docs_s, w_s = jax.lax.sort((docs.ravel(), w.ravel()), num_keys=1)
+        return _segment_topk(docs_s, w_s, k, sentinel)
 
     return jax.vmap(one_query)(term_ids, term_counts)
 
@@ -252,15 +281,8 @@ def bm25_sparse_topk_merge(term_ids: jax.Array, term_counts: jax.Array,
     sentinel = jnp.int32(2 ** 30)
 
     def one_query(ids, counts):
-        starts = offsets[ids]
-        sizes = offsets[ids + 1] - starts
-        pos = jnp.arange(per_term)[None, :]
-        gather_idx = starts[:, None] + pos
-        valid = (pos < sizes[:, None]) & (counts[:, None] > 0)
-        docs = jnp.where(valid, post_docs[gather_idx], sentinel)    # [T, P]
-        w = jnp.where(valid,
-                      post_w[gather_idx] * counts[:, None].astype(jnp.float32),
-                      0.0)
+        docs, w = _gather_postings(ids, counts, offsets, post_docs, post_w,
+                                   per_term, sentinel)
         if t_pad != max_terms:                    # sentinel-only blocks
             docs = jnp.concatenate(
                 [docs, jnp.full((t_pad - max_terms, per_term), sentinel,
@@ -271,19 +293,7 @@ def bm25_sparse_topk_merge(term_ids: jax.Array, term_counts: jax.Array,
             g = docs.shape[0] // 2
             docs, w = _bitonic_merge_pairs(
                 docs.reshape(g, 2, -1), w.reshape(g, 2, -1))
-        docs_s, w_s = docs[0], w[0]
-        cum = jnp.cumsum(w_s)
-        is_last = docs_s != jnp.concatenate(
-            [docs_s[1:], jnp.full((1,), -1, docs_s.dtype)])
-        is_first = docs_s != jnp.concatenate(
-            [jnp.full((1,), -1, docs_s.dtype), docs_s[:-1]])
-        prev_cum = jnp.concatenate([jnp.zeros((1,), cum.dtype), cum[:-1]])
-        seg_start = jax.lax.cummax(
-            jnp.where(is_first, prev_cum, -jnp.inf))
-        seg_total = cum - seg_start
-        score = jnp.where(is_last & (docs_s < sentinel), seg_total, -1e30)
-        s, i = jax.lax.top_k(score, k)
-        return s.astype(jnp.float32), docs_s[i]
+        return _segment_topk(docs[0], w[0], k, sentinel)
 
     return jax.vmap(one_query)(term_ids, term_counts)
 

@@ -111,7 +111,15 @@ def topk_2pass(scores: jax.Array, k: int, block: int = TWO_PASS_BLOCK,
     """
     b, n = scores.shape
     if k >= n:
-        return jax.lax.top_k(scores, k)
+        # lax.top_k requires k <= n: sort everything and pad out to k
+        # columns (-inf scores, last valid index — downstream dedup keeps
+        # best per row id, so duplicates never surface)
+        vals, idx = jax.lax.top_k(scores, n)
+        if k > n:
+            vals = jnp.pad(vals, ((0, 0), (0, k - n)),
+                           constant_values=NEG_INF)
+            idx = jnp.pad(idx, ((0, 0), (0, k - n)), mode="edge")
+        return vals, idx
     n_pad = _round_up(n, block)
     if n_pad != n:
         scores = jnp.pad(scores, ((0, 0), (0, n_pad - n)),

@@ -142,8 +142,16 @@ class MicroBatcher:
             if not self._pending:
                 self._leader_active = False
                 return
-        threading.Thread(target=self._drain, daemon=True,
-                         name="microbatch-drain").start()
+        try:
+            threading.Thread(target=self._drain, daemon=True,
+                             name="microbatch-drain").start()
+        except BaseException:
+            # thread spawn can fail under OS thread exhaustion; a phantom
+            # leader flag would make every future request wait out the
+            # full timeout and solo-run — reset so a follower can lead
+            with self._lock:
+                self._leader_active = False
+            raise
 
     def _drain(self) -> None:
         while True:

@@ -232,3 +232,46 @@ def test_eq_topk_matches_sorted():
         b = dict(zip(ei[q][pos_e], es[q][pos_e]))
         for d, v in a.items():
             np.testing.assert_allclose(b[d], v, rtol=1e-5, atol=1e-4)
+
+
+def test_sorted_and_merge_exact_with_negative_weights():
+    """Degenerate corpora produce NEGATIVE epsilon-floored idf weights
+    (mean raw idf < 0 when most terms appear in most docs). The segment
+    totals must stay exact — the old cummax-over-values prefix
+    propagation silently under-counted here."""
+    import jax.numpy as jnp
+
+    from legalrag_tpu.ops.bm25_sparse import (
+        bm25_sparse_scores_xla,
+        bm25_sparse_topk_merge,
+        bm25_sparse_topk_sorted,
+        build_postings,
+    )
+
+    rng = np.random.default_rng(3)
+    V, N, B, T, k = 8, 30, 3, 4, 8
+    # every doc contains almost every term -> negative idf everywhere
+    doc_ids = [np.arange(V - 1, dtype=np.int64) for _ in range(N)]
+    doc_tfs = [rng.integers(1, 6, V - 1).astype(np.float64)
+               for _ in range(N)]
+    offsets, post_docs, post_w = build_postings(doc_ids, doc_tfs, V)
+    assert np.asarray(post_w).min() < 0  # the scenario under test
+    term_ids = rng.integers(0, V - 1, (B, T)).astype(np.int32)
+    term_counts = np.ones((B, T), np.int32)
+    args = (jnp.asarray(term_ids), jnp.asarray(term_counts),
+            jnp.asarray(offsets), jnp.asarray(post_docs),
+            jnp.asarray(post_w))
+    full = np.asarray(bm25_sparse_scores_xla(*args, 32,
+                                             max_postings=256))[:, :N]
+    for fn in (bm25_sparse_topk_sorted, bm25_sparse_topk_merge):
+        s, i = (np.asarray(x) for x in fn(*args, k, max_postings=256))
+        for q in range(B):
+            got = {int(d): float(v) for d, v in zip(i[q], s[q])
+                   if v > -1e29}
+            for d, v in got.items():
+                np.testing.assert_allclose(v, full[q][d], rtol=1e-5,
+                                           atol=1e-5)
+            # the top-k by value must match the dense oracle's top-k
+            want_top = np.sort(full[q])[-len(got):]
+            np.testing.assert_allclose(np.sort(list(got.values())),
+                                       want_top, rtol=1e-5, atol=1e-5)

@@ -142,3 +142,20 @@ def test_topk_large_small_n_is_plain_topk():
     sl, il = jax.lax.top_k(jnp.asarray(scores), 8)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(il))
     np.testing.assert_allclose(np.asarray(s), np.asarray(sl))
+
+
+def test_topk_2pass_k_exceeds_n():
+    """k > n must sort-all and pad (lax.top_k alone would raise)."""
+    import jax.numpy as jnp
+
+    from legalrag_tpu.ops.topk import topk_2pass
+
+    scores = jnp.asarray(np.random.default_rng(0)
+                         .standard_normal((2, 10)).astype(np.float32))
+    s, i = topk_2pass(scores, 16)
+    assert s.shape == (2, 16) and i.shape == (2, 16)
+    np.testing.assert_allclose(np.asarray(s[:, :10]),
+                               -np.sort(-np.asarray(scores), axis=1),
+                               rtol=1e-6)
+    assert np.all(np.isneginf(np.asarray(s[:, 10:])) |
+                  (np.asarray(s[:, 10:]) < -1e29))
