@@ -195,6 +195,12 @@ class LLMConfig(BaseModel):
     # local devices (parallel/decoder_tp.py) — Megatron-style column/row
     # parallel projections via GSPMD, composing with any decode engine
     tp_shards: int = 0
+    # local-jax: int8 KV cache (models/decoder.py quantize_kv) — nearly
+    # halves the decode-time cache HBM read and footprint (≈2× context or
+    # batch slots in the same budget) for a ≤1/254-of-row-amax per-element
+    # error; applies to every engine. Off by default: exact greedy
+    # token-parity with HF is part of the local-jax contract.
+    kv_quant: bool = False
     # local-jax: >0 keeps the KV rows of that many recent prompts and
     # prefills only the suffix on an exact shared token prefix — RAG
     # prompts share the system template + few-shot example, so

@@ -270,7 +270,8 @@ class LLMClient:
                 kw = dict(
                     max_len=self.cfg.max_context_tokens
                     + self.cfg.max_new_tokens,
-                    decode_chunk=getattr(self.cfg, "decode_chunk", 8))
+                    decode_chunk=getattr(self.cfg, "decode_chunk", 8),
+                    kv_quant=getattr(self.cfg, "kv_quant", False))
                 pc = getattr(self.cfg, "prefill_chunk", 0)
                 slots = getattr(self.cfg, "batch_slots", 0)
                 spec_k = getattr(self.cfg, "spec_k", 0)

@@ -117,13 +117,18 @@ class BatchedDecoderLM:
     def __init__(self, params: Dict, cfg: DecoderConfig, tokenizer=None,
                  device=None, max_len: int = 4096, n_slots: int = 4,
                  decode_chunk: int = 8, spec_k: int = 0, spec_steps: int = 4,
-                 prefix_cache: int = 0):
+                 prefix_cache: int = 0, kv_quant: bool = False):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.device = device
         self.max_len = max_len
         self.n_slots = n_slots
+        # int8 KV cache (decoder.quantize_kv): the [S, max_len] slot cache
+        # is the engine's HBM footprint — int8 rows buy ~2× slots or
+        # context in the same budget; all cache plumbing below is generic
+        # over dense 2-tuples / quantized 4-tuples per layer
+        self.kv_quant = kv_quant
         self.decode_chunk = max(1, decode_chunk)
         # spec_k > 0: batched speculative decoding — every slot drafts
         # from its own prompt history and verifies k tokens per round in
@@ -201,9 +206,16 @@ class BatchedDecoderLM:
     # ------------------------------------------------------------- programs
     def _empty_cache(self):
         hkv, d = self.cfg.num_key_value_heads, self.cfg.head_dim
+        s, t = self.n_slots, self.max_len
+        if self.kv_quant:
+            return [(jnp.zeros((s, t, hkv, d), jnp.int8),
+                     jnp.zeros((s, t, hkv, d), jnp.int8),
+                     jnp.zeros((s, t, hkv, 1), jnp.float32),
+                     jnp.zeros((s, t, hkv, 1), jnp.float32))
+                    for _ in range(self.cfg.num_hidden_layers)]
         dt = self.params["embed"].dtype
-        return [(jnp.zeros((self.n_slots, self.max_len, hkv, d), dt),
-                 jnp.zeros((self.n_slots, self.max_len, hkv, d), dt))
+        return [(jnp.zeros((s, t, hkv, d), dt),
+                 jnp.zeros((s, t, hkv, d), dt))
                 for _ in range(self.cfg.num_hidden_layers)]
 
     def _prefill(self, params, cache, last, pos, keys, rep, ids, slot,
@@ -234,20 +246,21 @@ class BatchedDecoderLM:
 
     @staticmethod
     def _write_slot_rows(cache, row_cache, slot):
+        # generic over dense (k, v) / quantized (kq, vq, ks, vs) layers
         return [
-            (jax.lax.dynamic_update_slice(ck, rk, (slot, 0, 0, 0)),
-             jax.lax.dynamic_update_slice(cv, rv, (slot, 0, 0, 0)))
-            for (ck, cv), (rk, rv) in zip(cache, row_cache)]
+            tuple(jax.lax.dynamic_update_slice(c, r, (slot, 0, 0, 0))
+                  for c, r in zip(layer, rows))
+            for layer, rows in zip(cache, row_cache)]
 
     def _slot_rows(self, cache, slot, tb: Optional[int] = None):
         """Slice one slot's cache rows out as a B=1 cache (first ``tb``
         rows; all of them by default)."""
         tb = self.max_len if tb is None else tb
-        hkv, d = self.cfg.num_key_value_heads, self.cfg.head_dim
         return [
-            (jax.lax.dynamic_slice(ck, (slot, 0, 0, 0), (1, tb, hkv, d)),
-             jax.lax.dynamic_slice(cv, (slot, 0, 0, 0), (1, tb, hkv, d)))
-            for ck, cv in cache]
+            tuple(jax.lax.dynamic_slice(a, (slot, 0, 0, 0),
+                                        (1, tb) + a.shape[2:])
+                  for a in layer)
+            for layer in cache]
 
     def _extract_slot_rows(self, cache, slot, tb: int):
         return self._slot_rows(cache, slot, tb)
@@ -269,10 +282,10 @@ class BatchedDecoderLM:
         prefix rows into the slot, forward the right-padded suffix at
         offset positions, and return (updated cache, last real logits)."""
         row_cache = self._slot_rows(cache, slot)
-        row_cache = [
-            (jax.lax.dynamic_update_slice(rk, pk, (0, 0, 0, 0)),
-             jax.lax.dynamic_update_slice(rv, pv, (0, 0, 0, 0)))
-            for (rk, rv), (pk, pv) in zip(row_cache, prefix_rows)]
+        row_cache = [  # generic over dense / quantized layer tuples
+            tuple(jax.lax.dynamic_update_slice(r, p, (0, 0, 0, 0))
+                  for r, p in zip(rows, prows))
+            for rows, prows in zip(row_cache, prefix_rows)]
         sb = ids_sfx.shape[1]
         positions = (p_len + jnp.arange(sb, dtype=jnp.int32))[None, :]
         hidden, row_cache = decoder_forward(params, self.cfg, ids_sfx,

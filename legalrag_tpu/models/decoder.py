@@ -281,6 +281,32 @@ def pad_bucket(n: int, lo: int = 16, hi: Optional[int] = None) -> int:
     return min(b, hi) if hi is not None else b
 
 
+def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-(position, head) int8 quantization of k/v rows.
+
+    ``x`` [..., D] → (q int8 [..., D], scale f32 [..., 1]) with
+    ``scale = amax(|x|) / 127`` over the head dim. Decode is
+    KV-bandwidth-bound at long context; int8 rows nearly halve the cache
+    HBM read per step (D int8 + 4 scale bytes vs 2·D bf16), buying ~2×
+    context or slots in the same footprint. The per-row scale tracks each
+    token's own dynamic range, so the relative error per element stays
+    ≤ 1/254 of that row's amax — tolerance-tested in
+    tests/test_kv_quant.py. The reference has no KV cache control at all
+    (HF ``model.generate`` default f16 cache, reference
+    ``llm/client.py:306-369``).
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.round(xf / scale).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_kv(q: jax.Array, scale: jax.Array, dtype) -> jax.Array:
+    """Inverse of :func:`quantize_kv` (to the compute dtype)."""
+    return (q.astype(jnp.float32) * scale).astype(dtype)
+
+
 def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
                     positions: jax.Array,
                     kv_cache: Optional[List[Tuple[jax.Array, jax.Array]]] = None,
@@ -290,7 +316,10 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
 
     With ``kv_cache`` (list of ([B, S, Hkv, D], [B, S, Hkv, D]) per layer)
     the new keys/values are written at ``cache_len`` offsets and attention
-    spans the cache; returns (logits, new_cache).
+    spans the cache; returns (logits, new_cache). A 4-tuple layer entry
+    ``(k_q, v_q, k_scale, v_scale)`` (int8 values + [B, S, Hkv, 1] f32
+    scales) selects the quantized cache path: writes quantize, reads
+    dequantize (see :func:`quantize_kv`).
 
     ``cache_len`` may be a scalar (all rows share one offset — the
     single-stream path) or a ``[B]`` vector (each batch row writes at its
@@ -339,22 +368,40 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
         q = _rope(q, positions, li_inv, li_scale)
         k = _rope(k, positions, li_inv, li_scale)
         if kv_cache is not None:
-            ck, cv = kv_cache[li]
-            if jnp.ndim(cache_len) == 0:
-                ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_len, 0, 0))
-                cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_len, 0, 0))
-                filled_to = cache_len + t                        # scalar
-            else:
+            def cache_write(dst, upd):
+                if jnp.ndim(cache_len) == 0:
+                    return jax.lax.dynamic_update_slice(
+                        dst, upd, (0, cache_len, 0, 0))
                 # per-row offsets: row b's T new entries land at
                 # cache_len[b]..cache_len[b]+T-1 (scatter; OOB rows drop)
                 rows = cache_len[:, None] + jnp.arange(t)[None, :]
-                bidx = jnp.arange(b)[:, None]
-                ck = ck.at[bidx, rows].set(k)
-                cv = cv.at[bidx, rows].set(v)
+                return dst.at[jnp.arange(b)[:, None], rows].set(upd)
+
+            entry = kv_cache[li]
+            if len(entry) == 4:
+                # int8 KV cache: (k_q, v_q, k_scale, v_scale), scales
+                # [B, S, Hkv, 1] — quantize-on-write, dequantize-on-read.
+                # Within-forward attention also reads the dequantized
+                # rows, so chunked prefill and prefix reuse stay exact
+                # against single-shot prefill under quantization too.
+                ckq, cvq, cks, cvs = entry
+                kq, ksc = quantize_kv(k)
+                vq, vsc = quantize_kv(v)
+                ckq, cks = cache_write(ckq, kq), cache_write(cks, ksc)
+                cvq, cvs = cache_write(cvq, vq), cache_write(cvs, vsc)
+                new_cache.append((ckq, cvq, cks, cvs))
+                k_att = dequantize_kv(ckq, cks, k.dtype)
+                v_att = dequantize_kv(cvq, cvs, v.dtype)
+            else:
+                ck, cv = entry
+                ck, cv = cache_write(ck, k), cache_write(cv, v)
+                new_cache.append((ck, cv))
+                k_att, v_att = ck, cv
+            if jnp.ndim(cache_len) == 0:
+                filled_to = cache_len + t                        # scalar
+            else:
                 filled_to = (cache_len + t)[:, None, None]       # [B, 1, 1]
-            new_cache.append((ck, cv))
-            k_att, v_att = ck, cv
-            s = ck.shape[1]
+            s = k_att.shape[1]
             kv_pos = jnp.arange(s)[None, None, :]               # [1, 1, S]
             att_mask = ((kv_pos <= positions[:, :, None])        # causal
                         & (kv_pos < filled_to))                  # filled
@@ -578,12 +625,16 @@ class JaxDecoderLM:
 
     def __init__(self, params: Dict, cfg: DecoderConfig, tokenizer=None,
                  device=None, max_len: int = 4096, decode_chunk: int = 8,
-                 prefix_cache: int = 0, prefill_chunk: int = 1024):
+                 prefix_cache: int = 0, prefill_chunk: int = 1024,
+                 kv_quant: bool = False):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.device = device
         self.max_len = max_len
+        # int8 KV cache (quantize_kv): ~1.9× less cache HBM per decode
+        # step → ~2× context or batch slots in the same footprint
+        self.kv_quant = kv_quant
         # prompts longer than this prefill in sequential chunks at cache
         # offsets (exact — each chunk attends the already-filled cache):
         # a single T-token prefill materializes [H, T, T] attention scores
@@ -634,6 +685,12 @@ class JaxDecoderLM:
     # ------------------------------------------------------------- internals
     def _empty_cache(self, b: int):
         hkv, d = self.cfg.num_key_value_heads, self.cfg.head_dim
+        if self.kv_quant:
+            return [(jnp.zeros((b, self.max_len, hkv, d), jnp.int8),
+                     jnp.zeros((b, self.max_len, hkv, d), jnp.int8),
+                     jnp.zeros((b, self.max_len, hkv, 1), jnp.float32),
+                     jnp.zeros((b, self.max_len, hkv, 1), jnp.float32))
+                    for _ in range(self.cfg.num_hidden_layers)]
         # Cache dtype must match the checkpoint dtype: released Qwen2/Llama
         # weights are bf16, and dynamic_update_slice requires operand and
         # update dtypes to agree (ADVICE r1 high).
@@ -668,10 +725,10 @@ class JaxDecoderLM:
         overwritten by this suffix prefill / later decode steps before
         they can ever be attended — the usual invariant."""
         cache = self._empty_cache(ids.shape[0])
-        cache = [
-            (jax.lax.dynamic_update_slice(ck, pk, (0, 0, 0, 0)),
-             jax.lax.dynamic_update_slice(cv, pv, (0, 0, 0, 0)))
-            for (ck, cv), (pk, pv) in zip(cache, prefix_rows)]
+        cache = [  # generic over dense (k, v) / quantized (kq, vq, ks, vs)
+            tuple(jax.lax.dynamic_update_slice(a, p, (0, 0, 0, 0))
+                  for a, p in zip(layer, prows))
+            for layer, prows in zip(cache, prefix_rows)]
         sb = ids.shape[1]
         positions = (p_len + jnp.arange(sb, dtype=jnp.int32))[None, :]
         hidden, cache = decoder_forward(params, self.cfg, ids, positions,
@@ -695,11 +752,11 @@ class JaxDecoderLM:
         return lm_logits(params, self.cfg, hrow)[:, 0], cache
 
     def _extract_rows(self, cache, tb: int):
-        hkv, d = self.cfg.num_key_value_heads, self.cfg.head_dim
-        return [
-            (jax.lax.dynamic_slice(ck, (0, 0, 0, 0), (1, tb, hkv, d)),
-             jax.lax.dynamic_slice(cv, (0, 0, 0, 0), (1, tb, hkv, d)))
-            for ck, cv in cache]
+        return [  # generic over dense (k, v) / quantized (kq, vq, ks, vs)
+            tuple(jax.lax.dynamic_slice(a, (0, 0, 0, 0),
+                                        (1, tb) + a.shape[2:])
+                  for a in layer)
+            for layer in cache]
 
     @property
     def prefix_stats(self):

@@ -62,11 +62,12 @@ class SpecLookupDecoderLM(JaxDecoderLM):
     def __init__(self, params: Dict, cfg: DecoderConfig, tokenizer=None,
                  device=None, max_len: int = 4096, decode_chunk: int = 8,
                  spec_k: int = 8, spec_steps: int = 4,
-                 prefix_cache: int = 0, prefill_chunk: int = 1024):
+                 prefix_cache: int = 0, prefill_chunk: int = 1024,
+                 kv_quant: bool = False):
         super().__init__(params, cfg, tokenizer, device=device,
                          max_len=max_len, decode_chunk=decode_chunk,
                          prefix_cache=prefix_cache,
-                         prefill_chunk=prefill_chunk)
+                         prefill_chunk=prefill_chunk, kv_quant=kv_quant)
         self.spec_k = spec_k
         self.spec_steps = spec_steps
         self.last_stats: Dict[str, float] = {}

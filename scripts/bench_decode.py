@@ -107,7 +107,8 @@ def bench_batched(args, cfg, params, rng) -> None:
                             args.prompt_len).tolist() for _ in range(s)]
 
     # sequential single-stream baseline
-    lm = JaxDecoderLM(params, cfg, max_len=args.max_len, decode_chunk=chunk)
+    lm = JaxDecoderLM(params, cfg, max_len=args.max_len, decode_chunk=chunk,
+                      kv_quant=args.kv_quant)
     sum(1 for _ in lm.generate_stream(prompts[0],
                                       max_new_tokens=2 * chunk))  # warm
     t0 = _time.perf_counter()
@@ -120,7 +121,8 @@ def bench_batched(args, cfg, params, rng) -> None:
         f"{seq_tps:.1f} tok/s aggregate")
 
     engine = BatchedDecoderLM(params, cfg, max_len=args.max_len,
-                              n_slots=s, decode_chunk=chunk)
+                              n_slots=s, decode_chunk=chunk,
+                              kv_quant=args.kv_quant)
     counts = [0] * s
 
     def run(i):
@@ -174,7 +176,7 @@ def bench_spec(args, cfg, params, rng) -> None:
                           args.prompt_len).tolist()
 
     plain = JaxDecoderLM(params, cfg, max_len=args.max_len,
-                         decode_chunk=chunk)
+                         decode_chunk=chunk, kv_quant=args.kv_quant)
     sum(1 for _ in plain.generate_stream(prompt,
                                          max_new_tokens=2 * chunk))  # warm
     best = None
@@ -189,7 +191,8 @@ def bench_spec(args, cfg, params, rng) -> None:
         f"{plain_tps:.1f} tok/s")
 
     spec = SpecLookupDecoderLM(params, cfg, max_len=args.max_len,
-                               spec_k=k, spec_steps=4)
+                               spec_k=k, spec_steps=4,
+                               kv_quant=args.kv_quant)
     sum(1 for _ in spec.generate_stream(prompt, max_new_tokens=2 * k))
     best, stats = None, None
     for _ in range(3):
@@ -239,7 +242,7 @@ def bench_prefix(args, cfg, params, rng) -> None:
                                      sfx_len).tolist()
 
     lm = JaxDecoderLM(params, cfg, max_len=args.max_len, decode_chunk=1,
-                      prefix_cache=4)
+                      prefix_cache=4, kv_quant=args.kv_quant)
     next(iter(lm.generate_stream(prompt(), max_new_tokens=1)))  # compile
 
     def ttft():
@@ -292,6 +295,10 @@ def main() -> None:
                     "(models/spec_decode.py) with draft length K vs plain "
                     "chunked decode; reports measured acceptance "
                     "(tokens per speculation round)")
+    ap.add_argument("--kv-quant", action="store_true",
+                    help="int8 KV cache (models/decoder.py quantize_kv) "
+                    "in every engine benchmarked — quantifies the "
+                    "throughput cost of halving the cache HBM read")
     ap.add_argument("--prefix-cache", type=int, default=0, metavar="P",
                     help="benchmark exact prompt-prefix KV reuse: "
                     "time-to-first-token for a prompt whose first P "
@@ -361,7 +368,7 @@ def main() -> None:
     results = {}
     for chunk in [int(c) for c in args.chunks.split(",") if c]:
         lm = JaxDecoderLM(params, cfg, max_len=args.max_len,
-                          decode_chunk=chunk)
+                          decode_chunk=chunk, kv_quant=args.kv_quant)
         # warm (compile prefill + chunk program)
         t0 = time.perf_counter()
         n_warm = sum(1 for _ in lm.generate_stream(
