@@ -293,7 +293,7 @@ class LLMClient:
                         self.cfg.model, n_slots=slots,
                         spec_k=max(spec_k, 0),
                         prefix_cache=getattr(self.cfg, "prefix_cache", 0),
-                        **kw)
+                        **(dict(prefill_chunk=pc, **kw) if pc else kw))
                 elif spec_k and spec_k > 0:
                     # prompt-lookup speculative decoding: draft from the
                     # prompt's own n-grams, verify k tokens per forward

@@ -117,7 +117,8 @@ class BatchedDecoderLM:
     def __init__(self, params: Dict, cfg: DecoderConfig, tokenizer=None,
                  device=None, max_len: int = 4096, n_slots: int = 4,
                  decode_chunk: int = 8, spec_k: int = 0, spec_steps: int = 4,
-                 prefix_cache: int = 0, kv_quant: bool = False):
+                 prefix_cache: int = 0, kv_quant: bool = False,
+                 prefill_chunk: int = 1024):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -137,6 +138,11 @@ class BatchedDecoderLM:
         # needs k rows of KV headroom); admission clamps budgets.
         self.spec_k = spec_k
         self.spec_steps = spec_steps
+        # admission prompts longer than this prefill in sequential chunks
+        # at slot-row offsets (exact — each chunk attends the filled rows),
+        # capping the [H, C, T] attention-score buffer like the
+        # single-stream engine's prefill_chunk (decoder.py)
+        self.prefill_chunk = max(prefill_chunk, 16)
         # exact prompt-prefix KV reuse at admission (see decoder.py
         # PrefixKVCache) — RAG requests share the system template
         self._prefix = PrefixKVCache(prefix_cache) if prefix_cache else None
@@ -164,6 +170,15 @@ class BatchedDecoderLM:
                                             donate_argnums=(1, 2, 3, 4, 5))
             self._spec_decode_fn = jax.jit(self._spec_decode,
                                            donate_argnums=(1, 2, 3, 4, 5))
+        # chunked admission: one offset-forward per chunk + a final
+        # per-slot state install (plain / spec variants)
+        self._offset_forward_fn = jax.jit(self._offset_forward,
+                                          donate_argnums=(1,))
+        self._install_state_fn = jax.jit(self._install_state,
+                                         donate_argnums=(0, 1, 2, 3))
+        if spec_k:
+            self._spec_install_fn = jax.jit(self._spec_install,
+                                            donate_argnums=(0, 1, 2, 3))
         if prefix_cache:
             self._prefill_prefix_fn = jax.jit(self._prefill_prefix,
                                               donate_argnums=(1, 2, 3, 4,
@@ -276,16 +291,55 @@ class BatchedDecoderLM:
                         jnp.argmax(logits).astype(jnp.int32))
         return tok, jnp.where(temp > 0, key2, key_row)
 
-    def _prefix_forward(self, params, cache, prefix_rows, p_len, ids_sfx,
-                        slot, true_sfx):
-        """Shared body of the prefix-reuse admissions: install the cached
-        prefix rows into the slot, forward the right-padded suffix at
-        offset positions, and return (updated cache, last real logits)."""
+    def _install_state(self, last, pos, keys, rep, last_row, slot, total,
+                       key_row, mask_row):
+        """Final step of a chunked plain admission: seed the slot's
+        sampling state from the last chunk's last real-token logits."""
+        last = jax.lax.dynamic_update_slice(
+            last, last_row.astype(last.dtype), (slot, 0))
+        pos = pos.at[slot].set(total)
+        keys = keys.at[slot].set(key_row)
+        rep = rep.at[slot].set(mask_row)
+        return last, pos, keys, rep
+
+    def _spec_install(self, tokens, pos, keys, pending, last_row, full_ids,
+                      slot, total, key_row, temp, top_p):
+        """Final step of a chunked spec admission: record the prompt in
+        the slot's token-history row and sample the first token."""
+        tok, key_adv = self._first_token(last_row[0], key_row, temp, top_p)
+        tokens = jax.lax.dynamic_update_slice(tokens, full_ids, (slot, 0))
+        tokens = tokens.at[slot, total].set(tok)
+        pos = pos.at[slot].set(total)
+        keys = keys.at[slot].set(key_adv)
+        pending = pending.at[slot].set(tok)
+        return tokens, pos, keys, pending, tok
+
+    def _chunked_slot_prefill(self, ids: List[int], slot: int):
+        """Sequential fixed-size chunk prefills into the slot's rows —
+        numerically identical to the one-shot bucket prefill (each chunk's
+        causal attention spans the already-filled rows). Returns the last
+        real token's logits [1, V] (device)."""
+        c = self.prefill_chunk
+        last_row = None
+        for off in range(0, len(ids), c):
+            piece = list(ids[off:off + c])
+            n = len(piece)
+            cb = c if n == c else pad_bucket(n, hi=self.max_len - off)
+            piece += [0] * (cb - n)
+            self._cache, last_row = self._offset_forward_fn(
+                self.params, self._cache, jnp.int32(off),
+                jnp.asarray([piece], jnp.int32), jnp.int32(slot),
+                jnp.int32(n))
+        return last_row
+
+    def _offset_forward(self, params, cache, p_len, ids_sfx, slot,
+                        true_sfx):
+        """Forward a right-padded [1, SB] chunk at cache offset ``p_len``
+        over the slot's already-filled rows; returns (updated cache, the
+        last real chunk token's logits). The shared body of prefix-reuse
+        admission AND chunked admission — a prefill chunk is exactly a
+        'suffix' over rows the previous chunk filled."""
         row_cache = self._slot_rows(cache, slot)
-        row_cache = [  # generic over dense / quantized layer tuples
-            tuple(jax.lax.dynamic_update_slice(r, p, (0, 0, 0, 0))
-                  for r, p in zip(rows, prows))
-            for rows, prows in zip(row_cache, prefix_rows)]
         sb = ids_sfx.shape[1]
         positions = (p_len + jnp.arange(sb, dtype=jnp.int32))[None, :]
         hidden, row_cache = decoder_forward(params, self.cfg, ids_sfx,
@@ -296,6 +350,20 @@ class BatchedDecoderLM:
         hrow = jax.lax.dynamic_slice(
             hidden, (0, true_sfx - 1, 0), (1, 1, hidden.shape[-1]))
         return cache, lm_logits(params, self.cfg, hrow)[:, 0]
+
+    def _prefix_forward(self, params, cache, prefix_rows, p_len, ids_sfx,
+                        slot, true_sfx):
+        """Shared body of the prefix-reuse admissions: install the cached
+        prefix rows into the slot, forward the right-padded suffix at
+        offset positions, and return (updated cache, last real logits)."""
+        row_cache = self._slot_rows(cache, slot)
+        row_cache = [  # generic over dense / quantized layer tuples
+            tuple(jax.lax.dynamic_update_slice(r, p, (0, 0, 0, 0))
+                  for r, p in zip(rows, prows))
+            for rows, prows in zip(row_cache, prefix_rows)]
+        cache = self._write_slot_rows(cache, row_cache, slot)
+        return self._offset_forward(params, cache, p_len, ids_sfx, slot,
+                                    true_sfx)
 
     def _prefill_prefix(self, params, cache, last, pos, keys, rep,
                         prefix_rows, p_len, ids_sfx, slot, true_sfx,
@@ -484,7 +552,19 @@ class BatchedDecoderLM:
     def _spec_admit(self, st: _Stream, slot: int) -> None:
         ids = st.prompt_ids
         hit = self._prefix.match(ids, self.max_len) if self._prefix else None
-        if hit is not None:
+        if hit is not None and len(ids) - hit[1] > self.prefill_chunk:
+            hit = None  # long suffix: take the chunked cold path instead
+        if hit is None and len(ids) > self.prefill_chunk:
+            last_row = self._chunked_slot_prefill(ids, slot)
+            tb = pad_bucket(len(ids), hi=self.max_len)
+            full = ids + [0] * (tb - len(ids))
+            (self._tokens, self._pos, self._keys, self._pend_tok,
+             tok) = self._spec_install_fn(
+                self._tokens, self._pos, self._keys, self._pend_tok,
+                last_row, jnp.asarray([full], jnp.int32), jnp.int32(slot),
+                jnp.int32(len(ids)), jax.random.PRNGKey(st.seed),
+                jnp.float32(st.temperature), jnp.float32(st.top_p))
+        elif hit is not None:
             rows, l, sb = hit
             sfx = ids[l:] + [0] * (sb - (len(ids) - l))
             tb = pad_bucket(len(ids), hi=self.max_len)
@@ -530,7 +610,16 @@ class BatchedDecoderLM:
         mask_row = np.zeros(self.cfg.vocab_size, bool)
         mask_row[ids] = True   # repetition-penalty history = the prompt
         hit = self._prefix.match(ids, self.max_len) if self._prefix else None
-        if hit is not None:
+        if hit is not None and len(ids) - hit[1] > self.prefill_chunk:
+            hit = None  # long suffix: take the chunked cold path instead
+        if hit is None and len(ids) > self.prefill_chunk:
+            last_row = self._chunked_slot_prefill(ids, slot)
+            (self._last, self._pos, self._keys,
+             self._rep) = self._install_state_fn(
+                self._last, self._pos, self._keys, self._rep, last_row,
+                jnp.int32(slot), jnp.int32(len(ids)),
+                jax.random.PRNGKey(st.seed), jnp.asarray(mask_row))
+        elif hit is not None:
             rows, l, sb = hit
             sfx = ids[l:] + [0] * (sb - (len(ids) - l))
             (self._cache, self._last, self._pos, self._keys,

@@ -22,12 +22,15 @@ def tiny():
                         tie_word_embeddings=True)
     rng = np.random.default_rng(7)
 
-    def mat(i, o, scale=0.05):
+    # 0.3/0.5 init keeps the greedy stream DIVERSE: at the earlier 0.05
+    # init this tiny model collapsed to repeating the prompt's last token,
+    # making every token-parity assertion in this file near-vacuous.
+    def mat(i, o, scale=0.3):
         return jnp.asarray(rng.standard_normal((i, o)) * scale, jnp.float32)
 
     h, ff, d = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim
     hkv = cfg.num_key_value_heads
-    embed = mat(cfg.vocab_size, h, 0.1)
+    embed = mat(cfg.vocab_size, h, 0.5)
     params = {
         "embed": embed, "lm_head": embed.T,
         "final_norm": jnp.ones(h, jnp.float32),
@@ -55,8 +58,11 @@ PROMPTS = [[1, 2, 3], [4, 5, 6, 7, 8], [9, 10], [11, 12, 13, 14],
 def reference_outputs(tiny):
     cfg, params = tiny
     lm = JaxDecoderLM(params, cfg, max_len=48, decode_chunk=1)
-    return {tuple(p): list(lm.generate_stream(p, max_new_tokens=10))
+    refs = {tuple(p): list(lm.generate_stream(p, max_new_tokens=10))
             for p in PROMPTS}
+    assert any(len(set(r)) >= 4 for r in refs.values()), \
+        "fixture collapsed; token-parity tests would be vacuous"
+    return refs
 
 
 def _collect_concurrently(engine, prompts, **kw):
@@ -177,6 +183,46 @@ def test_cancellation_frees_slot(tiny, reference_outputs):
         # the single slot must free up for the next request
         got = list(engine.generate_stream(PROMPTS[1], max_new_tokens=10))
         assert got == reference_outputs[tuple(PROMPTS[1])]
+    finally:
+        engine.close()
+
+
+def test_chunked_admission_matches_single_shot(tiny):
+    """Prompts longer than prefill_chunk admit in sequential chunk
+    forwards at slot-row offsets — token-identical to one-shot admission
+    (and to the single-stream engine), incl. a non-multiple tail chunk."""
+    cfg, params = tiny
+    rng = np.random.default_rng(41)
+    prompts = [list(rng.integers(1, 90, n)) for n in (17, 33, 45)]
+    ref_lm = JaxDecoderLM(params, cfg, max_len=64, decode_chunk=1)
+    want = {tuple(p): list(ref_lm.generate_stream(p, max_new_tokens=8))
+            for p in prompts}
+    engine = BatchedDecoderLM(params, cfg, max_len=64, n_slots=2,
+                              decode_chunk=4, prefill_chunk=16)
+    try:
+        got = _collect_concurrently(engine, prompts, max_new_tokens=8)
+        for p in prompts:
+            assert got[tuple(p)] == want[tuple(p)], len(p)
+    finally:
+        engine.close()
+
+
+def test_chunked_admission_skips_short_prefix_hits(tiny):
+    """A prefix hit whose suffix exceeds prefill_chunk falls back to the
+    chunked cold path (mirrors JaxDecoderLM._prefill_prompt)."""
+    cfg, params = tiny
+    rng = np.random.default_rng(43)
+    donor = list(rng.integers(1, 90, 40))
+    probe = donor[:20] + list(rng.integers(1, 90, 25))  # 25-token suffix
+    ref_lm = JaxDecoderLM(params, cfg, max_len=96, decode_chunk=1)
+    want = list(ref_lm.generate_stream(probe, max_new_tokens=8))
+    engine = BatchedDecoderLM(params, cfg, max_len=96, n_slots=1,
+                              decode_chunk=4, prefill_chunk=16,
+                              prefix_cache=2)
+    try:
+        list(engine.generate_stream(donor, max_new_tokens=2))  # store rows
+        got = list(engine.generate_stream(probe, max_new_tokens=8))
+        assert got == want
     finally:
         engine.close()
 

@@ -17,12 +17,15 @@ def tiny():
                         intermediate_size=64, max_position_embeddings=128)
     rng = np.random.default_rng(31)
 
-    def mat(i, o, scale=0.05):
+    # 0.3/0.5 init keeps the greedy stream DIVERSE: at the earlier 0.05
+    # init this tiny model collapsed to repeating the prompt's last token,
+    # making every token-parity assertion in this file near-vacuous.
+    def mat(i, o, scale=0.3):
         return jnp.asarray(rng.standard_normal((i, o)) * scale, jnp.float32)
 
     h, ff, d = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim
     hkv = cfg.num_key_value_heads
-    embed = mat(cfg.vocab_size, h, 0.1)
+    embed = mat(cfg.vocab_size, h, 0.5)
     params = {
         "embed": embed, "lm_head": embed.T,
         "final_norm": jnp.ones(h, jnp.float32),
