@@ -605,7 +605,26 @@ class PrefixKVCache:
         return best[1], best_l, sb
 
     def store(self, prompt_ids: List[int], rows, t: int) -> None:
-        self.entries.insert(0, (list(prompt_ids), rows, t))
+        """Insert at the LRU front, deduplicating prefix-nested entries.
+
+        If an existing entry's prompt extends this one, its rows already
+        contain this prompt's rows (KV rows depend only on preceding
+        tokens) and it matches every query at least as well — refresh its
+        LRU position instead of storing a duplicate. Conversely, entries
+        this prompt extends are strict row-subsets of the new entry —
+        drop them. Lossless for ``match`` (for nested entries A ⊑ B,
+        LCP(q, A) = min(LCP(q, B), len(A)) ≤ LCP(q, B)); the win is HBM:
+        RAG retries/extensions of a shared template no longer pin
+        near-identical row sets in separate LRU slots.
+        """
+        ids = list(prompt_ids)
+        for i, e in enumerate(self.entries):
+            if len(e[0]) >= t and e[0][:t] == ids:
+                self.entries.insert(0, self.entries.pop(i))
+                return
+        self.entries = [e for e in self.entries
+                        if ids[:len(e[0])] != e[0]]
+        self.entries.insert(0, (ids, rows, t))
         del self.entries[self.size:]
 
 

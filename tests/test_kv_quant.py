@@ -182,3 +182,35 @@ def test_sampled_quant_stream_reproducible(tiny):
     b = list(lm.generate_stream(PROMPT, max_new_tokens=8, temperature=0.8,
                                 seed=7))
     assert a == b and len(a) == 8
+
+
+def test_client_plumbs_kv_quant_and_prefill_chunk(monkeypatch):
+    """LLMConfig.kv_quant / prefill_chunk reach every engine constructor
+    through the local-jax provider seam."""
+    import legalrag_tpu.models.batched_decoder as bd
+    import legalrag_tpu.models.decoder as dec
+    from legalrag_tpu.config import LLMConfig
+    from legalrag_tpu.llm.client import LLMClient
+
+    captured = {}
+
+    def fake(name, **kw):
+        captured.clear()
+        captured.update(kw)
+        return object()
+
+    monkeypatch.setattr(bd.BatchedDecoderLM, "from_pretrained",
+                        staticmethod(fake))
+    monkeypatch.setattr(dec.JaxDecoderLM, "from_pretrained",
+                        staticmethod(fake))
+    c = LLMClient(LLMConfig(provider="local-jax", batch_slots=2,
+                            kv_quant=True, prefill_chunk=256))
+    c._load_jax_lm()
+    assert captured["kv_quant"] is True
+    assert captured["prefill_chunk"] == 256
+    assert captured["n_slots"] == 2
+
+    c = LLMClient(LLMConfig(provider="local-jax", kv_quant=True,
+                            prefill_chunk=128))
+    c._load_jax_lm()
+    assert captured["kv_quant"] is True and captured["prefill_chunk"] == 128

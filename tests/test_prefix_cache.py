@@ -147,3 +147,28 @@ def test_batched_engine_prefix_cache(tiny):
             assert engine._prefix.stats["hits"] >= 1, spec_k
         finally:
             engine.close()
+
+
+def test_store_dedups_nested_prefix_entries(tiny):
+    """Prefix-nested entries collapse into one LRU slot: re-serving the
+    same prompt refreshes instead of duplicating, an extension replaces
+    its own prefix entry, and a covered (shorter) prompt never evicts the
+    longer entry that subsumes it — lossless for match()."""
+    cfg, params = tiny
+    warm = JaxDecoderLM(params, cfg, max_len=96, prefix_cache=4)
+    qa = SYSTEM + [70, 71, 72]
+    list(warm.generate_stream(qa, max_new_tokens=2))
+    list(warm.generate_stream(qa, max_new_tokens=2))        # refresh
+    assert len(warm._prefix.entries) == 1
+    qa_ext = qa + [73, 74]
+    list(warm.generate_stream(qa_ext, max_new_tokens=2))    # replaces qa
+    assert len(warm._prefix.entries) == 1
+    assert warm._prefix.entries[0][0] == qa_ext
+    list(warm.generate_stream(qa, max_new_tokens=2))        # covered: hit,
+    assert len(warm._prefix.entries) == 1                   # no new entry
+    assert warm._prefix.entries[0][0] == qa_ext
+    # correctness after all the dedup churn
+    cold = JaxDecoderLM(params, cfg, max_len=96)
+    probe = SYSTEM + [90, 91]
+    assert list(warm.generate_stream(probe, max_new_tokens=8)) == \
+        list(cold.generate_stream(probe, max_new_tokens=8))
