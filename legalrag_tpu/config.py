@@ -168,8 +168,9 @@ class LLMConfig(BaseModel):
     temperature: float = 0.3
     top_p: float = 0.9
     # HF RepetitionPenaltyLogitsProcessor semantics (the reference's
-    # qwen-local passes 1.05); 1.0 = off. Incompatible with spec_k
-    # engines (the client falls back / the batched engine refuses).
+    # qwen-local passes 1.05); 1.0 = off. Exact in EVERY engine, incl.
+    # the speculative ones (verify position i's seen-set is the emitted
+    # set plus that round's drafts before i — see spec_decode.py).
     repetition_penalty: float = 1.0
     max_new_tokens: int = 1024
     max_context_tokens: int = 4096

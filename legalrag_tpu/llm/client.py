@@ -275,13 +275,6 @@ class LLMClient:
                 pc = getattr(self.cfg, "prefill_chunk", 0)
                 slots = getattr(self.cfg, "batch_slots", 0)
                 spec_k = getattr(self.cfg, "spec_k", 0)
-                if spec_k and getattr(self.cfg, "repetition_penalty",
-                                      1.0) != 1.0:
-                    log.warning("repetition_penalty %.2f disables "
-                                "speculative decoding (incompatible with "
-                                "parallel verification)",
-                                self.cfg.repetition_penalty)
-                    spec_k = 0
                 if slots and slots > 1:
                     # continuous batching: concurrent answer streams share
                     # one batched decode loop (models/batched_decoder.py);

@@ -166,10 +166,10 @@ class BatchedDecoderLM:
                                   static_argnames=("n_steps",),
                                   donate_argnums=(1, 2, 3, 4, 5))
         if spec_k:
-            self._spec_prefill_fn = jax.jit(self._spec_prefill,
-                                            donate_argnums=(1, 2, 3, 4, 5))
-            self._spec_decode_fn = jax.jit(self._spec_decode,
-                                           donate_argnums=(1, 2, 3, 4, 5))
+            self._spec_prefill_fn = jax.jit(
+                self._spec_prefill, donate_argnums=(1, 2, 3, 4, 5, 6))
+            self._spec_decode_fn = jax.jit(
+                self._spec_decode, donate_argnums=(1, 2, 3, 4, 5, 6))
         # chunked admission: one offset-forward per chunk + a final
         # per-slot state install (plain / spec variants)
         self._offset_forward_fn = jax.jit(self._offset_forward,
@@ -178,7 +178,7 @@ class BatchedDecoderLM:
                                          donate_argnums=(0, 1, 2, 3))
         if spec_k:
             self._spec_install_fn = jax.jit(self._spec_install,
-                                            donate_argnums=(0, 1, 2, 3))
+                                            donate_argnums=(0, 1, 2, 3, 4))
         if prefix_cache:
             self._prefill_prefix_fn = jax.jit(self._prefill_prefix,
                                               donate_argnums=(1, 2, 3, 4,
@@ -188,7 +188,7 @@ class BatchedDecoderLM:
             if spec_k:
                 self._spec_prefill_prefix_fn = jax.jit(
                     self._spec_prefill_prefix,
-                    donate_argnums=(1, 2, 3, 4, 5))
+                    donate_argnums=(1, 2, 3, 4, 5, 6))
 
         self._slots: List[Optional[_Stream]] = [None] * n_slots
         self._admitted_firsts: List = []  # spec-mode deferred first tokens
@@ -302,17 +302,22 @@ class BatchedDecoderLM:
         rep = rep.at[slot].set(mask_row)
         return last, pos, keys, rep
 
-    def _spec_install(self, tokens, pos, keys, pending, last_row, full_ids,
-                      slot, total, key_row, temp, top_p):
+    def _spec_install(self, tokens, pos, keys, pending, rep, last_row,
+                      full_ids, slot, total, key_row, mask_row, temp, top_p,
+                      pen):
         """Final step of a chunked spec admission: record the prompt in
-        the slot's token-history row and sample the first token."""
-        tok, key_adv = self._first_token(last_row[0], key_row, temp, top_p)
+        the slot's token-history row and sample the first token (under
+        the prompt-mask repetition penalty)."""
+        scored = apply_repetition_penalty(last_row[0], mask_row, pen)
+        tok, key_adv = self._first_token(scored, key_row, temp, top_p)
         tokens = jax.lax.dynamic_update_slice(tokens, full_ids, (slot, 0))
         tokens = tokens.at[slot, total].set(tok)
         pos = pos.at[slot].set(total)
         keys = keys.at[slot].set(key_adv)
         pending = pending.at[slot].set(tok)
-        return tokens, pos, keys, pending, tok
+        rep = rep.at[slot].set(mask_row)
+        rep = rep.at[slot, tok].set(True)
+        return tokens, pos, keys, pending, rep, tok
 
     def _chunked_slot_prefill(self, ids: List[int], slot: int):
         """Sequential fixed-size chunk prefills into the slot's rows —
@@ -379,19 +384,23 @@ class BatchedDecoderLM:
         return cache, last, pos, keys, rep
 
     def _spec_prefill_prefix(self, params, cache, tokens, pos, keys,
-                             pending, prefix_rows, p_len, ids_sfx, full_ids,
-                             slot, true_sfx, key_row, temp, top_p):
+                             pending, rep, prefix_rows, p_len, ids_sfx,
+                             full_ids, slot, true_sfx, key_row, mask_row,
+                             temp, top_p, pen):
         cache, last_row = self._prefix_forward(params, cache, prefix_rows,
                                                p_len, ids_sfx, slot,
                                                true_sfx)
-        tok, key_adv = self._first_token(last_row[0], key_row, temp, top_p)
+        scored = apply_repetition_penalty(last_row[0], mask_row, pen)
+        tok, key_adv = self._first_token(scored, key_row, temp, top_p)
         total = p_len + true_sfx
         tokens = jax.lax.dynamic_update_slice(tokens, full_ids, (slot, 0))
         tokens = tokens.at[slot, total].set(tok)
         pos = pos.at[slot].set(total)
         keys = keys.at[slot].set(key_adv)
         pending = pending.at[slot].set(tok)
-        return cache, tokens, pos, keys, pending, tok
+        rep = rep.at[slot].set(mask_row)
+        rep = rep.at[slot, tok].set(True)
+        return cache, tokens, pos, keys, pending, rep, tok
 
     def _decode_chunk(self, params, cache, last, pos, keys, rep, temp,
                       top_p, pen, eos_ids, limit, active, n_steps: int):
@@ -439,11 +448,14 @@ class BatchedDecoderLM:
         return toks, cache, last, pos, keys, rep, active
 
     # --------------------------------------------- speculative (spec_k > 0)
-    def _spec_prefill(self, params, cache, tokens, pos, keys, pending, ids,
-                      slot, true_len, key_row, temp, top_p):
+    def _spec_prefill(self, params, cache, tokens, pos, keys, pending, rep,
+                      ids, slot, true_len, key_row, mask_row, temp, top_p,
+                      pen):
         """Spec-mode admission: prefill the slot, record the prompt in the
         slot's token-history row, and produce the FIRST generated token
-        in-program (emitted by the host at admission time)."""
+        in-program (emitted by the host at admission time). The first
+        token samples under the prompt-mask repetition penalty, exactly
+        like the plain engine's first decode step."""
         t = ids.shape[1]
         row_cache = self._slot_rows(cache, slot)
         positions = jnp.arange(t, dtype=jnp.int32)[None, :]
@@ -455,16 +467,19 @@ class BatchedDecoderLM:
         hrow = jax.lax.dynamic_slice(
             hidden, (0, true_len - 1, 0), (1, 1, hidden.shape[-1]))
         logits = lm_logits(params, self.cfg, hrow)[0, 0]         # [V]
-        tok, key_adv = self._first_token(logits, key_row, temp, top_p)
+        scored = apply_repetition_penalty(logits, mask_row, pen)
+        tok, key_adv = self._first_token(scored, key_row, temp, top_p)
         tokens = jax.lax.dynamic_update_slice(tokens, ids, (slot, 0))
         tokens = tokens.at[slot, true_len].set(tok)
         pos = pos.at[slot].set(true_len)
         keys = keys.at[slot].set(key_adv)
         pending = pending.at[slot].set(tok)
-        return cache, tokens, pos, keys, pending, tok
+        rep = rep.at[slot].set(mask_row)
+        rep = rep.at[slot, tok].set(True)
+        return cache, tokens, pos, keys, pending, rep, tok
 
-    def _spec_decode(self, params, cache, tokens, pos, keys, pending, temp,
-                     top_p, eos_ids, limit, active):
+    def _spec_decode(self, params, cache, tokens, pos, keys, pending, rep,
+                     temp, top_p, pen, eos_ids, limit, active):
         """``spec_steps`` batched speculation rounds in ONE program.
 
         Vectorizes models/spec_decode.py over slots: per-slot bigram match
@@ -481,7 +496,7 @@ class BatchedDecoderLM:
         sidx = jnp.arange(s)
 
         def step(carry, _):
-            cache, tokens, pos, keys, pending, active, hit_eos = carry
+            cache, tokens, pos, keys, pending, active, hit_eos, rep = carry
             # trigram-preferred prompt lookup (see spec_decode.py — draft
             # quality only affects acceptance, never output)
             a_tok = tokens[sidx, jnp.maximum(pos - 1, 0)]
@@ -504,6 +519,19 @@ class BatchedDecoderLM:
             logits, cache = decoder_forward(params, self.cfg, seq,
                                             positions, kv_cache=cache,
                                             cache_len=pos)
+            # HF-exact repetition penalty under batched speculation: the
+            # seen-set at verify position i of slot s is rep[s] plus that
+            # slot's draft[0..i-1] (see spec_decode.py — for every USED
+            # position the drafts before it equal the emitted tokens
+            # before it). pen == 1.0 is a bitwise identity.
+            v = logits.shape[-1]
+            draft_seen = jnp.cumsum(
+                jax.nn.one_hot(draft, v, dtype=jnp.int32), axis=1) > 0
+            masks = jnp.concatenate(
+                [jnp.zeros((s, 1, v), bool), draft_seen], axis=1) \
+                | rep[:, None, :]
+            logits = apply_repetition_penalty(logits, masks,
+                                              pen[:, None, None])
             gtok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             ks = jax.vmap(lambda kk: jax.random.split(kk, k + 2))(keys)
             next_keys = ks[:, 0]
@@ -531,6 +559,9 @@ class BatchedDecoderLM:
             wr = jnp.where(emit_mask, pos[:, None] + 1 + iota[None, :],
                            max_len)
             tokens = tokens.at[sidx[:, None], wr].set(targets, mode="drop")
+            rep = rep | jnp.any(
+                jax.nn.one_hot(targets, rep.shape[-1], dtype=jnp.bool_)
+                & emit_mask[:, :, None], axis=1)
             new_pending = jnp.take_along_axis(
                 targets, jnp.minimum(a, k)[:, None], axis=1)[:, 0]
             pending = jnp.where(active & (ie > a), new_pending, pending)
@@ -541,16 +572,22 @@ class BatchedDecoderLM:
             active = (active & ~step_eos & (pos + 1 < limit)
                       & (pos + k <= max_len - 1))
             return (cache, tokens, pos, keys, pending, active,
-                    hit_eos), emissions
+                    hit_eos, rep), emissions
 
         carry0 = (cache, tokens, pos, keys, pending, active,
-                  jnp.zeros((s,), bool))
-        (cache, tokens, pos, keys, pending, active, hit_eos), emissions = \
+                  jnp.zeros((s,), bool), rep)
+        (cache, tokens, pos, keys, pending, active, hit_eos, rep), \
+            emissions = \
             jax.lax.scan(step, carry0, None, length=self.spec_steps)
-        return emissions, cache, tokens, pos, keys, pending, hit_eos
+        return emissions, cache, tokens, pos, keys, pending, hit_eos, rep
 
     def _spec_admit(self, st: _Stream, slot: int) -> None:
         ids = st.prompt_ids
+        mask_row = np.zeros(self.cfg.vocab_size, bool)
+        mask_row[ids] = True   # repetition-penalty history = the prompt
+        common = (jax.random.PRNGKey(st.seed), jnp.asarray(mask_row),
+                  jnp.float32(st.temperature), jnp.float32(st.top_p),
+                  jnp.float32(st.repetition_penalty))
         hit = self._prefix.match(ids, self.max_len) if self._prefix else None
         if hit is not None and len(ids) - hit[1] > self.prefill_chunk:
             hit = None  # long suffix: take the chunked cold path instead
@@ -559,35 +596,32 @@ class BatchedDecoderLM:
             tb = pad_bucket(len(ids), hi=self.max_len)
             full = ids + [0] * (tb - len(ids))
             (self._tokens, self._pos, self._keys, self._pend_tok,
-             tok) = self._spec_install_fn(
+             self._rep, tok) = self._spec_install_fn(
                 self._tokens, self._pos, self._keys, self._pend_tok,
-                last_row, jnp.asarray([full], jnp.int32), jnp.int32(slot),
-                jnp.int32(len(ids)), jax.random.PRNGKey(st.seed),
-                jnp.float32(st.temperature), jnp.float32(st.top_p))
+                self._rep, last_row, jnp.asarray([full], jnp.int32),
+                jnp.int32(slot), jnp.int32(len(ids)), *common)
         elif hit is not None:
             rows, l, sb = hit
             sfx = ids[l:] + [0] * (sb - (len(ids) - l))
             tb = pad_bucket(len(ids), hi=self.max_len)
             full = ids + [0] * (tb - len(ids))
             (self._cache, self._tokens, self._pos, self._keys,
-             self._pend_tok, tok) = self._spec_prefill_prefix_fn(
+             self._pend_tok, self._rep, tok) = self._spec_prefill_prefix_fn(
                 self.params, self._cache, self._tokens, self._pos,
-                self._keys, self._pend_tok, rows, jnp.int32(l),
+                self._keys, self._pend_tok, self._rep, rows, jnp.int32(l),
                 jnp.asarray([sfx], jnp.int32),
                 jnp.asarray([full], jnp.int32), jnp.int32(slot),
-                jnp.int32(len(ids) - l), jax.random.PRNGKey(st.seed),
-                jnp.float32(st.temperature), jnp.float32(st.top_p))
+                jnp.int32(len(ids) - l), *common)
         else:
             bucket = pad_bucket(len(ids), lo=self._PAD_BUCKET_MIN,
                                 hi=self.max_len)
             padded = ids + [0] * (bucket - len(ids))
             (self._cache, self._tokens, self._pos, self._keys,
-             self._pend_tok, tok) = self._spec_prefill_fn(
+             self._pend_tok, self._rep, tok) = self._spec_prefill_fn(
                 self.params, self._cache, self._tokens, self._pos,
-                self._keys, self._pend_tok, jnp.asarray([padded], jnp.int32),
-                jnp.int32(slot), jnp.int32(len(ids)),
-                jax.random.PRNGKey(st.seed), jnp.float32(st.temperature),
-                jnp.float32(st.top_p))
+                self._keys, self._pend_tok, self._rep,
+                jnp.asarray([padded], jnp.int32),
+                jnp.int32(slot), jnp.int32(len(ids)), *common)
         self._store_prefix(ids, slot)
         # do NOT sync on the first token here — the fetch happens after
         # the tick dispatches the decode launch, overlapping the round
@@ -735,9 +769,10 @@ class BatchedDecoderLM:
                     occupancy=occ)
         if self.spec_k:
             (em, self._cache, self._tokens, self._pos, self._keys,
-             self._pend_tok, hit_eos) = self._spec_decode_fn(
+             self._pend_tok, hit_eos, self._rep) = self._spec_decode_fn(
                 self.params, self._cache, self._tokens, self._pos,
-                self._keys, self._pend_tok, temp, top_p, eos, limit, active)
+                self._keys, self._pend_tok, self._rep, temp, top_p, pen,
+                eos, limit, active)
             # deferred admission first tokens: the int() syncs overlap the
             # decode execution just dispatched above
             for st, slot, tok_dev in self._admitted_firsts:
@@ -812,12 +847,6 @@ class BatchedDecoderLM:
         """Same contract as ``JaxDecoderLM.generate_stream``, but any number
         of threads may stream concurrently — requests join the shared batch
         as slots free up (FIFO admission)."""
-        if self.spec_k and repetition_penalty != 1.0:
-            raise ValueError(
-                "repetition_penalty is incompatible with batched "
-                "speculation (each verify target would depend on the "
-                "drafts accepted before it); use spec_k=0 for penalized "
-                "decoding")
         t = len(prompt_ids)
         if t >= self.max_len:
             raise ValueError(

@@ -43,6 +43,7 @@ import numpy as np
 
 from legalrag_tpu.models.decoder import (DecoderConfig, JaxDecoderLM,
                                          _sample_top_p, _top_p_filter,
+                                         apply_repetition_penalty,
                                          decoder_forward)
 from legalrag_tpu.utils import get_logger
 from legalrag_tpu.utils.device import on_device
@@ -73,11 +74,11 @@ class SpecLookupDecoderLM(JaxDecoderLM):
         self.last_stats: Dict[str, float] = {}
         self._spec_fn = jax.jit(self._spec_scan,
                                 static_argnames=("greedy",),
-                                donate_argnums=(1, 2))
+                                donate_argnums=(1, 2, 10))
 
     # ------------------------------------------------------------- program
     def _spec_scan(self, params, cache, tokens, pos, pending, key, temp,
-                   top_p, eos_id, budget_left, greedy: bool):
+                   top_p, eos_id, budget_left, rep, pen, greedy: bool):
         """``spec_steps`` speculation rounds in ONE program.
 
         State: ``tokens[i]`` = sequence token at position ``i`` for
@@ -102,8 +103,8 @@ class SpecLookupDecoderLM(JaxDecoderLM):
         iota = jnp.arange(k + 1)
 
         def step(carry, _):
-            cache, tokens, pos, pending, key, c_left, active, hit_eos \
-                = carry
+            cache, tokens, pos, pending, key, c_left, active, hit_eos, \
+                rep = carry
             # --- draft: most recent earlier occurrence of the current
             # trigram (falling back to the bigram); the k tokens that
             # followed it. Draft quality only affects SPEED — a bad draft
@@ -126,6 +127,19 @@ class SpecLookupDecoderLM(JaxDecoderLM):
             logits, cache = decoder_forward(params, self.cfg, seq, positions,
                                             kv_cache=cache, cache_len=pos)
             lg = logits[0]                                   # [k+1, V]
+            # HF-exact repetition penalty UNDER speculation: verify
+            # position i predicts the token after [..., pending,
+            # draft[0..i-1]], and for every position that is actually
+            # used (i ≤ acceptance) the drafts before it equal the tokens
+            # emitted before it — so the per-position seen-set is exactly
+            # ``rep ∪ draft[0..i-1]``, computable in parallel. pen == 1.0
+            # is a bitwise identity (apply_repetition_penalty).
+            v = lg.shape[-1]
+            draft_seen = jnp.cumsum(
+                jax.nn.one_hot(draft, v, dtype=jnp.int32), axis=0) > 0
+            masks = jnp.concatenate(
+                [jnp.zeros((1, v), bool), draft_seen]) | rep[None, :]
+            lg = apply_repetition_penalty(lg, masks, pen)
             if greedy:
                 targets = jnp.argmax(lg, axis=-1).astype(jnp.int32)
             else:
@@ -147,6 +161,12 @@ class SpecLookupDecoderLM(JaxDecoderLM):
             # token scatter drops masked rows)
             wr = jnp.where(emit_mask, pos + 1 + iota, max_len)
             tokens = tokens.at[wr].set(targets, mode="drop")
+            # the seen-set grows by exactly the emitted tokens (the
+            # correction/bonus token is emitted too, matching the plain
+            # engine's mask update order)
+            rep = rep | jnp.any(
+                jax.nn.one_hot(targets, rep.shape[0], dtype=jnp.bool_)
+                & emit_mask[:, None], axis=0)
             # new pending = the correction/bonus token targets[a]; only
             # meaningful when the round wasn't cut by EOS/budget — in the
             # cut cases the stream is frozen and pending is never used
@@ -159,17 +179,17 @@ class SpecLookupDecoderLM(JaxDecoderLM):
             active = (active & ~step_eos & (c_left > 0)
                       & (pos + k <= max_len - 1))
             return (cache, tokens, pos, pending, key, c_left, active,
-                    hit_eos), emissions
+                    hit_eos, rep), emissions
 
         carry0 = (cache, tokens, pos, pending, key, budget_left,
-                  jnp.bool_(True), jnp.bool_(False))
-        (cache, tokens, pos, pending, key, c_left, active, hit_eos), \
+                  jnp.bool_(True), jnp.bool_(False), rep)
+        (cache, tokens, pos, pending, key, c_left, active, hit_eos, rep), \
             emissions = jax.lax.scan(step, carry0, None,
                                      length=self.spec_steps)
         packed = jnp.stack([active.astype(jnp.int32),
                             hit_eos.astype(jnp.int32),
                             (budget_left - c_left), pos])
-        return emissions, cache, tokens, pos, pending, key, packed
+        return emissions, cache, tokens, pos, pending, key, packed, rep
 
     # ------------------------------------------------------------------ API
     def generate_stream(self, prompt_ids: List[int],
@@ -203,10 +223,7 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                        seed: int = 0,
                        repetition_penalty: float = 1.0,
                        stats: Optional[Dict] = None) -> Iterator[int]:
-        if self.spec_k <= 0 or repetition_penalty != 1.0:
-            # a repetition penalty makes every target depend on the tokens
-            # accepted before it WITHIN the verify window — incompatible
-            # with parallel verification; fall back to plain decoding
+        if self.spec_k <= 0:
             yield from super().generate_stream(
                 prompt_ids, max_new_tokens, temperature, top_p, eos_id,
                 seed, repetition_penalty)
@@ -227,8 +244,14 @@ class SpecLookupDecoderLM(JaxDecoderLM):
         greedy = not temperature > 0
         with on_device(self.device):
             last2d, cache = self._prefill_prompt(list(prompt_ids))
-            last = last2d[0]
             key = jax.random.PRNGKey(seed)
+            pen_j = jnp.float32(repetition_penalty)
+            mask0 = np.zeros(self.cfg.vocab_size, bool)
+            mask0[list(prompt_ids)] = True
+            rep = jnp.asarray(mask0)
+            # the admission-time first token samples with the prompt-mask
+            # penalty, exactly like the plain engine's first decode step
+            last = apply_repetition_penalty(last2d, rep[None, :], pen_j)[0]
             if greedy:
                 pending_h = int(np.argmax(np.asarray(last)))
             else:
@@ -236,6 +259,7 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                 pending_h = int(_sample_top_p(
                     (last / jnp.float32(max(temperature, 1e-6)))[None, :],
                     jnp.float32(top_p), sub)[0])
+            rep = rep.at[pending_h].set(True)
             if eos_id is not None and pending_h == eos_id:
                 return
             yield pending_h
@@ -257,11 +281,12 @@ class SpecLookupDecoderLM(JaxDecoderLM):
             # launch it where that range would not fit (the scalar-offset
             # cache write clamps rather than drops out of range)
             while pos_h + self.spec_k <= self.max_len - 1:
-                emissions, cache, tokens, pos, pending, key, packed = \
+                (emissions, cache, tokens, pos, pending, key, packed,
+                 rep) = \
                     self._spec_fn(self.params, cache, tokens, pos, pending,
                                   key, temp_j, tp_j, eos_j,
                                   jnp.int32(max_new_tokens - produced),
-                                  greedy=greedy)
+                                  rep, pen_j, greedy=greedy)
                 em = np.asarray(emissions)
                 st = np.asarray(packed)
                 stats["launches"] += 1
@@ -288,11 +313,13 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                 jnp.int32(pos_h), cache)
             pos_h += 1
             while produced < max_new_tokens and pos_h < self.max_len:
+                scored = apply_repetition_penalty(last, rep[None, :], pen_j)
                 if greedy:
-                    tok = int(np.argmax(np.asarray(last[0])))
+                    tok = int(np.argmax(np.asarray(scored[0])))
                 else:
                     key, sub = jax.random.split(key)
-                    tok = int(_sample_top_p(last / temp_j, tp_j, sub)[0])
+                    tok = int(_sample_top_p(scored / temp_j, tp_j, sub)[0])
+                rep = rep.at[tok].set(True)
                 if eos_id is not None and tok == eos_id:
                     return
                 yield tok

@@ -160,24 +160,75 @@ def test_mixed_penalties_in_one_batch(tiny):
         engine.close()
 
 
-def test_spec_engine_falls_back_with_penalty(tiny):
-    cfg, params = tiny
-    lm = JaxDecoderLM(params, cfg, max_len=64)
-    spec = SpecLookupDecoderLM(params, cfg, max_len=64, spec_k=4)
-    p = [5, 6, 7, 8]
-    want = list(lm.generate_stream(p, max_new_tokens=10,
-                                   repetition_penalty=1.5))
-    got = list(spec.generate_stream(p, max_new_tokens=10,
-                                    repetition_penalty=1.5))
-    assert got == want
+SPEC_PROMPTS = [[5, 6, 7, 5, 6, 7, 5, 6],   # bigram structure: accepts
+                [9, 10, 11, 9, 10]]
 
 
-def test_batched_spec_rejects_penalty(tiny):
+def test_spec_engine_exact_with_penalty(tiny):
+    """Penalized SPECULATIVE decoding is exact: verify position i's
+    seen-set is the emitted set plus that round's drafts before i, so the
+    greedy stream is token-identical to the plain penalized engine."""
     cfg, params = tiny
-    engine = BatchedDecoderLM(params, cfg, max_len=64, n_slots=1, spec_k=4)
+    lm = JaxDecoderLM(params, cfg, max_len=64, decode_chunk=1)
+    spec = SpecLookupDecoderLM(params, cfg, max_len=64, spec_k=4,
+                               spec_steps=2)
+    for p in SPEC_PROMPTS:
+        want = list(lm.generate_stream(p, max_new_tokens=12,
+                                       repetition_penalty=1.5))
+        got = list(spec.generate_stream(p, max_new_tokens=12,
+                                        repetition_penalty=1.5))
+        assert got == want, p
+        assert got != list(lm.generate_stream(p, max_new_tokens=12)), \
+            "penalty did not change the trajectory; parity is vacuous"
+
+
+def test_batched_spec_exact_with_penalty(tiny):
+    cfg, params = tiny
+    lm = JaxDecoderLM(params, cfg, max_len=64, decode_chunk=1)
+    want = {tuple(p): list(lm.generate_stream(p, max_new_tokens=12,
+                                              repetition_penalty=1.5))
+            for p in SPEC_PROMPTS}
+    engine = BatchedDecoderLM(params, cfg, max_len=64, n_slots=2,
+                              spec_k=4, spec_steps=2)
     try:
-        with pytest.raises(ValueError):
-            next(engine.generate_stream([1, 2, 3], max_new_tokens=4,
-                                        repetition_penalty=1.2))
+        got = {}
+
+        def go(p):
+            got[tuple(p)] = list(engine.generate_stream(
+                p, max_new_tokens=12, repetition_penalty=1.5))
+
+        ts = [threading.Thread(target=go, args=(p,)) for p in SPEC_PROMPTS]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        assert got == want
+    finally:
+        engine.close()
+
+
+def test_batched_spec_mixed_penalties(tiny):
+    """Penalized and unpenalized streams share the spec batch without
+    cross-contamination."""
+    cfg, params = tiny
+    lm = JaxDecoderLM(params, cfg, max_len=64, decode_chunk=1)
+    p1, p2 = SPEC_PROMPTS
+    want1 = list(lm.generate_stream(p1, max_new_tokens=12,
+                                    repetition_penalty=1.8))
+    want2 = list(lm.generate_stream(p2, max_new_tokens=12))
+    engine = BatchedDecoderLM(params, cfg, max_len=64, n_slots=2,
+                              spec_k=4, spec_steps=2)
+    try:
+        got = {}
+        ts = [threading.Thread(target=lambda: got.__setitem__(
+                  1, list(engine.generate_stream(
+                      p1, max_new_tokens=12, repetition_penalty=1.8)))),
+              threading.Thread(target=lambda: got.__setitem__(
+                  2, list(engine.generate_stream(p2, max_new_tokens=12))))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        assert got[1] == want1 and got[2] == want2
     finally:
         engine.close()
