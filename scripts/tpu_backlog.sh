@@ -1,0 +1,51 @@
+#!/usr/bin/env bash
+# TPU measurement backlog — run when the axon relay comes back after an
+# outage. Serializes every pending TPU benchmark (ONE CPU core on this
+# box; never run these concurrently with pytest or other benches — see
+# docs/operations.md). Each step logs to /tmp/tpu_backlog/ and appends a
+# one-line status to /tmp/tpu_backlog/STATUS so progress survives the
+# session. Safe to re-run: steps are independent and idempotent.
+set -u
+cd "$(dirname "$0")/.."
+OUT=/tmp/tpu_backlog
+mkdir -p "$OUT"
+note() { echo "$(date -u +%FT%TZ) $*" | tee -a "$OUT/STATUS"; }
+
+note "backlog start"
+
+# 0. relay probe (fail fast if it is still down)
+if ! timeout 420 python -c "import jax; x=jax.numpy.ones((256,256)); (x@x).block_until_ready()" \
+    >"$OUT/probe.log" 2>&1; then
+  note "probe FAILED - relay still down; aborting"
+  exit 1
+fi
+note "probe ok"
+
+# 1. the driver headline (hybrid q/s vs CPU baseline) — ~25-30 min
+timeout 3600 python bench.py >"$OUT/bench.json" 2>"$OUT/bench.log" \
+  && note "bench.py ok: $(cat "$OUT/bench.json")" \
+  || note "bench.py FAILED (see bench.log)"
+
+# 2. decode engines (round-3 additions, never TPU-measured: NEXT.md #2)
+timeout 3600 python -m scripts.bench_decode --batched 4 \
+  >"$OUT/decode_batched.json" 2>"$OUT/decode_batched.log" \
+  && note "bench_decode --batched 4 ok: $(cat "$OUT/decode_batched.json")" \
+  || note "bench_decode --batched FAILED"
+
+timeout 3600 python -m scripts.bench_decode --spec 8 \
+  >"$OUT/decode_spec.json" 2>"$OUT/decode_spec.log" \
+  && note "bench_decode --spec 8 ok: $(cat "$OUT/decode_spec.json")" \
+  || note "bench_decode --spec FAILED"
+
+timeout 3600 python -m scripts.bench_decode --prefix-cache 448 \
+  >"$OUT/decode_prefix.json" 2>"$OUT/decode_prefix.log" \
+  && note "bench_decode --prefix-cache ok: $(cat "$OUT/decode_prefix.json")" \
+  || note "bench_decode --prefix-cache FAILED"
+
+# 3. int8 KV cache decode cost (round-3 late addition)
+timeout 3600 python -m scripts.bench_decode --kv-quant --chunks 8,128 \
+  >"$OUT/decode_kvquant.json" 2>"$OUT/decode_kvquant.log" \
+  && note "bench_decode --kv-quant ok: $(cat "$OUT/decode_kvquant.json")" \
+  || note "bench_decode --kv-quant FAILED"
+
+note "backlog done"
