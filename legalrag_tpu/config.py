@@ -167,6 +167,11 @@ class LLMConfig(BaseModel):
     base_url: Optional[str] = Field(default_factory=lambda: os.environ.get("OPENAI_BASE_URL"))
     temperature: float = 0.3
     top_p: float = 0.9
+    # HF TopKLogitsWarper semantics, applied before top_p (HF's warper
+    # order, which the reference inherits silently through
+    # model.generate's generation_config defaults); 0 = off. top_k=1
+    # reproduces greedy at any temperature. local-jax engines only.
+    top_k: int = 0
     # HF RepetitionPenaltyLogitsProcessor semantics (the reference's
     # qwen-local passes 1.05); 1.0 = off. Exact in EVERY engine, incl.
     # the speculative ones (verify position i's seen-set is the emitted

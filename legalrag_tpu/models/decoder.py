@@ -673,7 +673,7 @@ class JaxDecoderLM:
         self._decode_chunk_fn = jax.jit(self._chunk,
                                         static_argnames=("n_steps",
                                                          "greedy"),
-                                        donate_argnums=(1, 3, 4, 7))
+                                        donate_argnums=(1, 3, 4, 8))
         # prefill is ONE program per prompt bucket (right-padded): eager
         # prefill costs hundreds of dispatches on remote-relay backends,
         # and the in-jit last-row LM head saves the T×H×V logits matmul
@@ -830,7 +830,7 @@ class JaxDecoderLM:
         return logits[:, -1], cache
 
     def _chunk(self, params, last, pos0, cache, key, temperature, top_p,
-               rep_mask, penalty, n_steps: int, greedy: bool):
+               top_k, rep_mask, penalty, n_steps: int, greedy: bool):
         """``n_steps`` sample+decode steps in ONE program (lax.scan):
         returns (tokens [n_steps, B], last logits, cache, key, rep_mask).
         Token semantics match the per-token loop exactly for greedy
@@ -845,7 +845,7 @@ class JaxDecoderLM:
                 tok = jnp.argmax(scored, axis=-1).astype(jnp.int32)
             else:
                 key, sub = jax.random.split(key)
-                tok = _sample_top_p(scored / temperature, top_p, sub)
+                tok = _sample_top_p(scored / temperature, top_p, sub, top_k)
             rep_mask = rep_mask.at[jnp.arange(tok.shape[0]), tok].set(True)
             positions = jnp.full((tok.shape[0], 1), pos, jnp.int32)
             logits, cache = decoder_forward(params, self.cfg, tok[:, None],
@@ -861,8 +861,12 @@ class JaxDecoderLM:
     def generate_stream(self, prompt_ids: List[int], max_new_tokens: int = 256,
                         temperature: float = 0.0, top_p: float = 0.9,
                         eos_id: Optional[int] = None, seed: int = 0,
-                        repetition_penalty: float = 1.0) -> Iterator[int]:
-        """Yields token ids; prefill then per-token jitted decode steps."""
+                        repetition_penalty: float = 1.0,
+                        top_k: int = 0) -> Iterator[int]:
+        """Yields token ids; prefill then per-token jitted decode steps.
+        ``top_k > 0`` adds HF's top-k warper before the nucleus filter
+        (HF order: temperature → top_k → top_p); ``top_k == 1`` with any
+        temperature reproduces the greedy stream."""
         t = len(prompt_ids)
         if t >= self.max_len:
             raise ValueError(
@@ -884,6 +888,7 @@ class JaxDecoderLM:
             greedy = not temperature > 0
             temp = jnp.float32(max(temperature, 1e-6))
             tp = jnp.float32(top_p)
+            tk = jnp.int32(top_k)
             pen = jnp.float32(repetition_penalty)
             mask0 = np.zeros((1, self.cfg.vocab_size), bool)
             mask0[0, list(prompt_ids)] = True
@@ -894,8 +899,8 @@ class JaxDecoderLM:
             # {chunk, 1} regardless of max_new_tokens
             while produced + self.decode_chunk <= max_new_tokens:
                 toks, last, cache, key, rep_mask = self._decode_chunk_fn(
-                    self.params, last, pos, cache, key, temp, tp, rep_mask,
-                    pen, n_steps=self.decode_chunk, greedy=greedy)
+                    self.params, last, pos, cache, key, temp, tp, tk,
+                    rep_mask, pen, n_steps=self.decode_chunk, greedy=greedy)
                 pos += self.decode_chunk
                 produced += self.decode_chunk
                 for tok_host in np.asarray(toks)[:, 0].tolist():
@@ -908,7 +913,7 @@ class JaxDecoderLM:
                     tok = jnp.argmax(scored, axis=-1).astype(jnp.int32)
                 else:
                     key, sub = jax.random.split(key)
-                    tok = _sample_top_p(scored / temp, tp, sub)
+                    tok = _sample_top_p(scored / temp, tp, sub, tk)
                 rep_mask = rep_mask.at[0, tok[0]].set(True)
                 tok_host = int(tok[0])
                 if eos_id is not None and tok_host == eos_id:
@@ -930,6 +935,20 @@ def apply_repetition_penalty(logits: jax.Array, seen_mask: jax.Array,
     return jnp.where(seen_mask, penalized, logits)
 
 
+def _top_k_filter(logits: jax.Array, top_k) -> jax.Array:
+    """HF ``TopKLogitsWarper`` semantics for a single [V] row: keep the k
+    highest logits, mask the rest (ties at the k-th value survive, like
+    HF's ``logits < topk(logits, k)[-1]``). ``top_k <= 0`` disables — the
+    row passes through bitwise, so engines apply it unconditionally.
+    Applied BEFORE the nucleus filter, matching HF's warper order
+    (temperature → top_k → top_p) that the reference inherits through
+    ``model.generate`` (reference ``llm/client.py:336-338``)."""
+    v = logits.shape[-1]
+    kk = jnp.clip(top_k, 1, v)
+    thr = jnp.sort(logits)[v - kk]
+    return jnp.where((top_k > 0) & (logits < thr), -1e30, logits)
+
+
 def _top_p_filter(logits: jax.Array, top_p: jax.Array) -> jax.Array:
     """Nucleus filter for a single [V] logits row."""
     sorted_logits = jnp.sort(logits)[::-1]
@@ -939,7 +958,15 @@ def _top_p_filter(logits: jax.Array, top_p: jax.Array) -> jax.Array:
     return jnp.where(logits >= cutoff, logits, -1e30)
 
 
-def _sample_top_p(logits: jax.Array, top_p: float, key) -> jax.Array:
+def _warp_filter(logits: jax.Array, top_p: jax.Array, top_k) -> jax.Array:
+    """The full sampling warper chain for one [V] row: top-k then top-p
+    (temperature scaling happens at the call sites, before this)."""
+    return _top_p_filter(_top_k_filter(logits, top_k), top_p)
+
+
+def _sample_top_p(logits: jax.Array, top_p: float, key,
+                  top_k=0) -> jax.Array:
+    logits = jax.vmap(lambda l: _top_k_filter(l, top_k))(logits)
     sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)

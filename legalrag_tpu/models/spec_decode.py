@@ -42,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from legalrag_tpu.models.decoder import (DecoderConfig, JaxDecoderLM,
-                                         _sample_top_p, _top_p_filter,
+                                         _sample_top_p, _warp_filter,
                                          apply_repetition_penalty,
                                          decoder_forward)
 from legalrag_tpu.utils import get_logger
@@ -74,11 +74,12 @@ class SpecLookupDecoderLM(JaxDecoderLM):
         self.last_stats: Dict[str, float] = {}
         self._spec_fn = jax.jit(self._spec_scan,
                                 static_argnames=("greedy",),
-                                donate_argnums=(1, 2, 10))
+                                donate_argnums=(1, 2, 11))
 
     # ------------------------------------------------------------- program
     def _spec_scan(self, params, cache, tokens, pos, pending, key, temp,
-                   top_p, eos_id, budget_left, rep, pen, greedy: bool):
+                   top_p, top_k, eos_id, budget_left, rep, pen,
+                   greedy: bool):
         """``spec_steps`` speculation rounds in ONE program.
 
         State: ``tokens[i]`` = sequence token at position ``i`` for
@@ -147,7 +148,7 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                 key = ks[0]
                 targets = jax.vmap(
                     lambda l, s: jax.random.categorical(
-                        s, _top_p_filter(l, top_p)))(
+                        s, _warp_filter(l, top_p, top_k)))(
                     lg / jnp.maximum(temp, 1e-6), ks[1:]).astype(jnp.int32)
             # --- acceptance: longest draft prefix equal to the targets
             acc = jnp.cumprod((draft == targets[:k]).astype(jnp.int32))
@@ -196,13 +197,14 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                         max_new_tokens: int = 256, temperature: float = 0.0,
                         top_p: float = 0.9, eos_id: Optional[int] = None,
                         seed: int = 0,
-                        repetition_penalty: float = 1.0) -> Iterator[int]:
+                        repetition_penalty: float = 1.0,
+                        top_k: int = 0) -> Iterator[int]:
         # the stats dict is created here and passed down so concurrent
         # misuse can't cross-wire the metrics; last_stats is a snapshot
         stats = {"launches": 0, "tokens": 0, "spec_rounds": 0}
         gen = self._generate_impl(prompt_ids, max_new_tokens, temperature,
                                   top_p, eos_id, seed, repetition_penalty,
-                                  stats)
+                                  stats, top_k)
         try:
             yield from gen
         finally:
@@ -222,11 +224,12 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                        top_p: float = 0.9, eos_id: Optional[int] = None,
                        seed: int = 0,
                        repetition_penalty: float = 1.0,
-                       stats: Optional[Dict] = None) -> Iterator[int]:
+                       stats: Optional[Dict] = None,
+                       top_k: int = 0) -> Iterator[int]:
         if self.spec_k <= 0:
             yield from super().generate_stream(
                 prompt_ids, max_new_tokens, temperature, top_p, eos_id,
-                seed, repetition_penalty)
+                seed, repetition_penalty, top_k)
             return
         t = len(prompt_ids)
         if t >= self.max_len:
@@ -258,7 +261,7 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                 key, sub = jax.random.split(key)
                 pending_h = int(_sample_top_p(
                     (last / jnp.float32(max(temperature, 1e-6)))[None, :],
-                    jnp.float32(top_p), sub)[0])
+                    jnp.float32(top_p), sub, jnp.int32(top_k))[0])
             rep = rep.at[pending_h].set(True)
             if eos_id is not None and pending_h == eos_id:
                 return
@@ -275,6 +278,7 @@ class SpecLookupDecoderLM(JaxDecoderLM):
             pending = jnp.int32(pending_h)
             temp_j = jnp.float32(max(temperature, 1e-6))
             tp_j = jnp.float32(top_p)
+            tk_j = jnp.int32(top_k)
             eos_j = jnp.int32(-1 if eos_id is None else eos_id)
             pos_h = t
             # the spec program writes rows pos..pos+k per round; never
@@ -284,7 +288,7 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                 (emissions, cache, tokens, pos, pending, key, packed,
                  rep) = \
                     self._spec_fn(self.params, cache, tokens, pos, pending,
-                                  key, temp_j, tp_j, eos_j,
+                                  key, temp_j, tp_j, tk_j, eos_j,
                                   jnp.int32(max_new_tokens - produced),
                                   rep, pen_j, greedy=greedy)
                 em = np.asarray(emissions)
@@ -318,7 +322,8 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                     tok = int(np.argmax(np.asarray(scored[0])))
                 else:
                     key, sub = jax.random.split(key)
-                    tok = int(_sample_top_p(scored / temp_j, tp_j, sub)[0])
+                    tok = int(_sample_top_p(scored / temp_j, tp_j, sub,
+                                            tk_j)[0])
                 rep = rep.at[tok].set(True)
                 if eos_id is not None and tok == eos_id:
                     return
