@@ -447,11 +447,13 @@ cfg = DecoderConfig(vocab_size=211, hidden_size=64, num_hidden_layers=2,
                     num_attention_heads=4, num_key_value_heads=2,
                     intermediate_size=128, max_position_embeddings=256)
 rng = np.random.default_rng(0)
-def mat(i, o, s=0.05):
+# 0.3/0.5 init keeps the tiny model's greedy stream diverse (a 0.05 init
+# collapses to one repeated token, which would demo nothing)
+def mat(i, o, s=0.3):
     return jnp.asarray(rng.standard_normal((i, o)) * s, jnp.float32)
 h, ff, d, hkv = (cfg.hidden_size, cfg.intermediate_size, cfg.head_dim,
                  cfg.num_key_value_heads)
-embed = mat(cfg.vocab_size, h, 0.1)
+embed = mat(cfg.vocab_size, h, 0.5)
 params = {"embed": embed, "lm_head": embed.T, "final_norm": jnp.ones(h),
           "layers": [
               {"input_norm": jnp.ones(h),
@@ -533,6 +535,59 @@ for t in threads: t.start()
 for t in threads: t.join()
 engine.close()
 print("4 concurrent SPECULATIVE streams token-identical:", got == want)'''),
+    ("md", """\
+## Sampling & penalty controls — exact everywhere
+
+`llm.top_k` adds HF's `TopKLogitsWarper` before the nucleus filter (the
+warper order HF applies silently through `generation_config`); per-slot
+in the batched engine, and `top_k=1` reproduces greedy at any
+temperature. `llm.repetition_penalty` (HF-exact) works under
+SPECULATION too: verify position i's seen-set is the emitted set plus
+that round's drafts before i, computed in parallel inside the verify —
+penalized speculative streams are token-identical to the plain
+penalized engine."""),
+    ("code", '''\
+want_pen = list(lm.generate_stream(prompt, max_new_tokens=16,
+                                   repetition_penalty=1.5))
+spec_pen = list(spec.generate_stream(prompt, max_new_tokens=16,
+                                     repetition_penalty=1.5))
+print("penalized speculative == penalized plain:", spec_pen == want_pen)
+k1 = list(lm.generate_stream(prompt, max_new_tokens=24, temperature=0.8,
+                             top_k=1, seed=3))
+print("top_k=1 sampled == greedy:", k1 == reference)'''),
+    ("md", """\
+## int8 KV cache, chunked admission, prefix reuse
+
+`llm.kv_quant` stores KV rows as symmetric per-(position, head) int8 +
+f32 scales — quantize-on-write / dequantize-on-read inside
+`decoder_forward`, ~1.9× less cache HBM per decode step (≈2× context or
+slots in the same budget, error ≤ row-amax/254 per element).
+`llm.prefill_chunk` caps admission prefill memory by forwarding long
+prompts in exact sequential chunks; `llm.prefix_cache` reuses the KV
+rows of a shared prompt prefix (LRU with prefix-nested dedup). All three
+compose with every engine."""),
+    ("code", '''\
+q_lm = JaxDecoderLM(params, cfg, max_len=128, kv_quant=True)
+nb_q = sum(a.nbytes for l in q_lm._empty_cache(1) for a in l)
+nb_d = sum(a.nbytes for l in lm._empty_cache(1) for a in l)
+print(f"KV cache bytes: dense {nb_d} -> int8 {nb_q} "
+      f"({nb_q / nb_d:.2f}x)")
+print("int8 stream == dense stream here:",
+      list(q_lm.generate_stream(prompt, max_new_tokens=24)) == reference)
+
+long_p = list(rng.integers(1, 200, 60))
+engine = BatchedDecoderLM(params, cfg, max_len=128, n_slots=2,
+                          decode_chunk=8, prefill_chunk=16,
+                          prefix_cache=4, kv_quant=True)
+want_long = list(q_lm.generate_stream(long_p, max_new_tokens=12))
+got_long = list(engine.generate_stream(long_p, max_new_tokens=12))
+got_warm = list(engine.generate_stream(long_p + [7, 9],
+                                       max_new_tokens=12))
+engine.close()
+print("chunked+quant batched admission == single-stream:",
+      got_long == want_long)
+print("prefix cache stats after the warm request:",
+      engine._prefix.stats)'''),
     ("md", """\
 ## Tensor-parallel generation
 
