@@ -306,17 +306,17 @@ class LLMClient:
                         **(dict(prefill_chunk=pc, **kw) if pc else kw))
                 tp = getattr(self.cfg, "tp_shards", 0)
                 if tp and tp > 1:
-                    # re-place the loaded params tensor-parallel; the
-                    # engines are sharding-agnostic (GSPMD inserts the
-                    # collectives at trace time)
+                    # re-place the loaded params tensor-parallel (and the
+                    # batched engine's persistent slot cache kv-head-
+                    # parallel); the engines are sharding-agnostic (GSPMD
+                    # inserts the collectives at trace time)
                     from legalrag_tpu.parallel.decoder_tp import \
-                        shard_decoder_params
+                        apply_tp_to_engine
                     from legalrag_tpu.parallel.mesh import (local_devices,
                                                             make_mesh)
 
                     mesh = make_mesh(local_devices()[:tp], data=1, model=tp)
-                    self._local.params = shard_decoder_params(
-                        self._local.params, self._local.cfg, mesh)
+                    apply_tp_to_engine(self._local, mesh)
             except Exception as e:
                 raise LLMUnavailable(f"jax decoder load failed: {e}") from e
         return self._local

@@ -95,3 +95,22 @@ def tp_kv_cache_sharding(cfg: DecoderConfig, mesh: Mesh
     if cfg.num_key_value_heads % tp == 0:
         return NamedSharding(mesh, P(None, None, MODEL_AXIS, None))
     return None
+
+
+def apply_tp_to_engine(engine, mesh: Mesh) -> None:
+    """Tensor-parallelize a decode engine in place: shard its params and,
+    for engines holding a persistent slot cache (BatchedDecoderLM), place
+    the cache kv-head-parallel too. The k/v projections are head-sharded,
+    so a replicated persistent cache would force GSPMD to reshard it on
+    every decode launch; explicit placement keeps the cache resident on
+    the axis that produces it. Cache layers are generic tuples (dense
+    (k, v) / quantized (kq, vq, ks, vs)); every member is [S, T, Hkv, *],
+    so one head-axis spec covers all. Single-stream engines create their
+    cache inside the jitted prefill — nothing to place there."""
+    engine.params = shard_decoder_params(engine.params, engine.cfg, mesh)
+    sharding = tp_kv_cache_sharding(engine.cfg, mesh)
+    if sharding is not None and getattr(engine, "_cache", None) is not None:
+        engine._cache = [
+            tuple(jax.device_put(a, sharding) for a in layer)
+            for layer in engine._cache]
+        log.info("engine slot cache placed kv-head-parallel")

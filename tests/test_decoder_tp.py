@@ -174,3 +174,51 @@ def test_tp_batched_engine_matches(cpu8):
         assert got == want
     finally:
         engine.close()
+
+
+def test_apply_tp_to_engine_places_batched_cache(cpu8):
+    """apply_tp_to_engine shards params AND places the batched engine's
+    persistent slot cache kv-head-parallel; streams stay token-identical
+    to the unsharded engine (dense and int8-quantized caches)."""
+    from legalrag_tpu.models.batched_decoder import BatchedDecoderLM
+    from legalrag_tpu.parallel.decoder_tp import apply_tp_to_engine
+
+    cfg = DecoderConfig(vocab_size=97, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        intermediate_size=64, max_position_embeddings=64)
+    params = _tiny_params(cfg, seed=2)
+    prompt = [5, 6, 7, 5, 6]
+    want = list(JaxDecoderLM(params, cfg, max_len=48)
+                .generate_stream(prompt, max_new_tokens=10))
+    mesh = make_mesh(cpu8[:2], data=1, model=2)
+    for kv_quant in (False, True):
+        engine = BatchedDecoderLM(params, cfg, max_len=48, n_slots=2,
+                                  decode_chunk=4, kv_quant=kv_quant)
+        try:
+            apply_tp_to_engine(engine, mesh)
+            assert not engine.params["layers"][0]["q"]["kernel"] \
+                .sharding.is_fully_replicated
+            for a in engine._cache[0]:
+                assert not a.sharding.is_fully_replicated, a.shape
+            got = list(engine.generate_stream(prompt, max_new_tokens=10))
+        finally:
+            engine.close()
+        assert got == want, f"kv_quant={kv_quant}"
+
+
+def test_apply_tp_to_engine_single_stream_noop_cache(cpu8):
+    """Single-stream engines have no persistent cache; apply_tp_to_engine
+    still shards params and generation stays exact."""
+    from legalrag_tpu.parallel.decoder_tp import apply_tp_to_engine
+
+    cfg = DecoderConfig(vocab_size=97, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        intermediate_size=64, max_position_embeddings=64)
+    params = _tiny_params(cfg, seed=5)
+    prompt = [3, 4, 5]
+    want = list(JaxDecoderLM(params, cfg, max_len=32)
+                .generate_stream(prompt, max_new_tokens=6))
+    lm = JaxDecoderLM(params, cfg, max_len=32)
+    apply_tp_to_engine(lm, make_mesh(cpu8[:2], data=1, model=2))
+    got = list(lm.generate_stream(prompt, max_new_tokens=6))
+    assert got == want
