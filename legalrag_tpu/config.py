@@ -172,6 +172,9 @@ class LLMConfig(BaseModel):
     # model.generate's generation_config defaults); 0 = off. top_k=1
     # reproduces greedy at any temperature. local-jax engines only.
     top_k: int = 0
+    # HF MinPLogitsWarper semantics, applied after top_p (HF's order):
+    # keep tokens with prob >= min_p * max-prob. 0 = off. local-jax only.
+    min_p: float = 0.0
     # HF RepetitionPenaltyLogitsProcessor semantics (the reference's
     # qwen-local passes 1.05); 1.0 = off. Exact in EVERY engine, incl.
     # the speculative ones (verify position i's seen-set is the emitted

@@ -338,6 +338,7 @@ class LLMClient:
                     max_new_tokens=max_new_tokens or self.cfg.max_new_tokens,
                     temperature=self.cfg.temperature, top_p=self.cfg.top_p,
                     top_k=getattr(self.cfg, "top_k", 0),
+                    min_p=getattr(self.cfg, "min_p", 0.0),
                     eos_id=tok.eos_token_id,
                     repetition_penalty=getattr(self.cfg,
                                                "repetition_penalty", 1.0)):

@@ -73,25 +73,27 @@ log = get_logger("models.batched_decoder")
 
 
 def _sample_top_p_per_slot(logits: jax.Array, top_p: jax.Array,
-                           top_k: jax.Array, keys: jax.Array) -> jax.Array:
-    """Per-slot warped sampling: logits [S, V], top_p/top_k [S], keys
-    [S, 2]. One vmap over the shared single-row warper chain (top-k then
-    nucleus) so the semantics cannot diverge between engines."""
+                           top_k: jax.Array, min_p: jax.Array,
+                           keys: jax.Array) -> jax.Array:
+    """Per-slot warped sampling: logits [S, V], top_p/top_k/min_p [S],
+    keys [S, 2]. One vmap over the shared single-row warper chain (top-k
+    → nucleus → min-p, HF order) so the semantics cannot diverge between
+    engines."""
     return jax.vmap(
-        lambda l, tp, tk, k: jax.random.categorical(
-            k, _warp_filter(l, tp, tk))
-    )(logits, top_p, top_k, keys).astype(jnp.int32)
+        lambda l, tp, tk, mp, k: jax.random.categorical(
+            k, _warp_filter(l, tp, tk, mp))
+    )(logits, top_p, top_k, min_p, keys).astype(jnp.int32)
 
 
 class _Stream:
     """Host bookkeeping for one in-flight request."""
 
     __slots__ = ("out", "prompt_ids", "max_new", "eos_id", "temperature",
-                 "top_p", "top_k", "seed", "produced", "cancelled", "error",
-                 "repetition_penalty")
+                 "top_p", "top_k", "min_p", "seed", "produced", "cancelled",
+                 "error", "repetition_penalty")
 
     def __init__(self, prompt_ids, max_new, eos_id, temperature, top_p, seed,
-                 repetition_penalty=1.0, top_k=0):
+                 repetition_penalty=1.0, top_k=0, min_p=0.0):
         self.out: "queue.Queue" = queue.Queue()
         self.prompt_ids = prompt_ids
         self.max_new = max_new
@@ -99,6 +101,7 @@ class _Stream:
         self.temperature = temperature
         self.top_p = top_p
         self.top_k = top_k
+        self.min_p = min_p
         self.seed = seed
         self.repetition_penalty = repetition_penalty
         self.produced = 0
@@ -282,13 +285,13 @@ class BatchedDecoderLM:
     def _extract_slot_rows(self, cache, slot, tb: int):
         return self._slot_rows(cache, slot, tb)
 
-    def _first_token(self, logits, key_row, temp, top_p, top_k):
+    def _first_token(self, logits, key_row, temp, top_p, top_k, min_p):
         """Sample the admission-time first token from prefill logits [V]
         (greedy at temp 0); returns (token, advanced key)."""
         key2, sub = jax.random.split(key_row)
         stok = jax.random.categorical(
             sub, _warp_filter(logits / jnp.maximum(temp, 1e-6), top_p,
-                              top_k)).astype(jnp.int32)
+                              top_k, min_p)).astype(jnp.int32)
         tok = jnp.where(temp > 0, stok,
                         jnp.argmax(logits).astype(jnp.int32))
         return tok, jnp.where(temp > 0, key2, key_row)
@@ -306,13 +309,13 @@ class BatchedDecoderLM:
 
     def _spec_install(self, tokens, pos, keys, pending, rep, last_row,
                       full_ids, slot, total, key_row, mask_row, temp, top_p,
-                      top_k, pen):
+                      top_k, min_p, pen):
         """Final step of a chunked spec admission: record the prompt in
         the slot's token-history row and sample the first token (under
         the prompt-mask repetition penalty)."""
         scored = apply_repetition_penalty(last_row[0], mask_row, pen)
         tok, key_adv = self._first_token(scored, key_row, temp, top_p,
-                                         top_k)
+                                         top_k, min_p)
         tokens = jax.lax.dynamic_update_slice(tokens, full_ids, (slot, 0))
         tokens = tokens.at[slot, total].set(tok)
         pos = pos.at[slot].set(total)
@@ -389,13 +392,13 @@ class BatchedDecoderLM:
     def _spec_prefill_prefix(self, params, cache, tokens, pos, keys,
                              pending, rep, prefix_rows, p_len, ids_sfx,
                              full_ids, slot, true_sfx, key_row, mask_row,
-                             temp, top_p, top_k, pen):
+                             temp, top_p, top_k, min_p, pen):
         cache, last_row = self._prefix_forward(params, cache, prefix_rows,
                                                p_len, ids_sfx, slot,
                                                true_sfx)
         scored = apply_repetition_penalty(last_row[0], mask_row, pen)
         tok, key_adv = self._first_token(scored, key_row, temp, top_p,
-                                         top_k)
+                                         top_k, min_p)
         total = p_len + true_sfx
         tokens = jax.lax.dynamic_update_slice(tokens, full_ids, (slot, 0))
         tokens = tokens.at[slot, total].set(tok)
@@ -407,7 +410,7 @@ class BatchedDecoderLM:
         return cache, tokens, pos, keys, pending, rep, tok
 
     def _decode_chunk(self, params, cache, last, pos, keys, rep, temp,
-                      top_p, topk, pen, eos_ids, limit, active,
+                      top_p, topk, minp, pen, eos_ids, limit, active,
                       n_steps: int):
         """``n_steps`` batched sample+decode steps in ONE program.
 
@@ -426,7 +429,7 @@ class BatchedDecoderLM:
             scored = apply_repetition_penalty(last, rep, pen[:, None])
             gtok = jnp.argmax(scored, axis=-1).astype(jnp.int32)
             scaled = scored / jnp.maximum(temp, 1e-6)[:, None]
-            stok = _sample_top_p_per_slot(scaled, top_p, topk, subs)
+            stok = _sample_top_p_per_slot(scaled, top_p, topk, minp, subs)
             tok = jnp.where(temp > 0, stok, gtok)
             emit = jnp.where(active, tok, -1)
             safe = jnp.minimum(pos, max_len - 1)
@@ -455,7 +458,7 @@ class BatchedDecoderLM:
     # --------------------------------------------- speculative (spec_k > 0)
     def _spec_prefill(self, params, cache, tokens, pos, keys, pending, rep,
                       ids, slot, true_len, key_row, mask_row, temp, top_p,
-                      top_k, pen):
+                      top_k, min_p, pen):
         """Spec-mode admission: prefill the slot, record the prompt in the
         slot's token-history row, and produce the FIRST generated token
         in-program (emitted by the host at admission time). The first
@@ -474,7 +477,7 @@ class BatchedDecoderLM:
         logits = lm_logits(params, self.cfg, hrow)[0, 0]         # [V]
         scored = apply_repetition_penalty(logits, mask_row, pen)
         tok, key_adv = self._first_token(scored, key_row, temp, top_p,
-                                         top_k)
+                                         top_k, min_p)
         tokens = jax.lax.dynamic_update_slice(tokens, ids, (slot, 0))
         tokens = tokens.at[slot, true_len].set(tok)
         pos = pos.at[slot].set(true_len)
@@ -485,7 +488,8 @@ class BatchedDecoderLM:
         return cache, tokens, pos, keys, pending, rep, tok
 
     def _spec_decode(self, params, cache, tokens, pos, keys, pending, rep,
-                     temp, top_p, topk, pen, eos_ids, limit, active):
+                     temp, top_p, topk, minp, pen, eos_ids, limit,
+                     active):
         """``spec_steps`` batched speculation rounds in ONE program.
 
         Vectorizes models/spec_decode.py over slots: per-slot bigram match
@@ -545,10 +549,10 @@ class BatchedDecoderLM:
             scaled = (logits / jnp.maximum(temp, 1e-6)[:, None, None]
                       ).reshape(-1, logits.shape[-1])
             stok = jax.vmap(
-                lambda l, su, tp, tk: jax.random.categorical(
-                    su, _warp_filter(l, tp, tk)))(
+                lambda l, su, tp, tk, mp: jax.random.categorical(
+                    su, _warp_filter(l, tp, tk, mp)))(
                 scaled, subs, jnp.repeat(top_p, k + 1),
-                jnp.repeat(topk, k + 1)
+                jnp.repeat(topk, k + 1), jnp.repeat(minp, k + 1)
             ).astype(jnp.int32).reshape(s, k + 1)
             targets = jnp.where((temp > 0)[:, None], stok, gtok)
             acc = jnp.cumprod((draft == targets[:, :k]).astype(jnp.int32),
@@ -594,7 +598,7 @@ class BatchedDecoderLM:
         mask_row[ids] = True   # repetition-penalty history = the prompt
         common = (jax.random.PRNGKey(st.seed), jnp.asarray(mask_row),
                   jnp.float32(st.temperature), jnp.float32(st.top_p),
-                  jnp.int32(st.top_k),
+                  jnp.int32(st.top_k), jnp.float32(st.min_p),
                   jnp.float32(st.repetition_penalty))
         hit = self._prefix.match(ids, self.max_len) if self._prefix else None
         if hit is not None and len(ids) - hit[1] > self.prefill_chunk:
@@ -689,6 +693,7 @@ class BatchedDecoderLM:
         temp = np.zeros(s, np.float32)
         top_p = np.full(s, 0.9, np.float32)
         topk = np.zeros(s, np.int32)
+        minp = np.zeros(s, np.float32)
         pen = np.ones(s, np.float32)
         eos = np.full(s, -1, np.int32)
         limit = np.zeros(s, np.int32)
@@ -699,13 +704,14 @@ class BatchedDecoderLM:
             temp[i] = st.temperature
             top_p[i] = st.top_p
             topk[i] = st.top_k
+            minp[i] = st.min_p
             pen[i] = st.repetition_penalty
             eos[i] = -1 if st.eos_id is None else st.eos_id
             limit[i] = min(len(st.prompt_ids) + st.max_new, self.max_len)
             active[i] = True
         return (jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(topk),
-                jnp.asarray(pen), jnp.asarray(eos), jnp.asarray(limit),
-                jnp.asarray(active))
+                jnp.asarray(minp), jnp.asarray(pen), jnp.asarray(eos),
+                jnp.asarray(limit), jnp.asarray(active))
 
     def _finish(self, slot: int) -> None:
         st = self._slots[slot]
@@ -773,8 +779,8 @@ class BatchedDecoderLM:
                 self._pending = pending
         if not any(s is not None for s in self._slots):
             return
-        temp, top_p, topk, pen, eos, limit, active = \
-            self._control_vectors()
+        (temp, top_p, topk, minp, pen, eos, limit,
+         active) = self._control_vectors()
         occ = sum(s is not None for s in self._slots)
         engine = "batched-spec" if self.spec_k else "batched"
         METRICS.inc("legalrag_gen_launches", engine=engine,
@@ -784,7 +790,7 @@ class BatchedDecoderLM:
              self._pend_tok, hit_eos, self._rep) = self._spec_decode_fn(
                 self.params, self._cache, self._tokens, self._pos,
                 self._keys, self._pend_tok, self._rep, temp, top_p, topk,
-                pen, eos, limit, active)
+                minp, pen, eos, limit, active)
             # deferred admission first tokens: the int() syncs overlap the
             # decode execution just dispatched above
             for st, slot, tok_dev in self._admitted_firsts:
@@ -828,8 +834,9 @@ class BatchedDecoderLM:
         (toks, self._cache, self._last, self._pos, self._keys,
          self._rep, _) = \
             self._decode_fn(self.params, self._cache, self._last, self._pos,
-                            self._keys, self._rep, temp, top_p, topk, pen,
-                            eos, limit, active, n_steps=self.decode_chunk)
+                            self._keys, self._rep, temp, top_p, topk, minp,
+                            pen, eos, limit, active,
+                            n_steps=self.decode_chunk)
         toks_host = np.asarray(toks)                         # [n_steps, S]
         n_launch_toks = 0
         for i, st in enumerate(self._slots):
@@ -856,7 +863,8 @@ class BatchedDecoderLM:
                         top_p: float = 0.9, eos_id: Optional[int] = None,
                         seed: int = 0,
                         repetition_penalty: float = 1.0,
-                        top_k: int = 0) -> Iterator[int]:
+                        top_k: int = 0,
+                        min_p: float = 0.0) -> Iterator[int]:
         """Same contract as ``JaxDecoderLM.generate_stream``, but any number
         of threads may stream concurrently — requests join the shared batch
         as slots free up (FIFO admission)."""
@@ -879,7 +887,8 @@ class BatchedDecoderLM:
                         self.spec_k)
             max_new_tokens = budget
         st = _Stream(list(prompt_ids), max_new_tokens, eos_id,
-                     temperature, top_p, seed, repetition_penalty, top_k)
+                     temperature, top_p, seed, repetition_penalty, top_k,
+                     min_p)
         with self._cond:
             if self._closed:
                 raise RuntimeError("BatchedDecoderLM is closed")

@@ -673,7 +673,7 @@ class JaxDecoderLM:
         self._decode_chunk_fn = jax.jit(self._chunk,
                                         static_argnames=("n_steps",
                                                          "greedy"),
-                                        donate_argnums=(1, 3, 4, 8))
+                                        donate_argnums=(1, 3, 4, 9))
         # prefill is ONE program per prompt bucket (right-padded): eager
         # prefill costs hundreds of dispatches on remote-relay backends,
         # and the in-jit last-row LM head saves the T×H×V logits matmul
@@ -830,7 +830,7 @@ class JaxDecoderLM:
         return logits[:, -1], cache
 
     def _chunk(self, params, last, pos0, cache, key, temperature, top_p,
-               top_k, rep_mask, penalty, n_steps: int, greedy: bool):
+               top_k, min_p, rep_mask, penalty, n_steps: int, greedy: bool):
         """``n_steps`` sample+decode steps in ONE program (lax.scan):
         returns (tokens [n_steps, B], last logits, cache, key, rep_mask).
         Token semantics match the per-token loop exactly for greedy
@@ -845,7 +845,8 @@ class JaxDecoderLM:
                 tok = jnp.argmax(scored, axis=-1).astype(jnp.int32)
             else:
                 key, sub = jax.random.split(key)
-                tok = _sample_top_p(scored / temperature, top_p, sub, top_k)
+                tok = _sample_top_p(scored / temperature, top_p, sub, top_k,
+                                    min_p)
             rep_mask = rep_mask.at[jnp.arange(tok.shape[0]), tok].set(True)
             positions = jnp.full((tok.shape[0], 1), pos, jnp.int32)
             logits, cache = decoder_forward(params, self.cfg, tok[:, None],
@@ -862,10 +863,12 @@ class JaxDecoderLM:
                         temperature: float = 0.0, top_p: float = 0.9,
                         eos_id: Optional[int] = None, seed: int = 0,
                         repetition_penalty: float = 1.0,
-                        top_k: int = 0) -> Iterator[int]:
+                        top_k: int = 0,
+                        min_p: float = 0.0) -> Iterator[int]:
         """Yields token ids; prefill then per-token jitted decode steps.
-        ``top_k > 0`` adds HF's top-k warper before the nucleus filter
-        (HF order: temperature → top_k → top_p); ``top_k == 1`` with any
+        ``top_k > 0`` / ``min_p > 0`` add HF's top-k / min-p warpers
+        around the nucleus filter (HF order: temperature → top_k → top_p
+        → min_p); ``top_k == 1`` (or ``min_p == 1.0``) with any
         temperature reproduces the greedy stream."""
         t = len(prompt_ids)
         if t >= self.max_len:
@@ -889,6 +892,7 @@ class JaxDecoderLM:
             temp = jnp.float32(max(temperature, 1e-6))
             tp = jnp.float32(top_p)
             tk = jnp.int32(top_k)
+            mp = jnp.float32(min_p)
             pen = jnp.float32(repetition_penalty)
             mask0 = np.zeros((1, self.cfg.vocab_size), bool)
             mask0[0, list(prompt_ids)] = True
@@ -899,7 +903,7 @@ class JaxDecoderLM:
             # {chunk, 1} regardless of max_new_tokens
             while produced + self.decode_chunk <= max_new_tokens:
                 toks, last, cache, key, rep_mask = self._decode_chunk_fn(
-                    self.params, last, pos, cache, key, temp, tp, tk,
+                    self.params, last, pos, cache, key, temp, tp, tk, mp,
                     rep_mask, pen, n_steps=self.decode_chunk, greedy=greedy)
                 pos += self.decode_chunk
                 produced += self.decode_chunk
@@ -913,7 +917,7 @@ class JaxDecoderLM:
                     tok = jnp.argmax(scored, axis=-1).astype(jnp.int32)
                 else:
                     key, sub = jax.random.split(key)
-                    tok = _sample_top_p(scored / temp, tp, sub, tk)
+                    tok = _sample_top_p(scored / temp, tp, sub, tk, mp)
                 rep_mask = rep_mask.at[0, tok[0]].set(True)
                 tok_host = int(tok[0])
                 if eos_id is not None and tok_host == eos_id:
@@ -958,19 +962,27 @@ def _top_p_filter(logits: jax.Array, top_p: jax.Array) -> jax.Array:
     return jnp.where(logits >= cutoff, logits, -1e30)
 
 
-def _warp_filter(logits: jax.Array, top_p: jax.Array, top_k) -> jax.Array:
-    """The full sampling warper chain for one [V] row: top-k then top-p
-    (temperature scaling happens at the call sites, before this)."""
-    return _top_p_filter(_top_k_filter(logits, top_k), top_p)
+def _min_p_filter(logits: jax.Array, min_p) -> jax.Array:
+    """HF ``MinPLogitsWarper`` semantics for a single [V] row: keep tokens
+    whose probability is ≥ ``min_p`` × the top token's probability (the
+    top token always survives). ``min_p <= 0`` disables (bitwise
+    pass-through)."""
+    probs = jax.nn.softmax(logits)
+    cutoff = min_p * jnp.max(probs)
+    return jnp.where((min_p > 0) & (probs < cutoff), -1e30, logits)
+
+
+def _warp_filter(logits: jax.Array, top_p: jax.Array, top_k,
+                 min_p=0.0) -> jax.Array:
+    """The full sampling warper chain for one [V] row, in HF's order:
+    top-k → top-p → min-p (temperature scaling happens at the call
+    sites, before this)."""
+    return _min_p_filter(
+        _top_p_filter(_top_k_filter(logits, top_k), top_p), min_p)
 
 
 def _sample_top_p(logits: jax.Array, top_p: float, key,
-                  top_k=0) -> jax.Array:
-    logits = jax.vmap(lambda l: _top_k_filter(l, top_k))(logits)
-    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    cutoff_idx = jnp.sum(cum < top_p, axis=-1)
-    cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
-    filtered = jnp.where(logits >= cutoff, logits, -1e30)
+                  top_k=0, min_p=0.0) -> jax.Array:
+    filtered = jax.vmap(
+        lambda l: _warp_filter(l, top_p, top_k, min_p))(logits)
     return jax.random.categorical(key, filtered, axis=-1).astype(jnp.int32)

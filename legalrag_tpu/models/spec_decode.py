@@ -74,11 +74,11 @@ class SpecLookupDecoderLM(JaxDecoderLM):
         self.last_stats: Dict[str, float] = {}
         self._spec_fn = jax.jit(self._spec_scan,
                                 static_argnames=("greedy",),
-                                donate_argnums=(1, 2, 11))
+                                donate_argnums=(1, 2, 12))
 
     # ------------------------------------------------------------- program
     def _spec_scan(self, params, cache, tokens, pos, pending, key, temp,
-                   top_p, top_k, eos_id, budget_left, rep, pen,
+                   top_p, top_k, min_p, eos_id, budget_left, rep, pen,
                    greedy: bool):
         """``spec_steps`` speculation rounds in ONE program.
 
@@ -148,7 +148,7 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                 key = ks[0]
                 targets = jax.vmap(
                     lambda l, s: jax.random.categorical(
-                        s, _warp_filter(l, top_p, top_k)))(
+                        s, _warp_filter(l, top_p, top_k, min_p)))(
                     lg / jnp.maximum(temp, 1e-6), ks[1:]).astype(jnp.int32)
             # --- acceptance: longest draft prefix equal to the targets
             acc = jnp.cumprod((draft == targets[:k]).astype(jnp.int32))
@@ -198,13 +198,14 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                         top_p: float = 0.9, eos_id: Optional[int] = None,
                         seed: int = 0,
                         repetition_penalty: float = 1.0,
-                        top_k: int = 0) -> Iterator[int]:
+                        top_k: int = 0,
+                        min_p: float = 0.0) -> Iterator[int]:
         # the stats dict is created here and passed down so concurrent
         # misuse can't cross-wire the metrics; last_stats is a snapshot
         stats = {"launches": 0, "tokens": 0, "spec_rounds": 0}
         gen = self._generate_impl(prompt_ids, max_new_tokens, temperature,
                                   top_p, eos_id, seed, repetition_penalty,
-                                  stats, top_k)
+                                  stats, top_k, min_p)
         try:
             yield from gen
         finally:
@@ -225,11 +226,12 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                        seed: int = 0,
                        repetition_penalty: float = 1.0,
                        stats: Optional[Dict] = None,
-                       top_k: int = 0) -> Iterator[int]:
+                       top_k: int = 0,
+                       min_p: float = 0.0) -> Iterator[int]:
         if self.spec_k <= 0:
             yield from super().generate_stream(
                 prompt_ids, max_new_tokens, temperature, top_p, eos_id,
-                seed, repetition_penalty, top_k)
+                seed, repetition_penalty, top_k, min_p)
             return
         t = len(prompt_ids)
         if t >= self.max_len:
@@ -261,7 +263,8 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                 key, sub = jax.random.split(key)
                 pending_h = int(_sample_top_p(
                     (last / jnp.float32(max(temperature, 1e-6)))[None, :],
-                    jnp.float32(top_p), sub, jnp.int32(top_k))[0])
+                    jnp.float32(top_p), sub, jnp.int32(top_k),
+                    jnp.float32(min_p))[0])
             rep = rep.at[pending_h].set(True)
             if eos_id is not None and pending_h == eos_id:
                 return
@@ -279,6 +282,7 @@ class SpecLookupDecoderLM(JaxDecoderLM):
             temp_j = jnp.float32(max(temperature, 1e-6))
             tp_j = jnp.float32(top_p)
             tk_j = jnp.int32(top_k)
+            mp_j = jnp.float32(min_p)
             eos_j = jnp.int32(-1 if eos_id is None else eos_id)
             pos_h = t
             # the spec program writes rows pos..pos+k per round; never
@@ -288,7 +292,7 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                 (emissions, cache, tokens, pos, pending, key, packed,
                  rep) = \
                     self._spec_fn(self.params, cache, tokens, pos, pending,
-                                  key, temp_j, tp_j, tk_j, eos_j,
+                                  key, temp_j, tp_j, tk_j, mp_j, eos_j,
                                   jnp.int32(max_new_tokens - produced),
                                   rep, pen_j, greedy=greedy)
                 em = np.asarray(emissions)
@@ -323,7 +327,7 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                 else:
                     key, sub = jax.random.split(key)
                     tok = int(_sample_top_p(scored / temp_j, tp_j, sub,
-                                            tk_j)[0])
+                                            tk_j, mp_j)[0])
                 rep = rep.at[tok].set(True)
                 if eos_id is not None and tok == eos_id:
                     return

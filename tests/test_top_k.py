@@ -160,3 +160,52 @@ def test_sampled_top_k_deterministic(tiny):
     a = list(lm.generate_stream(PROMPT, **kw))
     b = list(lm.generate_stream(PROMPT, **kw))
     assert a == b and len(a) == 10
+
+
+def test_min_p_filter_matches_hf_warper():
+    torch = pytest.importorskip("torch")
+    try:
+        from transformers import MinPLogitsWarper
+    except ImportError:
+        pytest.skip("transformers without MinPLogitsWarper")
+    from legalrag_tpu.models.decoder import _min_p_filter
+
+    rng = np.random.default_rng(5)
+    logits = rng.standard_normal(50).astype(np.float32) * 2.0
+    for mp in (0.05, 0.2, 0.5):
+        want = MinPLogitsWarper(mp)(
+            torch.tensor([[1]]), torch.tensor(logits[None]))[0]
+        keep_w = np.isfinite(want.numpy())
+        got = np.asarray(_min_p_filter(jnp.asarray(logits),
+                                       jnp.float32(mp)))
+        np.testing.assert_array_equal(got > -1e29, keep_w,
+                                      err_msg=f"min_p={mp}")
+
+
+def test_min_p_one_reproduces_greedy_all_engines(tiny):
+    """min_p=1.0 keeps only the max-probability token — every engine's
+    sampled stream must equal the greedy stream."""
+    cfg, params = tiny
+    plain = JaxDecoderLM(params, cfg, max_len=64, decode_chunk=4)
+    greedy = list(plain.generate_stream(PROMPT, max_new_tokens=12))
+    kw = dict(max_new_tokens=12, temperature=0.8, min_p=1.0, seed=11)
+    assert list(plain.generate_stream(PROMPT, **kw)) == greedy
+    spec = SpecLookupDecoderLM(params, cfg, max_len=64, spec_k=4,
+                               spec_steps=2)
+    assert list(spec.generate_stream(PROMPT, **kw)) == greedy
+    engine = BatchedDecoderLM(params, cfg, max_len=64, n_slots=2,
+                              spec_k=4, spec_steps=2)
+    try:
+        assert list(engine.generate_stream(PROMPT, **kw)) == greedy
+    finally:
+        engine.close()
+
+
+def test_min_p_zero_is_identity():
+    from legalrag_tpu.models.decoder import _min_p_filter
+
+    rng = np.random.default_rng(2)
+    logits = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(_min_p_filter(logits, jnp.float32(0.0))),
+        np.asarray(logits))
