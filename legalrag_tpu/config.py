@@ -210,6 +210,13 @@ class LLMConfig(BaseModel):
     # error; applies to every engine. Off by default: exact greedy
     # token-parity with HF is part of the local-jax contract.
     kv_quant: bool = False
+    # local-jax, batched engine: pin ONE physically shared copy of this
+    # rendered system prelude's KV rows; every request whose token ids
+    # start with it attends the pinned segment instead of installing its
+    # own copy (S x less prefix HBM). Tokenization-boundary mismatches
+    # degrade gracefully to the unshared path. Mutually exclusive with
+    # prefix_cache on the batched engine.
+    shared_prefix_text: str = ""
     # local-jax: >0 keeps the KV rows of that many recent prompts and
     # prefills only the suffix on an exact shared token prefix — RAG
     # prompts share the system template + few-shot example, so

@@ -282,10 +282,13 @@ class LLMClient:
                     from legalrag_tpu.models.batched_decoder import \
                         BatchedDecoderLM
 
+                    spt = getattr(self.cfg, "shared_prefix_text", "")
                     self._local = BatchedDecoderLM.from_pretrained(
                         self.cfg.model, n_slots=slots,
                         spec_k=max(spec_k, 0),
-                        prefix_cache=getattr(self.cfg, "prefix_cache", 0),
+                        shared_prefix_text=spt,
+                        prefix_cache=(0 if spt else
+                                      getattr(self.cfg, "prefix_cache", 0)),
                         **(dict(prefill_chunk=pc, **kw) if pc else kw))
                 elif spec_k and spec_k > 0:
                     # prompt-lookup speculative decoding: draft from the

@@ -90,7 +90,7 @@ class _Stream:
 
     __slots__ = ("out", "prompt_ids", "max_new", "eos_id", "temperature",
                  "top_p", "top_k", "min_p", "seed", "produced", "cancelled",
-                 "error", "repetition_penalty")
+                 "error", "repetition_penalty", "shared")
 
     def __init__(self, prompt_ids, max_new, eos_id, temperature, top_p, seed,
                  repetition_penalty=1.0, top_k=0, min_p=0.0):
@@ -107,6 +107,7 @@ class _Stream:
         self.produced = 0
         self.cancelled = False
         self.error: Optional[BaseException] = None
+        self.shared = False  # prompt starts with the engine's shared prefix
 
 
 class BatchedDecoderLM:
@@ -123,7 +124,8 @@ class BatchedDecoderLM:
                  device=None, max_len: int = 4096, n_slots: int = 4,
                  decode_chunk: int = 8, spec_k: int = 0, spec_steps: int = 4,
                  prefix_cache: int = 0, kv_quant: bool = False,
-                 prefill_chunk: int = 1024):
+                 prefill_chunk: int = 1024,
+                 shared_prefix: Optional[List[int]] = None):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -151,8 +153,33 @@ class BatchedDecoderLM:
         # exact prompt-prefix KV reuse at admission (see decoder.py
         # PrefixKVCache) — RAG requests share the system template
         self._prefix = PrefixKVCache(prefix_cache) if prefix_cache else None
+        # PHYSICALLY shared system prefix: ONE pinned copy of the prefix's
+        # KV rows ([1, P] per layer, built once at init) is attended by
+        # every slot whose prompt starts with it (decoder_forward
+        # shared_kv/kv_offset) — slot rows store only positions >= P, so
+        # the engine's cache shrinks from S*max_len to S*(max_len-P)+P
+        # rows. Matching prompts keep the full max_len context budget;
+        # non-matching prompts get max_len-P. Mutually exclusive with the
+        # per-prompt LRU (prefix_cache) in this engine for now.
+        self.shared_prefix = list(shared_prefix) if shared_prefix else None
+        if self.shared_prefix:
+            if prefix_cache:
+                raise ValueError(
+                    "shared_prefix and prefix_cache are mutually "
+                    "exclusive on the batched engine")
+            if len(self.shared_prefix) >= max_len - 16:
+                raise ValueError(
+                    f"shared_prefix ({len(self.shared_prefix)} tokens) "
+                    f"leaves no slot budget in max_len={max_len}")
+            self.shared_len = len(self.shared_prefix)
+        else:
+            self.shared_len = 0
+        self.slot_len = max_len - self.shared_len
+        self._shared_kv = None
 
         with on_device(device):
+            if self.shared_prefix:
+                self._shared_kv = self._build_shared_rows()
             self._cache = self._empty_cache()
             self._last = jnp.zeros((n_slots, cfg.vocab_size), jnp.float32)
             self._pos = jnp.zeros((n_slots,), jnp.int32)
@@ -206,7 +233,8 @@ class BatchedDecoderLM:
 
     # ------------------------------------------------------------- factories
     @classmethod
-    def from_pretrained(cls, name_or_path: str, device=None, **kw
+    def from_pretrained(cls, name_or_path: str, device=None,
+                        shared_prefix_text: str = "", **kw
                         ) -> "BatchedDecoderLM":
         from legalrag_tpu.models.bert import resolve_model_dir
         from legalrag_tpu.models.decoder import load_hf_decoder_params
@@ -216,6 +244,12 @@ class BatchedDecoderLM:
         from transformers import AutoTokenizer
 
         tokenizer = AutoTokenizer.from_pretrained(str(model_dir))
+        if shared_prefix_text and "shared_prefix" not in kw:
+            # pin the rendered system prelude's token ids; a prompt whose
+            # ids do not start with them still serves correctly (it just
+            # pays its own rows), so BPE-boundary mismatch degrades to
+            # the unshared path rather than to an error
+            kw["shared_prefix"] = tokenizer(shared_prefix_text)["input_ids"]
         if device is not None:
             params = jax.device_put(params, device)
         lm = cls(params, cfg, tokenizer, device=device, **kw)
@@ -226,7 +260,7 @@ class BatchedDecoderLM:
     # ------------------------------------------------------------- programs
     def _empty_cache(self):
         hkv, d = self.cfg.num_key_value_heads, self.cfg.head_dim
-        s, t = self.n_slots, self.max_len
+        s, t = self.n_slots, self.slot_len
         if self.kv_quant:
             return [(jnp.zeros((s, t, hkv, d), jnp.int8),
                      jnp.zeros((s, t, hkv, d), jnp.int8),
@@ -275,7 +309,7 @@ class BatchedDecoderLM:
     def _slot_rows(self, cache, slot, tb: Optional[int] = None):
         """Slice one slot's cache rows out as a B=1 cache (first ``tb``
         rows; all of them by default)."""
-        tb = self.max_len if tb is None else tb
+        tb = self.slot_len if tb is None else tb
         return [
             tuple(jax.lax.dynamic_slice(a, (slot, 0, 0, 0),
                                         (1, tb) + a.shape[2:])
@@ -295,6 +329,51 @@ class BatchedDecoderLM:
         tok = jnp.where(temp > 0, stok,
                         jnp.argmax(logits).astype(jnp.int32))
         return tok, jnp.where(temp > 0, key2, key_row)
+
+    def _shared_chunk(self, params, cache, ids, off):
+        """One init-time chunk forward of the shared prefix into its own
+        [1, P_pad] cache at absolute offset ``off``."""
+        positions = (off + jnp.arange(ids.shape[1], dtype=jnp.int32))[None, :]
+        _, cache = decoder_forward(params, self.cfg, ids, positions,
+                                   kv_cache=cache, cache_len=off,
+                                   return_hidden=True)
+        return cache
+
+    def _build_shared_rows(self):
+        """Prefill the shared prefix ONCE into a [1, P] read-only KV
+        segment (chunked, quantized when kv_quant) — every matching slot
+        attends these rows instead of installing its own copy."""
+        ids, p = self.shared_prefix, self.shared_len
+        p_pad = pad_bucket(p)
+        hkv, d = self.cfg.num_key_value_heads, self.cfg.head_dim
+        if self.kv_quant:
+            cache = [(jnp.zeros((1, p_pad, hkv, d), jnp.int8),
+                      jnp.zeros((1, p_pad, hkv, d), jnp.int8),
+                      jnp.zeros((1, p_pad, hkv, 1), jnp.float32),
+                      jnp.zeros((1, p_pad, hkv, 1), jnp.float32))
+                     for _ in range(self.cfg.num_hidden_layers)]
+        else:
+            dt = self.params["embed"].dtype
+            cache = [(jnp.zeros((1, p_pad, hkv, d), dt),
+                      jnp.zeros((1, p_pad, hkv, d), dt))
+                     for _ in range(self.cfg.num_hidden_layers)]
+        fwd = jax.jit(self._shared_chunk, donate_argnums=(1,))
+        c = self.prefill_chunk
+        for off in range(0, p, c):
+            piece = list(ids[off:off + c])
+            n = len(piece)
+            cb = c if n == c else pad_bucket(n, hi=p_pad - off)
+            piece += [0] * (cb - n)
+            cache = fwd(self.params, cache,
+                        jnp.asarray([piece], jnp.int32), jnp.int32(off))
+        rows = [tuple(a[:, :p] for a in layer) for layer in cache]
+        log.info("shared prefix pinned: %d tokens, %.1f MB KV",
+                 p, sum(a.nbytes for l in rows for a in l) / 1e6)
+        return rows
+
+    def _matches_shared(self, ids: List[int]) -> bool:
+        p = self.shared_len
+        return bool(p and len(ids) > p and list(ids[:p]) == self.shared_prefix)
 
     def _install_state(self, last, pos, keys, rep, last_row, slot, total,
                        key_row, mask_row):
@@ -325,38 +404,50 @@ class BatchedDecoderLM:
         rep = rep.at[slot, tok].set(True)
         return tokens, pos, keys, pending, rep, tok
 
-    def _chunked_slot_prefill(self, ids: List[int], slot: int):
+    def _chunked_slot_prefill(self, ids: List[int], slot: int,
+                              shared: bool = False):
         """Sequential fixed-size chunk prefills into the slot's rows —
         numerically identical to the one-shot bucket prefill (each chunk's
-        causal attention spans the already-filled rows). Returns the last
-        real token's logits [1, V] (device)."""
+        causal attention spans the already-filled rows). With ``shared``
+        the prompt's first shared_len tokens are SKIPPED entirely (their
+        rows are the pinned shared segment) and only the suffix forwards.
+        Returns the last real token's logits [1, V] (device)."""
         c = self.prefill_chunk
+        start = self.shared_len if shared else 0
+        sfx = ids[start:]
+        skv = self._shared_kv if shared else None
         last_row = None
-        for off in range(0, len(ids), c):
-            piece = list(ids[off:off + c])
+        for off in range(0, len(sfx), c):
+            piece = list(sfx[off:off + c])
             n = len(piece)
-            cb = c if n == c else pad_bucket(n, hi=self.max_len - off)
+            cb = c if n == c else pad_bucket(n, hi=self.slot_len - off)
             piece += [0] * (cb - n)
             self._cache, last_row = self._offset_forward_fn(
-                self.params, self._cache, jnp.int32(off),
+                self.params, self._cache, jnp.int32(start + off),
                 jnp.asarray([piece], jnp.int32), jnp.int32(slot),
-                jnp.int32(n))
+                jnp.int32(n), skv)
         return last_row
 
     def _offset_forward(self, params, cache, p_len, ids_sfx, slot,
-                        true_sfx):
-        """Forward a right-padded [1, SB] chunk at cache offset ``p_len``
-        over the slot's already-filled rows; returns (updated cache, the
-        last real chunk token's logits). The shared body of prefix-reuse
-        admission AND chunked admission — a prefill chunk is exactly a
-        'suffix' over rows the previous chunk filled."""
+                        true_sfx, shared_kv=None):
+        """Forward a right-padded [1, SB] chunk at ABSOLUTE offset
+        ``p_len`` over the slot's already-filled rows; returns (updated
+        cache, the last real chunk token's logits). The shared body of
+        prefix-reuse admission AND chunked admission — a prefill chunk is
+        exactly a 'suffix' over rows the previous chunk filled. With
+        ``shared_kv`` the chunk also attends the pinned shared-prefix
+        segment and slot rows sit at position − shared_len."""
         row_cache = self._slot_rows(cache, slot)
         sb = ids_sfx.shape[1]
         positions = (p_len + jnp.arange(sb, dtype=jnp.int32))[None, :]
+        off = (jnp.int32(self.shared_len) if shared_kv is not None
+               else None)
         hidden, row_cache = decoder_forward(params, self.cfg, ids_sfx,
                                             positions, kv_cache=row_cache,
                                             cache_len=p_len,
-                                            return_hidden=True)
+                                            return_hidden=True,
+                                            shared_kv=shared_kv,
+                                            kv_offset=off)
         cache = self._write_slot_rows(cache, row_cache, slot)
         hrow = jax.lax.dynamic_slice(
             hidden, (0, true_sfx - 1, 0), (1, 1, hidden.shape[-1]))
@@ -411,7 +502,7 @@ class BatchedDecoderLM:
 
     def _decode_chunk(self, params, cache, last, pos, keys, rep, temp,
                       top_p, topk, minp, pen, eos_ids, limit, active,
-                      n_steps: int):
+                      offv, shared_kv, n_steps: int):
         """``n_steps`` batched sample+decode steps in ONE program.
 
         Per step, per slot: sample a token from ``last`` (greedy when
@@ -435,7 +526,8 @@ class BatchedDecoderLM:
             safe = jnp.minimum(pos, max_len - 1)
             logits, new_cache = decoder_forward(
                 params, self.cfg, tok[:, None], safe[:, None],
-                kv_cache=cache, cache_len=safe)
+                kv_cache=cache, cache_len=safe, shared_kv=shared_kv,
+                kv_offset=offv)
             # frozen slots still scatter one garbage k/v row at their frozen
             # position — harmless by the module invariant (a row is always
             # rewritten before it can be attended), and far cheaper than a
@@ -489,7 +581,7 @@ class BatchedDecoderLM:
 
     def _spec_decode(self, params, cache, tokens, pos, keys, pending, rep,
                      temp, top_p, topk, minp, pen, eos_ids, limit,
-                     active):
+                     active, offv, shared_kv):
         """``spec_steps`` batched speculation rounds in ONE program.
 
         Vectorizes models/spec_decode.py over slots: per-slot bigram match
@@ -501,6 +593,9 @@ class BatchedDecoderLM:
         """
         k = self.spec_k
         s, max_len = self.n_slots, self.max_len
+        # per-slot ABSOLUTE capacity: shared-prefix slots span the pinned
+        # segment plus their own rows; plain slots just their own rows
+        capv = max_len if offv is None else self.slot_len + offv
         iota = jnp.arange(k + 1)
         idx_row = jnp.arange(max_len)[None, :]
         sidx = jnp.arange(s)
@@ -528,7 +623,9 @@ class BatchedDecoderLM:
             positions = pos[:, None] + iota[None, :]
             logits, cache = decoder_forward(params, self.cfg, seq,
                                             positions, kv_cache=cache,
-                                            cache_len=pos)
+                                            cache_len=pos,
+                                            shared_kv=shared_kv,
+                                            kv_offset=offv)
             # HF-exact repetition penalty under batched speculation: the
             # seen-set at verify position i of slot s is rep[s] plus that
             # slot's draft[0..i-1] (see spec_decode.py — for every USED
@@ -581,7 +678,7 @@ class BatchedDecoderLM:
             step_eos = active & (ie <= a)
             hit_eos = hit_eos | step_eos
             active = (active & ~step_eos & (pos + 1 < limit)
-                      & (pos + k <= max_len - 1))
+                      & (pos + k <= capv - 1))
             return (cache, tokens, pos, keys, pending, active,
                     hit_eos, rep), emissions
 
@@ -603,8 +700,9 @@ class BatchedDecoderLM:
         hit = self._prefix.match(ids, self.max_len) if self._prefix else None
         if hit is not None and len(ids) - hit[1] > self.prefill_chunk:
             hit = None  # long suffix: take the chunked cold path instead
-        if hit is None and len(ids) > self.prefill_chunk:
-            last_row = self._chunked_slot_prefill(ids, slot)
+        if st.shared or (hit is None and len(ids) > self.prefill_chunk):
+            last_row = self._chunked_slot_prefill(ids, slot,
+                                                  shared=st.shared)
             tb = pad_bucket(len(ids), hi=self.max_len)
             full = ids + [0] * (tb - len(ids))
             (self._tokens, self._pos, self._keys, self._pend_tok,
@@ -626,7 +724,7 @@ class BatchedDecoderLM:
                 jnp.int32(len(ids) - l), *common)
         else:
             bucket = pad_bucket(len(ids), lo=self._PAD_BUCKET_MIN,
-                                hi=self.max_len)
+                                hi=self.slot_len)
             padded = ids + [0] * (bucket - len(ids))
             (self._cache, self._tokens, self._pos, self._keys,
              self._pend_tok, self._rep, tok) = self._spec_prefill_fn(
@@ -658,8 +756,9 @@ class BatchedDecoderLM:
         hit = self._prefix.match(ids, self.max_len) if self._prefix else None
         if hit is not None and len(ids) - hit[1] > self.prefill_chunk:
             hit = None  # long suffix: take the chunked cold path instead
-        if hit is None and len(ids) > self.prefill_chunk:
-            last_row = self._chunked_slot_prefill(ids, slot)
+        if st.shared or (hit is None and len(ids) > self.prefill_chunk):
+            last_row = self._chunked_slot_prefill(ids, slot,
+                                                  shared=st.shared)
             (self._last, self._pos, self._keys,
              self._rep) = self._install_state_fn(
                 self._last, self._pos, self._keys, self._rep, last_row,
@@ -677,7 +776,7 @@ class BatchedDecoderLM:
                     jnp.asarray(mask_row))
         else:
             bucket = pad_bucket(len(ids), lo=self._PAD_BUCKET_MIN,
-                                hi=self.max_len)
+                                hi=self.slot_len)
             padded = ids + [0] * (bucket - len(ids))
             (self._cache, self._last, self._pos, self._keys,
              self._rep) = self._prefill_fn(
@@ -694,6 +793,7 @@ class BatchedDecoderLM:
         top_p = np.full(s, 0.9, np.float32)
         topk = np.zeros(s, np.int32)
         minp = np.zeros(s, np.float32)
+        offv = np.zeros(s, np.int32)
         pen = np.ones(s, np.float32)
         eos = np.full(s, -1, np.int32)
         limit = np.zeros(s, np.int32)
@@ -707,11 +807,14 @@ class BatchedDecoderLM:
             minp[i] = st.min_p
             pen[i] = st.repetition_penalty
             eos[i] = -1 if st.eos_id is None else st.eos_id
-            limit[i] = min(len(st.prompt_ids) + st.max_new, self.max_len)
+            cap = self.max_len if st.shared else self.slot_len
+            limit[i] = min(len(st.prompt_ids) + st.max_new, cap)
+            offv[i] = self.shared_len if st.shared else 0
             active[i] = True
         return (jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(topk),
                 jnp.asarray(minp), jnp.asarray(pen), jnp.asarray(eos),
-                jnp.asarray(limit), jnp.asarray(active))
+                jnp.asarray(limit), jnp.asarray(active),
+                jnp.asarray(offv) if self.shared_len else None)
 
     def _finish(self, slot: int) -> None:
         st = self._slots[slot]
@@ -779,8 +882,9 @@ class BatchedDecoderLM:
                 self._pending = pending
         if not any(s is not None for s in self._slots):
             return
-        (temp, top_p, topk, minp, pen, eos, limit,
-         active) = self._control_vectors()
+        (temp, top_p, topk, minp, pen, eos, limit, active,
+         offv) = self._control_vectors()
+        skv = self._shared_kv if self.shared_len else None
         occ = sum(s is not None for s in self._slots)
         engine = "batched-spec" if self.spec_k else "batched"
         METRICS.inc("legalrag_gen_launches", engine=engine,
@@ -790,7 +894,7 @@ class BatchedDecoderLM:
              self._pend_tok, hit_eos, self._rep) = self._spec_decode_fn(
                 self.params, self._cache, self._tokens, self._pos,
                 self._keys, self._pend_tok, self._rep, temp, top_p, topk,
-                minp, pen, eos, limit, active)
+                minp, pen, eos, limit, active, offv, skv)
             # deferred admission first tokens: the int() syncs overlap the
             # decode execution just dispatched above
             for st, slot, tok_dev in self._admitted_firsts:
@@ -835,7 +939,7 @@ class BatchedDecoderLM:
          self._rep, _) = \
             self._decode_fn(self.params, self._cache, self._last, self._pos,
                             self._keys, self._rep, temp, top_p, topk, minp,
-                            pen, eos, limit, active,
+                            pen, eos, limit, active, offv, skv,
                             n_steps=self.decode_chunk)
         toks_host = np.asarray(toks)                         # [n_steps, S]
         n_launch_toks = 0
@@ -869,26 +973,29 @@ class BatchedDecoderLM:
         of threads may stream concurrently — requests join the shared batch
         as slots free up (FIFO admission)."""
         t = len(prompt_ids)
-        if t >= self.max_len:
+        shared = self._matches_shared(prompt_ids)
+        cap = self.max_len if shared else self.slot_len
+        if t >= cap:
             raise ValueError(
-                f"prompt ({t} tokens) does not fit the {self.max_len}-token "
-                "KV cache; truncate the prompt before generation")
+                f"prompt ({t} tokens) does not fit the {cap}-token "
+                "budget (shared prefix matched: "
+                f"{shared}); truncate the prompt before generation")
         # spec mode reserves spec_k rows of KV headroom (every verify
         # writes k rows past the last accepted position)
-        budget = self.max_len - t - self.spec_k
+        budget = cap - t - self.spec_k
         if budget < 1:
             raise ValueError(
                 f"prompt ({t} tokens) leaves no budget in the "
                 f"{self.max_len}-token cache with spec_k={self.spec_k}")
         if max_new_tokens > budget:
             log.warning("max_new_tokens %d exceeds cache budget %d "
-                        "(prompt %d / max_len %d / spec_k %d); clamping",
-                        max_new_tokens, budget, t, self.max_len,
-                        self.spec_k)
+                        "(prompt %d / cap %d / spec_k %d); clamping",
+                        max_new_tokens, budget, t, cap, self.spec_k)
             max_new_tokens = budget
         st = _Stream(list(prompt_ids), max_new_tokens, eos_id,
                      temperature, top_p, seed, repetition_penalty, top_k,
                      min_p)
+        st.shared = shared
         with self._cond:
             if self._closed:
                 raise RuntimeError("BatchedDecoderLM is closed")

@@ -311,7 +311,8 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
                     positions: jax.Array,
                     kv_cache: Optional[List[Tuple[jax.Array, jax.Array]]] = None,
                     cache_len: Optional[jax.Array] = None,
-                    return_hidden: bool = False):
+                    return_hidden: bool = False,
+                    shared_kv=None, kv_offset=None):
     """[B, T] ids (+ positions [B, T]) → logits [B, T, V].
 
     With ``kv_cache`` (list of ([B, S, Hkv, D], [B, S, Hkv, D]) per layer)
@@ -332,6 +333,17 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
     hidden states instead of logits — prefill callers slice the one
     position they need and apply :func:`lm_logits` to that row alone,
     saving the T×H×V head matmul and the [T, V] logits buffer.
+
+    ``shared_kv`` + ``kv_offset`` implement a PHYSICALLY SHARED prefix
+    segment (models/batched_decoder.py ``shared_prefix``): ``shared_kv``
+    is a per-layer list of read-only KV rows [1, P, Hkv, D] (same dense /
+    quantized tuple format as cache layers) holding absolute positions
+    0..P-1, attended by every batch row whose ``kv_offset`` is > 0.
+    ``kv_offset`` (scalar or [B], values 0 or P) maps absolute positions
+    to cache rows: row index = position − offset, so a slot using the
+    shared prefix stores only positions ≥ P in its own rows. ``cache_len``
+    stays ABSOLUTE. One copy of the prefix serves all slots — S× less
+    prefix HBM than per-slot installs.
     """
     b, t = input_ids.shape
     h, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
@@ -368,13 +380,17 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
         q = _rope(q, positions, li_inv, li_scale)
         k = _rope(k, positions, li_inv, li_scale)
         if kv_cache is not None:
+            # absolute position → cache row: subtract the per-row shared-
+            # prefix offset (0 when no shared segment is in play)
+            row0 = cache_len if kv_offset is None else cache_len - kv_offset
+
             def cache_write(dst, upd):
                 if jnp.ndim(cache_len) == 0:
                     return jax.lax.dynamic_update_slice(
-                        dst, upd, (0, cache_len, 0, 0))
+                        dst, upd, (0, row0, 0, 0))
                 # per-row offsets: row b's T new entries land at
-                # cache_len[b]..cache_len[b]+T-1 (scatter; OOB rows drop)
-                rows = cache_len[:, None] + jnp.arange(t)[None, :]
+                # row0[b]..row0[b]+T-1 (scatter; OOB rows drop)
+                rows = row0[:, None] + jnp.arange(t)[None, :]
                 return dst.at[jnp.arange(b)[:, None], rows].set(upd)
 
             entry = kv_cache[li]
@@ -401,10 +417,42 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
                 filled_to = cache_len + t                        # scalar
             else:
                 filled_to = (cache_len + t)[:, None, None]       # [B, 1, 1]
-            s = k_att.shape[1]
-            kv_pos = jnp.arange(s)[None, None, :]               # [1, 1, S]
-            att_mask = ((kv_pos <= positions[:, :, None])        # causal
-                        & (kv_pos < filled_to))                  # filled
+            s_slot = k_att.shape[1]
+            if shared_kv is None and kv_offset is None:
+                kv_pos = jnp.arange(s_slot)[None, None, :]      # [1, 1, S]
+                att_mask = ((kv_pos <= positions[:, :, None])    # causal
+                            & (kv_pos < filled_to))              # filled
+            else:
+                off = (kv_offset if kv_offset is not None
+                       else jnp.zeros((), jnp.int32))
+                offc = jnp.broadcast_to(jnp.asarray(off), (b,))  # [B]
+                slot_pos = offc[:, None] + jnp.arange(s_slot)[None, :]
+                seg_ok = jnp.ones((b, s_slot), bool)
+                kv_pos_b = slot_pos
+                if shared_kv is not None:
+                    se = shared_kv[li]
+                    if len(se) == 4:
+                        sk = dequantize_kv(se[0], se[2], k.dtype)
+                        sv = dequantize_kv(se[1], se[3], v.dtype)
+                    else:
+                        sk, sv = se
+                    p = sk.shape[1]
+                    k_att = jnp.concatenate(
+                        [jnp.broadcast_to(sk, (b,) + sk.shape[1:]), k_att],
+                        axis=1)
+                    v_att = jnp.concatenate(
+                        [jnp.broadcast_to(sv, (b,) + sv.shape[1:]), v_att],
+                        axis=1)
+                    sh_pos = jnp.broadcast_to(jnp.arange(p)[None, :], (b, p))
+                    kv_pos_b = jnp.concatenate([sh_pos, slot_pos], axis=1)
+                    # rows with offset 0 do not use the shared segment
+                    seg_ok = jnp.concatenate(
+                        [jnp.broadcast_to((offc > 0)[:, None], (b, p)),
+                         seg_ok], axis=1)
+                kv_pos = kv_pos_b[:, None, :]                   # [B, 1, S]
+                att_mask = ((kv_pos <= positions[:, :, None])
+                            & (kv_pos < filled_to)
+                            & seg_ok[:, None, :])
         else:
             k_att, v_att = k, v
             kv_pos = positions[:, None, :]
