@@ -89,6 +89,7 @@ class ServerState:
         self.ingest = None
         self.ready = False
         self.warmup_done = False
+        self.draining = False  # SIGTERM received: /ready 503, drain, stop
         self.error: Optional[str] = None
         self.cache = RetrieveCache(cfg.server.retrieve_cache_ttl)
         self.retrieval_url = os.environ.get("RETRIEVAL_URL")
@@ -261,15 +262,17 @@ def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
     def ready(req: Request) -> Response:
         import jax
 
+        ok = st.ready and st.warmup_done and not st.draining
         return Response({
-            "ready": st.ready and st.warmup_done,
+            "ready": ok,
             "pipeline_ready": st.ready,
             "warmup_done": st.warmup_done,
+            "draining": st.draining,
             "error": st.error,
             "provider": cfg.llm.provider,
             "backend": jax.default_backend(),
             "devices": [str(d) for d in jax.devices()],
-        })
+        }, status=200 if not st.draining else 503)
 
     @app.get("/ui")
     def ui(req: Request) -> Response:
@@ -518,6 +521,26 @@ def create_app(cfg: Optional[AppConfig] = None, *, build_async: bool = True,
     return app
 
 
+def shutdown_gracefully(st: "ServerState", server, grace: float) -> None:
+    """Graceful drain (SIGTERM / Ctrl-C): flip /ready to 503 so load
+    balancers stop routing, give in-flight requests ``grace`` seconds,
+    stop the listener, and close the generation engine so its worker
+    thread exits and open SSE streams terminate cleanly (the reference
+    has no drain path — uvicorn default teardown)."""
+    st.draining = True
+    log.info("draining: /ready now 503; %.1fs grace", grace)
+    time.sleep(max(grace, 0.0))
+    server.shutdown()
+    try:
+        pipe = st.pipeline
+        if pipe is not None and getattr(pipe, "llm", None) is not None \
+                and hasattr(pipe.llm, "close"):
+            pipe.llm.close()
+    except Exception:
+        log.warning("engine close during drain failed", exc_info=True)
+    log.info("drained; listener stopped")
+
+
 def main() -> None:
     import argparse
 
@@ -537,11 +560,17 @@ def main() -> None:
     server = app.serve(args.host or cfg.server.host,
                        args.port if args.port is not None
                        else cfg.server.port)
+    import signal
+
+    stop = threading.Event()
+    signal.signal(signal.SIGTERM, lambda s_, f_: stop.set())
     try:
-        while True:
-            time.sleep(3600)
+        while not stop.is_set():
+            stop.wait(3600)
     except KeyboardInterrupt:
-        server.shutdown()
+        pass
+    shutdown_gracefully(app.state, server,
+                        getattr(cfg.server, "drain_grace_s", 5.0))
 
 
 if __name__ == "__main__":

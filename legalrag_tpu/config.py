@@ -253,6 +253,10 @@ class ServerConfig(BaseModel):
     # burst otherwise pays the whole compile in-request — the dominant p95
     # spike on remote-compile backends. 0 disables.
     prewarm_buckets: int = 16
+    # graceful SIGTERM drain: /ready flips to 503 immediately (load
+    # balancers stop routing), in-flight requests get this many seconds,
+    # then the listener stops and the generation engine closes.
+    drain_grace_s: float = 5.0
 
 
 class AppConfig(BaseModel):

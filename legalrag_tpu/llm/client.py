@@ -155,6 +155,16 @@ class LLMClient:
     def is_degraded(self) -> bool:
         return self.provider == "disabled"
 
+    def close(self) -> None:
+        """Release the local engine (stops the batched decode worker
+        thread and fails open streams cleanly). Idempotent."""
+        local, self._local = self._local, None
+        if local is not None and hasattr(local, "close"):
+            try:
+                local.close()
+            except Exception:
+                log.warning("local engine close failed", exc_info=True)
+
     # --------------------------------------------------------------- openai
     def _openai_payload(self, messages: List[Message],
                         max_new_tokens: Optional[int], stream: bool) -> dict:

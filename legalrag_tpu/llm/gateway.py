@@ -55,6 +55,15 @@ class LLMGateway:
                   last_err)
         return self.client.degraded_answer(messages)
 
+    def close(self) -> None:
+        """Shut the retry pool and the underlying client's local engine
+        (SIGTERM drain path). Idempotent."""
+        try:
+            self._pool.shutdown(wait=False)
+        finally:
+            if hasattr(self.client, "close"):
+                self.client.close()
+
     def chat_stream(self, messages: List[Message], tag: str = "chat", **kw):
         return self.client.chat_stream(messages, tag, **kw)
 

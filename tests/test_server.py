@@ -607,3 +607,58 @@ def test_citations_event_and_field(client, app):
         assert cit2["unsupported"] == ["99999"]
     finally:
         app.state.pipeline.llm = old
+
+
+def test_graceful_drain(en_chunks, zh_chunks, tmp_path_factory):
+    """shutdown_gracefully: /ready flips to 503 (draining=true) so load
+    balancers stop routing, the listener stops accepting afterwards, and
+    the LLM engine's close() is invoked. Over a real socket."""
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from legalrag_tpu.api.server import shutdown_gracefully
+
+    root = tmp_path_factory.mktemp("drain")
+    cfg = AppConfig()
+    cfg.llm.provider = "disabled"
+    cfg.llm.api_key = None
+    cfg.engine.capacity_round = 256
+    cfg.server.prewarm_buckets = 0
+    for name in ("data_dir", "raw_dir", "processed_dir", "index_dir",
+                 "graph_dir", "eval_dir", "upload_dir"):
+        setattr(cfg.paths, name, root / name)
+    cfg.paths.ensure_tree()
+    for lang, chunks in (("en", en_chunks[:50]), ("zh", zh_chunks[:50])):
+        bundle = IndexBundle.build_from_chunks(chunks, cfg.with_lang(lang),
+                                               lang)
+        bundle.save(root / "index_dir" / lang)
+    app = create_app(cfg, build_async=False)
+    server = app.serve("127.0.0.1", 0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+
+    closed = []
+    app.state.pipeline.llm.close = lambda: closed.append(True)
+
+    def get_status(path):
+        try:
+            with urllib.request.urlopen(base + path, timeout=10) as r:
+                return r.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    assert get_status("/ready") == 200
+    flipped = []
+
+    def probe_during_grace():
+        time.sleep(0.15)  # inside the 0.6 s grace window
+        flipped.append(get_status("/ready"))
+
+    th = threading.Thread(target=probe_during_grace)
+    th.start()
+    shutdown_gracefully(app.state, server, grace=0.6)
+    th.join(timeout=10)
+    assert flipped == [503]          # still serving, but drained from LB
+    assert closed == [True]          # engine released
+    with pytest.raises(Exception):   # listener is gone
+        urllib.request.urlopen(base + "/health", timeout=3)
