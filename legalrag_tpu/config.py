@@ -175,6 +175,11 @@ class LLMConfig(BaseModel):
     # HF MinPLogitsWarper semantics, applied after top_p (HF's order):
     # keep tokens with prob >= min_p * max-prob. 0 = off. local-jax only.
     min_p: float = 0.0
+    # local-jax: schema-constrained JSON decoding (models/constrain.py) —
+    # a token-level DFA mask guarantees the answer parses as the
+    # sections schema the SSE scanner expects; EOS unlocks only when the
+    # document is complete. Plain + batched engines (spec falls back).
+    constrain_json: bool = False
     # HF RepetitionPenaltyLogitsProcessor semantics (the reference's
     # qwen-local passes 1.05); 1.0 = off. Exact in EVERY engine, incl.
     # the speculative ones (verify position i's seen-set is the emitted

@@ -281,7 +281,9 @@ class LLMClient:
                     max_len=self.cfg.max_context_tokens
                     + self.cfg.max_new_tokens,
                     decode_chunk=getattr(self.cfg, "decode_chunk", 8),
-                    kv_quant=getattr(self.cfg, "kv_quant", False))
+                    kv_quant=getattr(self.cfg, "kv_quant", False),
+                    constrain_json=getattr(self.cfg, "constrain_json",
+                                           False))
                 pc = getattr(self.cfg, "prefill_chunk", 0)
                 slots = getattr(self.cfg, "batch_slots", 0)
                 spec_k = getattr(self.cfg, "spec_k", 0)
@@ -353,6 +355,7 @@ class LLMClient:
                     top_k=getattr(self.cfg, "top_k", 0),
                     min_p=getattr(self.cfg, "min_p", 0.0),
                     eos_id=tok.eos_token_id,
+                    constrain=getattr(self.cfg, "constrain_json", False),
                     repetition_penalty=getattr(self.cfg,
                                                "repetition_penalty", 1.0)):
                 out_ids.append(t)

@@ -90,7 +90,7 @@ class _Stream:
 
     __slots__ = ("out", "prompt_ids", "max_new", "eos_id", "temperature",
                  "top_p", "top_k", "min_p", "seed", "produced", "cancelled",
-                 "error", "repetition_penalty", "shared")
+                 "error", "repetition_penalty", "shared", "constrained")
 
     def __init__(self, prompt_ids, max_new, eos_id, temperature, top_p, seed,
                  repetition_penalty=1.0, top_k=0, min_p=0.0):
@@ -108,6 +108,7 @@ class _Stream:
         self.cancelled = False
         self.error: Optional[BaseException] = None
         self.shared = False  # prompt starts with the engine's shared prefix
+        self.constrained = False  # schema-DFA JSON constraint for this stream
 
 
 class BatchedDecoderLM:
@@ -125,7 +126,8 @@ class BatchedDecoderLM:
                  decode_chunk: int = 8, spec_k: int = 0, spec_steps: int = 4,
                  prefix_cache: int = 0, kv_quant: bool = False,
                  prefill_chunk: int = 1024,
-                 shared_prefix: Optional[List[int]] = None):
+                 shared_prefix: Optional[List[int]] = None,
+                 json_constraint=None):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -177,9 +179,15 @@ class BatchedDecoderLM:
         self.slot_len = max_len - self.shared_len
         self._shared_kv = None
 
+        # schema-constrained JSON decoding (models/constrain.py): one
+        # engine-level schema table; streams opt in per call
+        # (generate_stream(constrain=True)); per-slot DFA state, −2 =
+        # unconstrained slot (mask passes through)
+        self.json_constraint = json_constraint
         with on_device(device):
             if self.shared_prefix:
                 self._shared_kv = self._build_shared_rows()
+            self._cstate = jnp.full((n_slots,), -2, jnp.int32)
             self._cache = self._empty_cache()
             self._last = jnp.zeros((n_slots, cfg.vocab_size), jnp.float32)
             self._pos = jnp.zeros((n_slots,), jnp.int32)
@@ -244,6 +252,12 @@ class BatchedDecoderLM:
         from transformers import AutoTokenizer
 
         tokenizer = AutoTokenizer.from_pretrained(str(model_dir))
+        if kw.pop("constrain_json", False) and "json_constraint" not in kw:
+            from legalrag_tpu.models.constrain import (SECTIONS_SCHEMA,
+                                                       JsonConstraint)
+
+            kw["json_constraint"] = JsonConstraint.from_tokenizer(
+                SECTIONS_SCHEMA, tokenizer)
         if shared_prefix_text and "shared_prefix" not in kw:
             # pin the rendered system prelude's token ids; a prompt whose
             # ids do not start with them still serves correctly (it just
@@ -502,7 +516,8 @@ class BatchedDecoderLM:
 
     def _decode_chunk(self, params, cache, last, pos, keys, rep, temp,
                       top_p, topk, minp, pen, eos_ids, limit, active,
-                      offv, shared_kv, n_steps: int):
+                      offv, shared_kv, cstate, ctable, cacc,
+                      n_steps: int):
         """``n_steps`` batched sample+decode steps in ONE program.
 
         Per step, per slot: sample a token from ``last`` (greedy when
@@ -514,10 +529,20 @@ class BatchedDecoderLM:
         max_len = self.max_len
 
         def step(carry, _):
-            cache, last, pos, keys, rep, active = carry
+            cache, last, pos, keys, rep, active, cstate = carry
             splits = jax.vmap(jax.random.split)(keys)        # [S, 2, 2]
             next_keys, subs = splits[:, 0], splits[:, 1]
             scored = apply_repetition_penalty(last, rep, pen[:, None])
+            if ctable is not None:
+                st_ = jnp.maximum(cstate, 0)
+                row = ctable[st_]                            # [S, V]
+                uncon = (cstate < 0)[:, None]
+                iota_v = jnp.arange(row.shape[1])
+                eos_col = iota_v[None, :] == eos_ids[:, None]
+                allowed = jnp.where(eos_col,
+                                    (cacc[st_] | (cstate < 0))[:, None],
+                                    (row >= 0) | uncon)
+                scored = jnp.where(allowed, scored, -1e30)
             gtok = jnp.argmax(scored, axis=-1).astype(jnp.int32)
             scaled = scored / jnp.maximum(temp, 1e-6)[:, None]
             stok = _sample_top_p_per_slot(scaled, top_p, topk, minp, subs)
@@ -538,14 +563,19 @@ class BatchedDecoderLM:
             keys2 = jnp.where(keep, next_keys, keys)
             rep2 = rep.at[jnp.arange(tok.shape[0]), tok].set(True)
             hit_eos = active & (tok == eos_ids)
+            if ctable is not None:
+                nstate = ctable[jnp.maximum(cstate, 0), tok]
+                cstate = jnp.where((cstate < 0) | hit_eos | ~active,
+                                   cstate, nstate)
             pos2 = pos + active.astype(jnp.int32)
             active2 = active & ~hit_eos & (pos2 < limit)
-            return (new_cache, last2, pos2, keys2, rep2, active2), emit
+            return (new_cache, last2, pos2, keys2, rep2, active2,
+                    cstate), emit
 
-        (cache, last, pos, keys, rep, active), toks = jax.lax.scan(
-            step, (cache, last, pos, keys, rep, active), None,
+        (cache, last, pos, keys, rep, active, cstate), toks = jax.lax.scan(
+            step, (cache, last, pos, keys, rep, active, cstate), None,
             length=n_steps)
-        return toks, cache, last, pos, keys, rep, active
+        return toks, cache, last, pos, keys, rep, active, cstate
 
     # --------------------------------------------- speculative (spec_k > 0)
     def _spec_prefill(self, params, cache, tokens, pos, keys, pending, rep,
@@ -733,6 +763,7 @@ class BatchedDecoderLM:
                 jnp.asarray([padded], jnp.int32),
                 jnp.int32(slot), jnp.int32(len(ids)), *common)
         self._store_prefix(ids, slot)
+        self._cstate = self._cstate.at[slot].set(jnp.int32(-2))
         # do NOT sync on the first token here — the fetch happens after
         # the tick dispatches the decode launch, overlapping the round
         # trip with device execution (the slot is installed now so the
@@ -785,6 +816,8 @@ class BatchedDecoderLM:
                     jnp.int32(slot), jnp.int32(len(ids)),
                     jax.random.PRNGKey(st.seed), jnp.asarray(mask_row))
         self._store_prefix(ids, slot)
+        self._cstate = self._cstate.at[slot].set(
+            jnp.int32(self.json_constraint.start if st.constrained else -2))
         self._slots[slot] = st
 
     def _control_vectors(self):
@@ -935,11 +968,15 @@ class BatchedDecoderLM:
             METRICS.inc("legalrag_gen_tokens", n_launch_toks,
                         engine="batched-spec")
             return
+        jc = self.json_constraint
         (toks, self._cache, self._last, self._pos, self._keys,
-         self._rep, _) = \
+         self._rep, _, self._cstate) = \
             self._decode_fn(self.params, self._cache, self._last, self._pos,
                             self._keys, self._rep, temp, top_p, topk, minp,
                             pen, eos, limit, active, offv, skv,
+                            self._cstate,
+                            jc.table if jc else None,
+                            jc.accepting if jc else None,
                             n_steps=self.decode_chunk)
         toks_host = np.asarray(toks)                         # [n_steps, S]
         n_launch_toks = 0
@@ -968,10 +1005,20 @@ class BatchedDecoderLM:
                         seed: int = 0,
                         repetition_penalty: float = 1.0,
                         top_k: int = 0,
-                        min_p: float = 0.0) -> Iterator[int]:
+                        min_p: float = 0.0,
+                        constrain: bool = False) -> Iterator[int]:
         """Same contract as ``JaxDecoderLM.generate_stream``, but any number
         of threads may stream concurrently — requests join the shared batch
-        as slots free up (FIFO admission)."""
+        as slots free up (FIFO admission). ``constrain=True`` applies the
+        engine's schema-DFA JSON constraint to this stream (per-slot DFA
+        states; unconstrained streams share the batch untouched)."""
+        if constrain and self.json_constraint is None:
+            raise ValueError("constrain=True requires an engine built "
+                             "with json_constraint / constrain_json")
+        if constrain and self.spec_k:
+            raise ValueError("constrained decoding is not wired into the "
+                             "batched SPECULATIVE engine yet; use "
+                             "spec_k=0 (the plain engines support it)")
         t = len(prompt_ids)
         shared = self._matches_shared(prompt_ids)
         cap = self.max_len if shared else self.slot_len
@@ -996,6 +1043,7 @@ class BatchedDecoderLM:
                      temperature, top_p, seed, repetition_penalty, top_k,
                      min_p)
         st.shared = shared
+        st.constrained = constrain
         with self._cond:
             if self._closed:
                 raise RuntimeError("BatchedDecoderLM is closed")

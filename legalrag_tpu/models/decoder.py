@@ -693,7 +693,7 @@ class JaxDecoderLM:
     def __init__(self, params: Dict, cfg: DecoderConfig, tokenizer=None,
                  device=None, max_len: int = 4096, decode_chunk: int = 8,
                  prefix_cache: int = 0, prefill_chunk: int = 1024,
-                 kv_quant: bool = False):
+                 kv_quant: bool = False, json_constraint=None):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -702,6 +702,11 @@ class JaxDecoderLM:
         # int8 KV cache (quantize_kv): ~1.9× less cache HBM per decode
         # step → ~2× context or batch slots in the same footprint
         self.kv_quant = kv_quant
+        # schema-constrained JSON decoding (models/constrain.py): streams
+        # opting in (generate_stream(constrain=True)) can only emit
+        # tokens that keep the output a prefix of a schema-valid JSON
+        # document; EOS unlocks when the document completes
+        self.json_constraint = json_constraint
         # prompts longer than this prefill in sequential chunks at cache
         # offsets (exact — each chunk attends the already-filled cache):
         # a single T-token prefill materializes [H, T, T] attention scores
@@ -742,6 +747,12 @@ class JaxDecoderLM:
         from transformers import AutoTokenizer
 
         tokenizer = AutoTokenizer.from_pretrained(str(model_dir))
+        if kw.pop("constrain_json", False) and "json_constraint" not in kw:
+            from legalrag_tpu.models.constrain import (SECTIONS_SCHEMA,
+                                                       JsonConstraint)
+
+            kw["json_constraint"] = JsonConstraint.from_tokenizer(
+                SECTIONS_SCHEMA, tokenizer)
         if device is not None:
             params = jax.device_put(params, device)
         log.info("loaded decoder %s (%d layers, H=%d, GQA %d/%d)",
@@ -878,46 +889,66 @@ class JaxDecoderLM:
         return logits[:, -1], cache
 
     def _chunk(self, params, last, pos0, cache, key, temperature, top_p,
-               top_k, min_p, rep_mask, penalty, n_steps: int, greedy: bool):
+               top_k, min_p, rep_mask, penalty, cstate, ctable, cacc, ceos,
+               n_steps: int, greedy: bool):
         """``n_steps`` sample+decode steps in ONE program (lax.scan):
-        returns (tokens [n_steps, B], last logits, cache, key, rep_mask).
-        Token semantics match the per-token loop exactly for greedy
-        decoding and for sampling given the same key sequence.
+        returns (tokens [n_steps, B], last logits, cache, key, rep_mask,
+        cstate). Token semantics match the per-token loop exactly for
+        greedy decoding and for sampling given the same key sequence.
         ``rep_mask [B, V]`` marks already-seen tokens for the repetition
-        penalty (a bitwise no-op at penalty 1.0)."""
+        penalty (a bitwise no-op at penalty 1.0). ``ctable/cacc/cstate``
+        (None when unconstrained; B=1 path) apply the schema-DFA logits
+        mask: only tokens with a valid DFA transition survive, EOS
+        (``ceos``) only in accepting states."""
 
         def step(carry, _):
-            last, pos, cache, key, rep_mask = carry
+            last, pos, cache, key, rep_mask, cstate = carry
             scored = apply_repetition_penalty(last, rep_mask, penalty)
+            if ctable is not None:
+                row = ctable[cstate]                            # [V]
+                allowed = jnp.where(jnp.arange(row.shape[0]) == ceos,
+                                    cacc[cstate], row >= 0)
+                scored = jnp.where(allowed[None, :], scored, -1e30)
             if greedy:
                 tok = jnp.argmax(scored, axis=-1).astype(jnp.int32)
             else:
                 key, sub = jax.random.split(key)
                 tok = _sample_top_p(scored / temperature, top_p, sub, top_k,
                                     min_p)
+            if ctable is not None:
+                cstate = jnp.where(tok[0] == ceos, cstate,
+                                   jnp.maximum(ctable[cstate, tok[0]], 0))
             rep_mask = rep_mask.at[jnp.arange(tok.shape[0]), tok].set(True)
             positions = jnp.full((tok.shape[0], 1), pos, jnp.int32)
             logits, cache = decoder_forward(params, self.cfg, tok[:, None],
                                             positions, kv_cache=cache,
                                             cache_len=pos)
-            return (logits[:, -1], pos + 1, cache, key, rep_mask), tok
+            return (logits[:, -1], pos + 1, cache, key, rep_mask,
+                    cstate), tok
 
-        (last, _, cache, key, rep_mask), toks = jax.lax.scan(
-            step, (last, jnp.asarray(pos0, jnp.int32), cache, key, rep_mask),
-            None, length=n_steps)
-        return toks, last, cache, key, rep_mask
+        (last, _, cache, key, rep_mask, cstate), toks = jax.lax.scan(
+            step, (last, jnp.asarray(pos0, jnp.int32), cache, key, rep_mask,
+                   cstate), None, length=n_steps)
+        return toks, last, cache, key, rep_mask, cstate
 
     def generate_stream(self, prompt_ids: List[int], max_new_tokens: int = 256,
                         temperature: float = 0.0, top_p: float = 0.9,
                         eos_id: Optional[int] = None, seed: int = 0,
                         repetition_penalty: float = 1.0,
                         top_k: int = 0,
-                        min_p: float = 0.0) -> Iterator[int]:
+                        min_p: float = 0.0,
+                        constrain: bool = False) -> Iterator[int]:
         """Yields token ids; prefill then per-token jitted decode steps.
         ``top_k > 0`` / ``min_p > 0`` add HF's top-k / min-p warpers
         around the nucleus filter (HF order: temperature → top_k → top_p
         → min_p); ``top_k == 1`` (or ``min_p == 1.0``) with any
-        temperature reproduces the greedy stream."""
+        temperature reproduces the greedy stream. ``constrain=True``
+        applies the engine's schema-DFA JSON constraint
+        (models/constrain.py): every emitted token keeps the output a
+        prefix of a schema-valid document, EOS unlocks at completion."""
+        if constrain and self.json_constraint is None:
+            raise ValueError("constrain=True requires an engine built "
+                             "with json_constraint / constrain_json")
         t = len(prompt_ids)
         if t >= self.max_len:
             raise ValueError(
@@ -945,14 +976,21 @@ class JaxDecoderLM:
             mask0 = np.zeros((1, self.cfg.vocab_size), bool)
             mask0[0, list(prompt_ids)] = True
             rep_mask = jnp.asarray(mask0)
+            jc = self.json_constraint if constrain else None
+            cstate = jnp.int32(jc.start) if jc else jnp.int32(0)
+            ctable = jc.table if jc else None
+            cacc = jc.accepting if jc else None
+            ceos = jnp.int32(-1 if eos_id is None else eos_id)
             pos, produced = t, 0
             # full chunks via ONE scan program per launch; the sub-chunk
             # tail falls back to per-token steps so the program set stays
             # {chunk, 1} regardless of max_new_tokens
             while produced + self.decode_chunk <= max_new_tokens:
-                toks, last, cache, key, rep_mask = self._decode_chunk_fn(
+                (toks, last, cache, key, rep_mask,
+                 cstate) = self._decode_chunk_fn(
                     self.params, last, pos, cache, key, temp, tp, tk, mp,
-                    rep_mask, pen, n_steps=self.decode_chunk, greedy=greedy)
+                    rep_mask, pen, cstate, ctable, cacc, ceos,
+                    n_steps=self.decode_chunk, greedy=greedy)
                 pos += self.decode_chunk
                 produced += self.decode_chunk
                 for tok_host in np.asarray(toks)[:, 0].tolist():
@@ -961,12 +999,22 @@ class JaxDecoderLM:
                     yield int(tok_host)
             for i in range(max_new_tokens - produced):
                 scored = apply_repetition_penalty(last, rep_mask, pen)
+                if jc is not None:
+                    row = jc.table[cstate]
+                    allowed = jnp.where(
+                        jnp.arange(row.shape[0]) == ceos,
+                        jc.accepting[cstate], row >= 0)
+                    scored = jnp.where(allowed[None, :], scored, -1e30)
                 if greedy:
                     tok = jnp.argmax(scored, axis=-1).astype(jnp.int32)
                 else:
                     key, sub = jax.random.split(key)
                     tok = _sample_top_p(scored / temp, tp, sub, tk, mp)
                 rep_mask = rep_mask.at[0, tok[0]].set(True)
+                if jc is not None:
+                    cstate = jnp.where(tok[0] == ceos, cstate,
+                                       jnp.maximum(jc.table[cstate, tok[0]],
+                                                   0))
                 tok_host = int(tok[0])
                 if eos_id is not None and tok_host == eos_id:
                     return

@@ -64,11 +64,12 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                  device=None, max_len: int = 4096, decode_chunk: int = 8,
                  spec_k: int = 8, spec_steps: int = 4,
                  prefix_cache: int = 0, prefill_chunk: int = 1024,
-                 kv_quant: bool = False):
+                 kv_quant: bool = False, json_constraint=None):
         super().__init__(params, cfg, tokenizer, device=device,
                          max_len=max_len, decode_chunk=decode_chunk,
                          prefix_cache=prefix_cache,
-                         prefill_chunk=prefill_chunk, kv_quant=kv_quant)
+                         prefill_chunk=prefill_chunk, kv_quant=kv_quant,
+                         json_constraint=json_constraint)
         self.spec_k = spec_k
         self.spec_steps = spec_steps
         self.last_stats: Dict[str, float] = {}
@@ -199,7 +200,19 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                         seed: int = 0,
                         repetition_penalty: float = 1.0,
                         top_k: int = 0,
-                        min_p: float = 0.0) -> Iterator[int]:
+                        min_p: float = 0.0,
+                        constrain: bool = False) -> Iterator[int]:
+        if constrain:
+            # schema-constrained decoding changes every verify target's
+            # allowed set as a function of the DFA state AFTER the drafts
+            # before it — implementable with a per-round state fold (same
+            # trick as the repetition penalty) but not yet wired; the
+            # plain engine path supports it exactly, so fall back
+            yield from JaxDecoderLM.generate_stream(
+                self, prompt_ids, max_new_tokens, temperature, top_p,
+                eos_id, seed, repetition_penalty, top_k, min_p,
+                constrain=True)
+            return
         # the stats dict is created here and passed down so concurrent
         # misuse can't cross-wire the metrics; last_stats is a snapshot
         stats = {"launches": 0, "tokens": 0, "spec_rounds": 0}

@@ -1,0 +1,270 @@
+"""Schema-constrained JSON decoding (models/constrain.py + engine
+``constrain=True``): the byte DFA accepts exactly the schema language,
+the token table lifts it over multi-byte tokens, and constrained
+generation from a tiny RANDOM model always yields a prefix of a
+schema-valid document — with EOS only at completion. CPU, no weights.
+
+The reference has no structured-output guarantee (free-form HF
+``model.generate``, reference ``llm/client.py:306-369``).
+"""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from legalrag_tpu.models.batched_decoder import BatchedDecoderLM
+from legalrag_tpu.models.constrain import (SECTIONS_SCHEMA, JsonConstraint,
+                                           build_schema_dfa,
+                                           compile_token_table)
+from legalrag_tpu.models.decoder import DecoderConfig, JaxDecoderLM
+from legalrag_tpu.models.spec_decode import SpecLookupDecoderLM
+
+
+def _accepts(trans, acc, text: str):
+    st = 0
+    for b in text.encode("utf-8"):
+        st = trans[st, b]
+        if st < 0:
+            return None
+    return bool(acc[st])
+
+
+# ------------------------------------------------------------------ DFA
+
+def test_dfa_accepts_schema_language():
+    trans, acc = build_schema_dfa(SECTIONS_SCHEMA)
+    good = [
+        '{"sections": []}',
+        '{"sections": [{"heading": "结论", "items": []}]}',
+        '{"sections":[{"heading":"a","items":["x","y\\n"]},'
+        '{"heading":"b","items":["第五百条"]}]} ',
+        '{ "sections" : [ { "heading" : "h \\u4e2d", "items" : [ "i" ] } ] }',
+    ]
+    for g in good:
+        assert _accepts(trans, acc, g) is True, g
+        json.loads(g)  # and python agrees it is valid JSON
+    prefixes = ['{"sections": [{"head', '{"sections": [{"heading": "a", ']
+    for p in prefixes:
+        assert _accepts(trans, acc, p) is False, p   # valid prefix, not done
+    bad = ['{"wrong": []}', '{"sections": [],}', '{"sections": [{}]}',
+           '{"sections": ["bare"]}', 'null', '{"sections": []}{',
+           '{"sections": [ {"heading": "a"} ]}']
+    for b in bad:
+        assert _accepts(trans, acc, b) is None, b
+
+
+def test_dfa_number_and_bool_leaves():
+    trans, acc = build_schema_dfa({"n": "number", "ok": "bool"})
+    assert _accepts(trans, acc, '{"n": -12.5e-3, "ok": true}') is True
+    assert _accepts(trans, acc, '{"n": 12 3, "ok": true}') is None
+    assert _accepts(trans, acc, '{"n": 4, "ok": maybe}') is None
+
+
+# ----------------------------------------------------------- token table
+
+def _toy_vocab():
+    """id → text for a toy vocab that can COMPOSE complete schema
+    documents (dead-end pruning removes token transitions that cannot
+    reach acceptance, so the vocab must close everything it opens);
+    id 0 = EOS (undecodable → banned except via accepting states)."""
+    texts = [None,
+             '{"sections"',        # 1
+             ': [',                # 2
+             '{"heading"',         # 3
+             ': "',                # 4
+             'law',                # 5
+             '第五百条',            # 6
+             '", "items": ["',     # 7: close heading, open first item
+             '", "',               # 8: item separator
+             '"]}',                # 9: close items + section object
+             ', ',                 # 10: section separator
+             ']}',                 # 11: close sections + root
+             ' ',                  # 12
+             'b',                  # 13
+             '[]}',                # 14
+             ]
+    return texts
+
+
+def test_token_table_multibyte_tokens():
+    trans, acc = build_schema_dfa(SECTIONS_SCHEMA)
+    texts = _toy_vocab()
+    tb = [t.encode("utf-8") if t else None for t in texts]
+    table, acc2 = compile_token_table(trans, acc, tb)
+    assert table.shape == (trans.shape[0], len(texts))
+    # from the start state, only document-opening tokens are legal
+    start_allowed = {texts[v] for v in range(len(texts))
+                     if table[0, v] >= 0}
+    assert '{"sections"' in start_allowed
+    assert 'law' not in start_allowed and '"' not in start_allowed
+    # walk a full two-section document through the table
+    st = 0
+    for piece in ['{"sections"', ': [', '{"heading"', ': "', 'law',
+                  '", "items": ["', '第五百条', '", "', 'law', '"]}',
+                  ', ', '{"heading"', ': "', 'b', '", "items": ["', 'law',
+                  '"]}', ']}']:
+        v = texts.index(piece)
+        st = table[st, v]
+        assert st >= 0, piece
+    assert bool(acc2[st])
+    # the empty-document path also composes: {"sections": []}
+    assert table[table[table[0, 1], 2], 11] >= 0
+
+
+# ------------------------------------------------------ engine behavior
+
+@pytest.fixture(scope="module")
+def tiny_constrained():
+    texts = _toy_vocab()
+    cfg = DecoderConfig(vocab_size=len(texts), hidden_size=32,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, intermediate_size=64,
+                        max_position_embeddings=128)
+    rng = np.random.default_rng(83)
+
+    def mat(i, o, scale=0.3):
+        return jnp.asarray(rng.standard_normal((i, o)) * scale, jnp.float32)
+
+    h, ff, d = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim
+    hkv = cfg.num_key_value_heads
+    embed = mat(cfg.vocab_size, h, 0.5)
+    params = {
+        "embed": embed, "lm_head": embed.T,
+        "final_norm": jnp.ones(h, jnp.float32),
+        "layers": [
+            {"input_norm": jnp.ones(h, jnp.float32),
+             "q": {"kernel": mat(h, h), "bias": jnp.zeros(h)},
+             "k": {"kernel": mat(h, hkv * d), "bias": jnp.zeros(hkv * d)},
+             "v": {"kernel": mat(h, hkv * d), "bias": jnp.zeros(hkv * d)},
+             "o": {"kernel": mat(h, h)},
+             "post_norm": jnp.ones(h, jnp.float32),
+             "gate": {"kernel": mat(h, ff)},
+             "up": {"kernel": mat(h, ff)},
+             "down": {"kernel": mat(ff, h)}}
+            for _ in range(cfg.num_hidden_layers)
+        ],
+    }
+    tb = [t.encode("utf-8") if t else None for t in texts]
+    jc = JsonConstraint.from_schema(SECTIONS_SCHEMA, tb)
+    return cfg, params, jc, texts
+
+
+EOS = 0
+
+
+def _decode_text(texts, toks):
+    return "".join(texts[t] for t in toks if texts[t])
+
+
+def _check_valid_prefix_or_doc(texts, toks, finished):
+    """Constrained output must be a prefix of a schema-valid document;
+    if the stream ended via EOS it must be the COMPLETE document."""
+    trans, acc = build_schema_dfa(SECTIONS_SCHEMA)
+    text = _decode_text(texts, toks)
+    res = _accepts(trans, acc, text)
+    assert res is not None, f"invalid output: {text!r}"
+    if finished:
+        assert res is True, f"EOS before completion: {text!r}"
+        parsed = json.loads(text)
+        assert "sections" in parsed
+
+
+@pytest.mark.parametrize("temperature", [0.0, 0.9])
+def test_single_stream_constrained_output_valid(tiny_constrained,
+                                                temperature):
+    cfg, params, jc, texts = tiny_constrained
+    lm = JaxDecoderLM(params, cfg, max_len=96, decode_chunk=4,
+                      json_constraint=jc)
+    for seed in range(3):
+        toks = list(lm.generate_stream([12, 14, 12], max_new_tokens=40,
+                                       temperature=temperature, seed=seed,
+                                       eos_id=EOS, constrain=True))
+        finished = len(toks) < 40
+        _check_valid_prefix_or_doc(texts, toks, finished)
+
+
+def test_unconstrained_same_engine_unaffected(tiny_constrained):
+    cfg, params, jc, texts = tiny_constrained
+    with_jc = JaxDecoderLM(params, cfg, max_len=96, decode_chunk=4,
+                           json_constraint=jc)
+    without = JaxDecoderLM(params, cfg, max_len=96, decode_chunk=4)
+    a = list(with_jc.generate_stream([12, 14], max_new_tokens=10))
+    b = list(without.generate_stream([12, 14], max_new_tokens=10))
+    assert a == b
+
+
+def test_constrain_requires_constraint(tiny_constrained):
+    cfg, params, jc, texts = tiny_constrained
+    lm = JaxDecoderLM(params, cfg, max_len=96)
+    with pytest.raises(ValueError):
+        next(lm.generate_stream([1, 2], max_new_tokens=4, constrain=True))
+
+
+def test_batched_constrained_and_mixed(tiny_constrained):
+    cfg, params, jc, texts = tiny_constrained
+    import threading
+
+    plain_ref = JaxDecoderLM(params, cfg, max_len=96, decode_chunk=1)
+    free_want = list(plain_ref.generate_stream([12, 14], max_new_tokens=12))
+    engine = BatchedDecoderLM(params, cfg, max_len=96, n_slots=2,
+                              decode_chunk=4, json_constraint=jc)
+    try:
+        got = {}
+        ts = [threading.Thread(target=lambda: got.__setitem__(
+                  "c", list(engine.generate_stream(
+                      [12, 14, 12], max_new_tokens=40, eos_id=EOS,
+                      constrain=True)))),
+              threading.Thread(target=lambda: got.__setitem__(
+                  "f", list(engine.generate_stream(
+                      [12, 14], max_new_tokens=12))))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=180)
+        _check_valid_prefix_or_doc(texts, got["c"], len(got["c"]) < 40)
+        assert got["f"] == free_want   # unconstrained slot untouched
+    finally:
+        engine.close()
+
+
+def test_batched_matches_single_constrained_greedy(tiny_constrained):
+    cfg, params, jc, texts = tiny_constrained
+    lm = JaxDecoderLM(params, cfg, max_len=96, decode_chunk=1,
+                      json_constraint=jc)
+    want = list(lm.generate_stream([12, 14, 12], max_new_tokens=40,
+                                   eos_id=EOS, constrain=True))
+    engine = BatchedDecoderLM(params, cfg, max_len=96, n_slots=2,
+                              decode_chunk=4, json_constraint=jc)
+    try:
+        got = list(engine.generate_stream([12, 14, 12], max_new_tokens=40,
+                                          eos_id=EOS, constrain=True))
+    finally:
+        engine.close()
+    assert got == want
+
+
+def test_spec_engine_falls_back_exactly(tiny_constrained):
+    cfg, params, jc, texts = tiny_constrained
+    plain = JaxDecoderLM(params, cfg, max_len=96, decode_chunk=1,
+                         json_constraint=jc)
+    want = list(plain.generate_stream([12, 14, 12], max_new_tokens=30,
+                                      eos_id=EOS, constrain=True))
+    spec = SpecLookupDecoderLM(params, cfg, max_len=96, spec_k=4,
+                               spec_steps=2, json_constraint=jc)
+    got = list(spec.generate_stream([12, 14, 12], max_new_tokens=30,
+                                    eos_id=EOS, constrain=True))
+    assert got == want
+
+
+def test_batched_spec_refuses_constraint(tiny_constrained):
+    cfg, params, jc, texts = tiny_constrained
+    engine = BatchedDecoderLM(params, cfg, max_len=96, n_slots=1,
+                              spec_k=4, json_constraint=jc)
+    try:
+        with pytest.raises(ValueError):
+            next(engine.generate_stream([12, 14], max_new_tokens=4,
+                                        constrain=True))
+    finally:
+        engine.close()
