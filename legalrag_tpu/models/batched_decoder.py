@@ -333,6 +333,30 @@ class BatchedDecoderLM:
     def _extract_slot_rows(self, cache, slot, tb: int):
         return self._slot_rows(cache, slot, tb)
 
+    def _constrain_first(self, scored, cs0, eos_j):
+        """Schema-DFA mask for the admission-time first token: from state
+        ``cs0`` (−2 = unconstrained stream, passes through) only tokens
+        with a valid transition survive, EOS (``eos_j``) only if
+        accepting. No-op trace when the engine has no constraint."""
+        jc = self.json_constraint
+        if jc is None:
+            return scored
+        st = jnp.maximum(cs0, 0)
+        allowed = jnp.where(jnp.arange(scored.shape[0]) == eos_j,
+                            jc.accepting[st], jc.table[st] >= 0)
+        return jnp.where((cs0 >= 0) & ~allowed, -1e30, scored)
+
+    def _advance_first(self, cstate, cs0, eos_j, slot, tok):
+        """Install the slot's DFA state after the admission-time first
+        token (``cs0`` itself for unconstrained streams)."""
+        jc = self.json_constraint
+        if jc is None:
+            return cstate.at[slot].set(cs0)
+        ncs = jnp.where((cs0 >= 0) & (tok != eos_j),
+                        jnp.maximum(jc.table[jnp.maximum(cs0, 0), tok], 0),
+                        cs0)
+        return cstate.at[slot].set(ncs)
+
     def _first_token(self, logits, key_row, temp, top_p, top_k, min_p):
         """Sample the admission-time first token from prefill logits [V]
         (greedy at temp 0); returns (token, advanced key)."""
@@ -402,11 +426,13 @@ class BatchedDecoderLM:
 
     def _spec_install(self, tokens, pos, keys, pending, rep, last_row,
                       full_ids, slot, total, key_row, mask_row, temp, top_p,
-                      top_k, min_p, pen):
+                      top_k, min_p, pen, cstate, cs0, eos_j):
         """Final step of a chunked spec admission: record the prompt in
         the slot's token-history row and sample the first token (under
-        the prompt-mask repetition penalty)."""
+        the prompt-mask repetition penalty and the slot's schema-DFA
+        constraint when opted in)."""
         scored = apply_repetition_penalty(last_row[0], mask_row, pen)
+        scored = self._constrain_first(scored, cs0, eos_j)
         tok, key_adv = self._first_token(scored, key_row, temp, top_p,
                                          top_k, min_p)
         tokens = jax.lax.dynamic_update_slice(tokens, full_ids, (slot, 0))
@@ -416,7 +442,8 @@ class BatchedDecoderLM:
         pending = pending.at[slot].set(tok)
         rep = rep.at[slot].set(mask_row)
         rep = rep.at[slot, tok].set(True)
-        return tokens, pos, keys, pending, rep, tok
+        cstate = self._advance_first(cstate, cs0, eos_j, slot, tok)
+        return tokens, pos, keys, pending, rep, cstate, tok
 
     def _chunked_slot_prefill(self, ids: List[int], slot: int,
                               shared: bool = False):
@@ -497,11 +524,13 @@ class BatchedDecoderLM:
     def _spec_prefill_prefix(self, params, cache, tokens, pos, keys,
                              pending, rep, prefix_rows, p_len, ids_sfx,
                              full_ids, slot, true_sfx, key_row, mask_row,
-                             temp, top_p, top_k, min_p, pen):
+                             temp, top_p, top_k, min_p, pen, cstate, cs0,
+                             eos_j):
         cache, last_row = self._prefix_forward(params, cache, prefix_rows,
                                                p_len, ids_sfx, slot,
                                                true_sfx)
         scored = apply_repetition_penalty(last_row[0], mask_row, pen)
+        scored = self._constrain_first(scored, cs0, eos_j)
         tok, key_adv = self._first_token(scored, key_row, temp, top_p,
                                          top_k, min_p)
         total = p_len + true_sfx
@@ -512,7 +541,8 @@ class BatchedDecoderLM:
         pending = pending.at[slot].set(tok)
         rep = rep.at[slot].set(mask_row)
         rep = rep.at[slot, tok].set(True)
-        return cache, tokens, pos, keys, pending, rep, tok
+        cstate = self._advance_first(cstate, cs0, eos_j, slot, tok)
+        return cache, tokens, pos, keys, pending, rep, cstate, tok
 
     def _decode_chunk(self, params, cache, last, pos, keys, rep, temp,
                       top_p, topk, minp, pen, eos_ids, limit, active,
@@ -580,7 +610,7 @@ class BatchedDecoderLM:
     # --------------------------------------------- speculative (spec_k > 0)
     def _spec_prefill(self, params, cache, tokens, pos, keys, pending, rep,
                       ids, slot, true_len, key_row, mask_row, temp, top_p,
-                      top_k, min_p, pen):
+                      top_k, min_p, pen, cstate, cs0, eos_j):
         """Spec-mode admission: prefill the slot, record the prompt in the
         slot's token-history row, and produce the FIRST generated token
         in-program (emitted by the host at admission time). The first
@@ -598,6 +628,7 @@ class BatchedDecoderLM:
             hidden, (0, true_len - 1, 0), (1, 1, hidden.shape[-1]))
         logits = lm_logits(params, self.cfg, hrow)[0, 0]         # [V]
         scored = apply_repetition_penalty(logits, mask_row, pen)
+        scored = self._constrain_first(scored, cs0, eos_j)
         tok, key_adv = self._first_token(scored, key_row, temp, top_p,
                                          top_k, min_p)
         tokens = jax.lax.dynamic_update_slice(tokens, ids, (slot, 0))
@@ -607,11 +638,12 @@ class BatchedDecoderLM:
         pending = pending.at[slot].set(tok)
         rep = rep.at[slot].set(mask_row)
         rep = rep.at[slot, tok].set(True)
-        return cache, tokens, pos, keys, pending, rep, tok
+        cstate = self._advance_first(cstate, cs0, eos_j, slot, tok)
+        return cache, tokens, pos, keys, pending, rep, cstate, tok
 
     def _spec_decode(self, params, cache, tokens, pos, keys, pending, rep,
                      temp, top_p, topk, minp, pen, eos_ids, limit,
-                     active, offv, shared_kv):
+                     active, offv, shared_kv, cstate, ctable, cacc):
         """``spec_steps`` batched speculation rounds in ONE program.
 
         Vectorizes models/spec_decode.py over slots: per-slot bigram match
@@ -631,7 +663,8 @@ class BatchedDecoderLM:
         sidx = jnp.arange(s)
 
         def step(carry, _):
-            cache, tokens, pos, keys, pending, active, hit_eos, rep = carry
+            (cache, tokens, pos, keys, pending, active, hit_eos, rep,
+             cstate) = carry
             # trigram-preferred prompt lookup (see spec_decode.py — draft
             # quality only affects acceptance, never output)
             a_tok = tokens[sidx, jnp.maximum(pos - 1, 0)]
@@ -669,6 +702,30 @@ class BatchedDecoderLM:
                 | rep[:, None, :]
             logits = apply_repetition_penalty(logits, masks,
                                               pen[:, None, None])
+            if ctable is not None:
+                # schema-DFA constraint under batched speculation: the same
+                # per-position state fold as spec_decode.py, vectorized over
+                # slots — verify position i's allowed set follows the DFA
+                # state after draft[0..i-1]. A DFA-invalid draft token
+                # mismatches its own position (its masked prob is 0), so
+                # positions past an invalid draft prefix are never used —
+                # pass them through (state −1) rather than mask everything.
+                # cstate −2 = unconstrained slot, whole row passes through.
+                sts = [cstate]
+                for i in range(k):
+                    prev_s = sts[-1]
+                    sts.append(jnp.where(
+                        prev_s >= 0,
+                        ctable[jnp.maximum(prev_s, 0), draft[:, i]],
+                        jnp.int32(-1)))
+                st_mat = jnp.stack(sts, axis=1)              # [S, k+1]
+                st_c = jnp.maximum(st_mat, 0)
+                allow = ctable[st_c] >= 0                    # [S, k+1, V]
+                allow = jnp.where(jnp.arange(v)[None, None, :]
+                                  == eos_ids[:, None, None],
+                                  cacc[st_c][:, :, None], allow)
+                allow = jnp.where((st_mat >= 0)[:, :, None], allow, True)
+                logits = jnp.where(allow, logits, -1e30)
             gtok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             ks = jax.vmap(lambda kk: jax.random.split(kk, k + 2))(keys)
             next_keys = ks[:, 0]
@@ -705,19 +762,31 @@ class BatchedDecoderLM:
             pending = jnp.where(active & (ie > a), new_pending, pending)
             keys = jnp.where(active[:, None], next_keys, keys)
             pos = pos + jnp.where(active, n_emit, 0)
+            if ctable is not None:
+                # advance each slot's DFA over exactly its emitted tokens
+                # (all DFA-valid by construction of the mask above);
+                # unconstrained slots (−2) pass through unchanged
+                cs = cstate
+                for i in range(k + 1):
+                    nxt = jnp.where(
+                        cs >= 0,
+                        ctable[jnp.maximum(cs, 0), targets[:, i]], cs)
+                    cs = jnp.where(emit_mask[:, i], nxt, cs)
+                cstate = cs
             step_eos = active & (ie <= a)
             hit_eos = hit_eos | step_eos
             active = (active & ~step_eos & (pos + 1 < limit)
                       & (pos + k <= capv - 1))
             return (cache, tokens, pos, keys, pending, active,
-                    hit_eos, rep), emissions
+                    hit_eos, rep, cstate), emissions
 
         carry0 = (cache, tokens, pos, keys, pending, active,
-                  jnp.zeros((s,), bool), rep)
-        (cache, tokens, pos, keys, pending, active, hit_eos, rep), \
-            emissions = \
+                  jnp.zeros((s,), bool), rep, cstate)
+        (cache, tokens, pos, keys, pending, active, hit_eos, rep,
+         cstate), emissions = \
             jax.lax.scan(step, carry0, None, length=self.spec_steps)
-        return emissions, cache, tokens, pos, keys, pending, hit_eos, rep
+        return (emissions, cache, tokens, pos, keys, pending, hit_eos, rep,
+                cstate)
 
     def _spec_admit(self, st: _Stream, slot: int) -> None:
         ids = st.prompt_ids
@@ -727,6 +796,10 @@ class BatchedDecoderLM:
                   jnp.float32(st.temperature), jnp.float32(st.top_p),
                   jnp.int32(st.top_k), jnp.float32(st.min_p),
                   jnp.float32(st.repetition_penalty))
+        jc = self.json_constraint
+        cs0 = jnp.int32(jc.start if (jc is not None and st.constrained)
+                        else -2)
+        eos_j = jnp.int32(-1 if st.eos_id is None else st.eos_id)
         hit = self._prefix.match(ids, self.max_len) if self._prefix else None
         if hit is not None and len(ids) - hit[1] > self.prefill_chunk:
             hit = None  # long suffix: take the chunked cold path instead
@@ -736,34 +809,37 @@ class BatchedDecoderLM:
             tb = pad_bucket(len(ids), hi=self.max_len)
             full = ids + [0] * (tb - len(ids))
             (self._tokens, self._pos, self._keys, self._pend_tok,
-             self._rep, tok) = self._spec_install_fn(
+             self._rep, self._cstate, tok) = self._spec_install_fn(
                 self._tokens, self._pos, self._keys, self._pend_tok,
                 self._rep, last_row, jnp.asarray([full], jnp.int32),
-                jnp.int32(slot), jnp.int32(len(ids)), *common)
+                jnp.int32(slot), jnp.int32(len(ids)), *common,
+                self._cstate, cs0, eos_j)
         elif hit is not None:
             rows, l, sb = hit
             sfx = ids[l:] + [0] * (sb - (len(ids) - l))
             tb = pad_bucket(len(ids), hi=self.max_len)
             full = ids + [0] * (tb - len(ids))
             (self._cache, self._tokens, self._pos, self._keys,
-             self._pend_tok, self._rep, tok) = self._spec_prefill_prefix_fn(
+             self._pend_tok, self._rep, self._cstate,
+             tok) = self._spec_prefill_prefix_fn(
                 self.params, self._cache, self._tokens, self._pos,
                 self._keys, self._pend_tok, self._rep, rows, jnp.int32(l),
                 jnp.asarray([sfx], jnp.int32),
                 jnp.asarray([full], jnp.int32), jnp.int32(slot),
-                jnp.int32(len(ids) - l), *common)
+                jnp.int32(len(ids) - l), *common, self._cstate, cs0, eos_j)
         else:
             bucket = pad_bucket(len(ids), lo=self._PAD_BUCKET_MIN,
                                 hi=self.slot_len)
             padded = ids + [0] * (bucket - len(ids))
             (self._cache, self._tokens, self._pos, self._keys,
-             self._pend_tok, self._rep, tok) = self._spec_prefill_fn(
+             self._pend_tok, self._rep, self._cstate,
+             tok) = self._spec_prefill_fn(
                 self.params, self._cache, self._tokens, self._pos,
                 self._keys, self._pend_tok, self._rep,
                 jnp.asarray([padded], jnp.int32),
-                jnp.int32(slot), jnp.int32(len(ids)), *common)
+                jnp.int32(slot), jnp.int32(len(ids)), *common,
+                self._cstate, cs0, eos_j)
         self._store_prefix(ids, slot)
-        self._cstate = self._cstate.at[slot].set(jnp.int32(-2))
         # do NOT sync on the first token here — the fetch happens after
         # the tick dispatches the decode launch, overlapping the round
         # trip with device execution (the slot is installed now so the
@@ -923,11 +999,14 @@ class BatchedDecoderLM:
         METRICS.inc("legalrag_gen_launches", engine=engine,
                     occupancy=occ)
         if self.spec_k:
+            jc = self.json_constraint
             (em, self._cache, self._tokens, self._pos, self._keys,
-             self._pend_tok, hit_eos, self._rep) = self._spec_decode_fn(
+             self._pend_tok, hit_eos, self._rep,
+             self._cstate) = self._spec_decode_fn(
                 self.params, self._cache, self._tokens, self._pos,
                 self._keys, self._pend_tok, self._rep, temp, top_p, topk,
-                minp, pen, eos, limit, active, offv, skv)
+                minp, pen, eos, limit, active, offv, skv, self._cstate,
+                jc.table if jc else None, jc.accepting if jc else None)
             # deferred admission first tokens: the int() syncs overlap the
             # decode execution just dispatched above
             for st, slot, tok_dev in self._admitted_firsts:
@@ -1015,10 +1094,6 @@ class BatchedDecoderLM:
         if constrain and self.json_constraint is None:
             raise ValueError("constrain=True requires an engine built "
                              "with json_constraint / constrain_json")
-        if constrain and self.spec_k:
-            raise ValueError("constrained decoding is not wired into the "
-                             "batched SPECULATIVE engine yet; use "
-                             "spec_k=0 (the plain engines support it)")
         t = len(prompt_ids)
         shared = self._matches_shared(prompt_ids)
         cap = self.max_len if shared else self.slot_len

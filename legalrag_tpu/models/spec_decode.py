@@ -80,7 +80,7 @@ class SpecLookupDecoderLM(JaxDecoderLM):
     # ------------------------------------------------------------- program
     def _spec_scan(self, params, cache, tokens, pos, pending, key, temp,
                    top_p, top_k, min_p, eos_id, budget_left, rep, pen,
-                   greedy: bool):
+                   cstate, ctable, cacc, greedy: bool):
         """``spec_steps`` speculation rounds in ONE program.
 
         State: ``tokens[i]`` = sequence token at position ``i`` for
@@ -106,7 +106,7 @@ class SpecLookupDecoderLM(JaxDecoderLM):
 
         def step(carry, _):
             cache, tokens, pos, pending, key, c_left, active, hit_eos, \
-                rep = carry
+                rep, cstate = carry
             # --- draft: most recent earlier occurrence of the current
             # trigram (falling back to the bigram); the k tokens that
             # followed it. Draft quality only affects SPEED — a bad draft
@@ -142,6 +142,27 @@ class SpecLookupDecoderLM(JaxDecoderLM):
             masks = jnp.concatenate(
                 [jnp.zeros((1, v), bool), draft_seen]) | rep[None, :]
             lg = apply_repetition_penalty(lg, masks, pen)
+            if ctable is not None:
+                # schema-DFA constraint UNDER speculation, same fold trick
+                # as the penalty above: verify position i's allowed set is
+                # a function of the DFA state after draft[0..i-1]. A draft
+                # token with no valid transition makes its own position
+                # mismatch (its masked prob is 0), so positions past an
+                # invalid draft prefix are never used — leave them
+                # unmasked rather than produce an all-(-inf) logits row.
+                sts = [cstate]
+                for i in range(k):
+                    s = sts[-1]
+                    sts.append(jnp.where(
+                        s >= 0, ctable[jnp.maximum(s, 0), draft[i]],
+                        jnp.int32(-1)))
+                st_mat = jnp.stack(sts)                      # [k+1]
+                st_c = jnp.maximum(st_mat, 0)
+                allow = ctable[st_c] >= 0                    # [k+1, V]
+                allow = jnp.where(jnp.arange(v)[None, :] == eos_id,
+                                  cacc[st_c][:, None], allow)
+                allow = jnp.where((st_mat >= 0)[:, None], allow, True)
+                lg = jnp.where(allow, lg, -1e30)
             if greedy:
                 targets = jnp.argmax(lg, axis=-1).astype(jnp.int32)
             else:
@@ -176,22 +197,33 @@ class SpecLookupDecoderLM(JaxDecoderLM):
             pending = jnp.where(active & (ie > a), new_pending, pending)
             pos = pos + jnp.where(active, n_emit, 0)
             c_left = c_left - n_emit
+            if ctable is not None:
+                # the DFA state advances over exactly the emitted tokens
+                # (all DFA-valid by construction of the mask above)
+                cs = cstate
+                for i in range(k + 1):
+                    nxt = jnp.where(cs >= 0,
+                                    ctable[jnp.maximum(cs, 0), targets[i]],
+                                    cs)
+                    cs = jnp.where(emit_mask[i], nxt, cs)
+                cstate = cs
             step_eos = active & (ie <= a)
             hit_eos = hit_eos | step_eos
             active = (active & ~step_eos & (c_left > 0)
                       & (pos + k <= max_len - 1))
             return (cache, tokens, pos, pending, key, c_left, active,
-                    hit_eos, rep), emissions
+                    hit_eos, rep, cstate), emissions
 
         carry0 = (cache, tokens, pos, pending, key, budget_left,
-                  jnp.bool_(True), jnp.bool_(False), rep)
-        (cache, tokens, pos, pending, key, c_left, active, hit_eos, rep), \
-            emissions = jax.lax.scan(step, carry0, None,
-                                     length=self.spec_steps)
+                  jnp.bool_(True), jnp.bool_(False), rep, cstate)
+        (cache, tokens, pos, pending, key, c_left, active, hit_eos, rep,
+         cstate), emissions = jax.lax.scan(step, carry0, None,
+                                           length=self.spec_steps)
         packed = jnp.stack([active.astype(jnp.int32),
                             hit_eos.astype(jnp.int32),
                             (budget_left - c_left), pos])
-        return emissions, cache, tokens, pos, pending, key, packed, rep
+        return (emissions, cache, tokens, pos, pending, key, packed, rep,
+                cstate)
 
     # ------------------------------------------------------------------ API
     def generate_stream(self, prompt_ids: List[int],
@@ -202,23 +234,15 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                         top_k: int = 0,
                         min_p: float = 0.0,
                         constrain: bool = False) -> Iterator[int]:
-        if constrain:
-            # schema-constrained decoding changes every verify target's
-            # allowed set as a function of the DFA state AFTER the drafts
-            # before it — implementable with a per-round state fold (same
-            # trick as the repetition penalty) but not yet wired; the
-            # plain engine path supports it exactly, so fall back
-            yield from JaxDecoderLM.generate_stream(
-                self, prompt_ids, max_new_tokens, temperature, top_p,
-                eos_id, seed, repetition_penalty, top_k, min_p,
-                constrain=True)
-            return
+        if constrain and self.json_constraint is None:
+            raise ValueError("constrain=True requires an engine built "
+                             "with json_constraint / constrain_json")
         # the stats dict is created here and passed down so concurrent
         # misuse can't cross-wire the metrics; last_stats is a snapshot
         stats = {"launches": 0, "tokens": 0, "spec_rounds": 0}
         gen = self._generate_impl(prompt_ids, max_new_tokens, temperature,
                                   top_p, eos_id, seed, repetition_penalty,
-                                  stats, top_k, min_p)
+                                  stats, top_k, min_p, constrain)
         try:
             yield from gen
         finally:
@@ -240,11 +264,12 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                        repetition_penalty: float = 1.0,
                        stats: Optional[Dict] = None,
                        top_k: int = 0,
-                       min_p: float = 0.0) -> Iterator[int]:
+                       min_p: float = 0.0,
+                       constrain: bool = False) -> Iterator[int]:
         if self.spec_k <= 0:
             yield from super().generate_stream(
                 prompt_ids, max_new_tokens, temperature, top_p, eos_id,
-                seed, repetition_penalty, top_k, min_p)
+                seed, repetition_penalty, top_k, min_p, constrain)
             return
         t = len(prompt_ids)
         if t >= self.max_len:
@@ -267,9 +292,17 @@ class SpecLookupDecoderLM(JaxDecoderLM):
             mask0 = np.zeros(self.cfg.vocab_size, bool)
             mask0[list(prompt_ids)] = True
             rep = jnp.asarray(mask0)
+            jc = self.json_constraint if constrain else None
+            cs = jnp.int32(jc.start if jc else 0)
+            ceos = jnp.int32(-1 if eos_id is None else eos_id)
             # the admission-time first token samples with the prompt-mask
             # penalty, exactly like the plain engine's first decode step
             last = apply_repetition_penalty(last2d, rep[None, :], pen_j)[0]
+            if jc is not None:
+                row = jc.table[cs]
+                allowed = jnp.where(jnp.arange(row.shape[0]) == ceos,
+                                    jc.accepting[cs], row >= 0)
+                last = jnp.where(allowed, last, -1e30)
             if greedy:
                 pending_h = int(np.argmax(np.asarray(last)))
             else:
@@ -281,6 +314,8 @@ class SpecLookupDecoderLM(JaxDecoderLM):
             rep = rep.at[pending_h].set(True)
             if eos_id is not None and pending_h == eos_id:
                 return
+            if jc is not None:
+                cs = jnp.maximum(jc.table[cs, pending_h], 0)
             yield pending_h
             produced = 1
             stats["tokens"] = 1
@@ -303,11 +338,14 @@ class SpecLookupDecoderLM(JaxDecoderLM):
             # cache write clamps rather than drops out of range)
             while pos_h + self.spec_k <= self.max_len - 1:
                 (emissions, cache, tokens, pos, pending, key, packed,
-                 rep) = \
+                 rep, cs) = \
                     self._spec_fn(self.params, cache, tokens, pos, pending,
                                   key, temp_j, tp_j, tk_j, mp_j, eos_j,
                                   jnp.int32(max_new_tokens - produced),
-                                  rep, pen_j, greedy=greedy)
+                                  rep, pen_j, cs,
+                                  jc.table if jc else None,
+                                  jc.accepting if jc else None,
+                                  greedy=greedy)
                 em = np.asarray(emissions)
                 st = np.asarray(packed)
                 stats["launches"] += 1
@@ -335,6 +373,11 @@ class SpecLookupDecoderLM(JaxDecoderLM):
             pos_h += 1
             while produced < max_new_tokens and pos_h < self.max_len:
                 scored = apply_repetition_penalty(last, rep[None, :], pen_j)
+                if jc is not None:
+                    row = jc.table[cs]
+                    allowed = jnp.where(jnp.arange(row.shape[0]) == ceos,
+                                        jc.accepting[cs], row >= 0)
+                    scored = jnp.where(allowed[None, :], scored, -1e30)
                 if greedy:
                     tok = int(np.argmax(np.asarray(scored[0])))
                 else:
@@ -344,6 +387,8 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                 rep = rep.at[tok].set(True)
                 if eos_id is not None and tok == eos_id:
                     return
+                if jc is not None:
+                    cs = jnp.maximum(jc.table[cs, tok], 0)
                 yield tok
                 produced += 1
                 stats["tokens"] += 1

@@ -245,7 +245,10 @@ def test_batched_matches_single_constrained_greedy(tiny_constrained):
     assert got == want
 
 
-def test_spec_engine_falls_back_exactly(tiny_constrained):
+def test_spec_engine_constrained_greedy_exact(tiny_constrained):
+    """The constraint is wired INTO the speculative verify program (a
+    per-position DFA fold over the drafts, like the exact repetition
+    penalty): greedy output is token-identical to the plain engine."""
     cfg, params, jc, texts = tiny_constrained
     plain = JaxDecoderLM(params, cfg, max_len=96, decode_chunk=1,
                          json_constraint=jc)
@@ -258,13 +261,68 @@ def test_spec_engine_falls_back_exactly(tiny_constrained):
     assert got == want
 
 
-def test_batched_spec_refuses_constraint(tiny_constrained):
+def test_spec_engine_constrained_sampled_valid(tiny_constrained):
+    """Sampled constrained speculation still only emits schema-valid
+    prefixes (acceptance may cut anywhere in the draft)."""
     cfg, params, jc, texts = tiny_constrained
-    engine = BatchedDecoderLM(params, cfg, max_len=96, n_slots=1,
-                              spec_k=4, json_constraint=jc)
+    spec = SpecLookupDecoderLM(params, cfg, max_len=96, spec_k=4,
+                               spec_steps=2, json_constraint=jc)
+    for seed in range(3):
+        toks = list(spec.generate_stream([12, 14, 12], max_new_tokens=36,
+                                         temperature=0.9, seed=seed,
+                                         eos_id=EOS, constrain=True))
+        _check_valid_prefix_or_doc(texts, toks, len(toks) < 36)
+
+
+def test_batched_spec_constrained_greedy_exact(tiny_constrained):
+    """Constraint wired into the batched SPECULATIVE verify program
+    (per-slot DFA fold over the drafts): greedy output is token-identical
+    to the plain single-stream engine."""
+    cfg, params, jc, texts = tiny_constrained
+    plain = JaxDecoderLM(params, cfg, max_len=96, decode_chunk=1,
+                         json_constraint=jc)
+    want = list(plain.generate_stream([12, 14, 12], max_new_tokens=30,
+                                      eos_id=EOS, constrain=True))
+    engine = BatchedDecoderLM(params, cfg, max_len=96, n_slots=2,
+                              spec_k=4, spec_steps=2, json_constraint=jc)
     try:
-        with pytest.raises(ValueError):
-            next(engine.generate_stream([12, 14], max_new_tokens=4,
-                                        constrain=True))
+        got = list(engine.generate_stream([12, 14, 12], max_new_tokens=30,
+                                          eos_id=EOS, constrain=True))
+    finally:
+        engine.close()
+    assert got == want
+
+
+def test_batched_spec_constrained_mixed_slots(tiny_constrained):
+    """A constrained and an unconstrained stream share the spec batch:
+    the constrained one emits only schema-valid prefixes, the
+    unconstrained one is bit-identical to running alone."""
+    cfg, params, jc, texts = tiny_constrained
+    import threading
+
+    solo = BatchedDecoderLM(params, cfg, max_len=96, n_slots=1,
+                            spec_k=4, spec_steps=2, json_constraint=jc)
+    try:
+        free_want = list(solo.generate_stream([12, 14],
+                                              max_new_tokens=12))
+    finally:
+        solo.close()
+    engine = BatchedDecoderLM(params, cfg, max_len=96, n_slots=2,
+                              spec_k=4, spec_steps=2, json_constraint=jc)
+    try:
+        got = {}
+        ts = [threading.Thread(target=lambda: got.__setitem__(
+                  "c", list(engine.generate_stream(
+                      [12, 14, 12], max_new_tokens=36, temperature=0.9,
+                      seed=5, eos_id=EOS, constrain=True)))),
+              threading.Thread(target=lambda: got.__setitem__(
+                  "f", list(engine.generate_stream(
+                      [12, 14], max_new_tokens=12))))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=180)
+        _check_valid_prefix_or_doc(texts, got["c"], len(got["c"]) < 36)
+        assert got["f"] == free_want
     finally:
         engine.close()
