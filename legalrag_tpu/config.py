@@ -205,6 +205,13 @@ class LLMConfig(BaseModel):
     # provisions, so prompt n-gram drafts hit often; greedy output is
     # token-identical to plain decoding. Single-stream engine only.
     spec_k: int = 0
+    # local-jax, speculative engines (spec_k > 0): path to a corpus
+    # n-gram draft table (.npz from scripts/build_draft_table.py). When a
+    # slot's in-sequence prompt lookup misses, the verify program probes
+    # this table for the corpus-frequent continuation of the current
+    # bigram — first quotes of statute text NOT in the prompt still
+    # draft-accelerate. Draft quality only affects speed, never output.
+    ngram_draft_path: str = ""
     # local-jax: >1 shards the decoder tensor-parallel over that many
     # local devices (parallel/decoder_tp.py) — Megatron-style column/row
     # parallel projections via GSPMD, composing with any decode engine

@@ -287,6 +287,9 @@ class LLMClient:
                 pc = getattr(self.cfg, "prefill_chunk", 0)
                 slots = getattr(self.cfg, "batch_slots", 0)
                 spec_k = getattr(self.cfg, "spec_k", 0)
+                if spec_k and getattr(self.cfg, "ngram_draft_path", ""):
+                    # corpus n-gram drafts for the speculative engines
+                    kw["ngram_draft"] = self.cfg.ngram_draft_path
                 if slots and slots > 1:
                     # continuous batching: concurrent answer streams share
                     # one batched decode loop (models/batched_decoder.py);

@@ -127,7 +127,7 @@ class BatchedDecoderLM:
                  prefix_cache: int = 0, kv_quant: bool = False,
                  prefill_chunk: int = 1024,
                  shared_prefix: Optional[List[int]] = None,
-                 json_constraint=None):
+                 json_constraint=None, ngram_draft=None):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -184,6 +184,11 @@ class BatchedDecoderLM:
         # (generate_stream(constrain=True)); per-slot DFA state, −2 =
         # unconstrained slot (mask passes through)
         self.json_constraint = json_constraint
+        # corpus-level bigram → continuation drafts (models/ngram_draft.py)
+        # probed when a slot's in-sequence lookup misses
+        from legalrag_tpu.models.ngram_draft import resolve_ngram_draft
+
+        self.ngram_draft = resolve_ngram_draft(ngram_draft)
         with on_device(device):
             if self.shared_prefix:
                 self._shared_kv = self._build_shared_rows()
@@ -643,7 +648,8 @@ class BatchedDecoderLM:
 
     def _spec_decode(self, params, cache, tokens, pos, keys, pending, rep,
                      temp, top_p, topk, minp, pen, eos_ids, limit,
-                     active, offv, shared_kv, cstate, ctable, cacc):
+                     active, offv, shared_kv, cstate, ctable, cacc,
+                     nka, nkb, nvals):
         """``spec_steps`` batched speculation rounds in ONE program.
 
         Vectorizes models/spec_decode.py over slots: per-slot bigram match
@@ -655,6 +661,7 @@ class BatchedDecoderLM:
         """
         k = self.spec_k
         s, max_len = self.n_slots, self.max_len
+        nsize = nka.shape[0] if nvals is not None else 0
         # per-slot ABSOLUTE capacity: shared-prefix slots span the pinned
         # segment plus their own rows; plain slots just their own rows
         capv = max_len if offv is None else self.slot_len + offv
@@ -682,6 +689,18 @@ class BatchedDecoderLM:
             draft = jax.vmap(
                 lambda row, jj: jax.lax.dynamic_slice(row, (jj + 1,), (k,))
             )(tokens, j)
+            if nvals is not None:
+                # corpus-table fallback for slots whose in-sequence lookup
+                # missed: one vectorized hash probe of the direct-mapped
+                # bigram table (same uint32 Knuth hash as the host
+                # builder); mismatches keep the sliced draft — both paths
+                # only affect acceptance, never output
+                h = ((a_tok.astype(jnp.uint32)
+                      * jnp.uint32(2654435761)
+                      + pending.astype(jnp.uint32))
+                     & jnp.uint32(nsize - 1)).astype(jnp.int32)
+                ok = (j < 0) & (nka[h] == a_tok) & (nkb[h] == pending)
+                draft = jnp.where(ok[:, None], nvals[h], draft)
             seq = jnp.concatenate([pending[:, None], draft], axis=1)
             positions = pos[:, None] + iota[None, :]
             logits, cache = decoder_forward(params, self.cfg, seq,
@@ -1000,13 +1019,16 @@ class BatchedDecoderLM:
                     occupancy=occ)
         if self.spec_k:
             jc = self.json_constraint
+            ng = (self.ngram_draft.device_arrays(self.spec_k)
+                  if self.ngram_draft is not None else (None, None, None))
             (em, self._cache, self._tokens, self._pos, self._keys,
              self._pend_tok, hit_eos, self._rep,
              self._cstate) = self._spec_decode_fn(
                 self.params, self._cache, self._tokens, self._pos,
                 self._keys, self._pend_tok, self._rep, temp, top_p, topk,
                 minp, pen, eos, limit, active, offv, skv, self._cstate,
-                jc.table if jc else None, jc.accepting if jc else None)
+                jc.table if jc else None, jc.accepting if jc else None,
+                *ng)
             # deferred admission first tokens: the int() syncs overlap the
             # decode execution just dispatched above
             for st, slot, tok_dev in self._admitted_firsts:

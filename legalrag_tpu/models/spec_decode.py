@@ -64,7 +64,8 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                  device=None, max_len: int = 4096, decode_chunk: int = 8,
                  spec_k: int = 8, spec_steps: int = 4,
                  prefix_cache: int = 0, prefill_chunk: int = 1024,
-                 kv_quant: bool = False, json_constraint=None):
+                 kv_quant: bool = False, json_constraint=None,
+                 ngram_draft=None):
         super().__init__(params, cfg, tokenizer, device=device,
                          max_len=max_len, decode_chunk=decode_chunk,
                          prefix_cache=prefix_cache,
@@ -72,6 +73,12 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                          json_constraint=json_constraint)
         self.spec_k = spec_k
         self.spec_steps = spec_steps
+        # corpus-level bigram → continuation drafts (models/ngram_draft.py):
+        # probed when the in-sequence lookup misses — first quotes of
+        # corpus text not present in the prompt still draft-accelerate
+        from legalrag_tpu.models.ngram_draft import resolve_ngram_draft
+
+        self.ngram_draft = resolve_ngram_draft(ngram_draft)
         self.last_stats: Dict[str, float] = {}
         self._spec_fn = jax.jit(self._spec_scan,
                                 static_argnames=("greedy",),
@@ -80,7 +87,7 @@ class SpecLookupDecoderLM(JaxDecoderLM):
     # ------------------------------------------------------------- program
     def _spec_scan(self, params, cache, tokens, pos, pending, key, temp,
                    top_p, top_k, min_p, eos_id, budget_left, rep, pen,
-                   cstate, ctable, cacc, greedy: bool):
+                   cstate, ctable, cacc, nka, nkb, nvals, greedy: bool):
         """``spec_steps`` speculation rounds in ONE program.
 
         State: ``tokens[i]`` = sequence token at position ``i`` for
@@ -103,6 +110,7 @@ class SpecLookupDecoderLM(JaxDecoderLM):
         max_len = self.max_len
         idx_row = jnp.arange(max_len)
         iota = jnp.arange(k + 1)
+        nsize = nka.shape[0] if nvals is not None else 0
 
         def step(carry, _):
             cache, tokens, pos, pending, key, c_left, active, hit_eos, \
@@ -123,6 +131,17 @@ class SpecLookupDecoderLM(JaxDecoderLM):
             j2 = jnp.max(jnp.where(hit2, idx_row, -1))
             j = jnp.where(j3 >= 0, j3, j2)
             draft = jax.lax.dynamic_slice(tokens, (j + 1,), (k,))
+            if nvals is not None:
+                # corpus-table fallback on an in-sequence miss: one hash
+                # probe of the direct-mapped bigram table (same uint32
+                # Knuth hash the host builder used); a key mismatch keeps
+                # the (garbage) sliced draft — both only affect acceptance
+                h = ((a_tok.astype(jnp.uint32)
+                      * jnp.uint32(2654435761)
+                      + pending.astype(jnp.uint32))
+                     & jnp.uint32(nsize - 1)).astype(jnp.int32)
+                ok = (j < 0) & (nka[h] == a_tok) & (nkb[h] == pending)
+                draft = jnp.where(ok, nvals[h], draft)
             # --- verify: one forward of [pending, draft] at pos..pos+k
             seq = jnp.concatenate([pending[None], draft])[None, :]
             positions = (pos + iota)[None, :]
@@ -295,6 +314,8 @@ class SpecLookupDecoderLM(JaxDecoderLM):
             jc = self.json_constraint if constrain else None
             cs = jnp.int32(jc.start if jc else 0)
             ceos = jnp.int32(-1 if eos_id is None else eos_id)
+            ng = (self.ngram_draft.device_arrays(self.spec_k)
+                  if self.ngram_draft is not None else (None, None, None))
             # the admission-time first token samples with the prompt-mask
             # penalty, exactly like the plain engine's first decode step
             last = apply_repetition_penalty(last2d, rep[None, :], pen_j)[0]
@@ -345,7 +366,7 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                                   rep, pen_j, cs,
                                   jc.table if jc else None,
                                   jc.accepting if jc else None,
-                                  greedy=greedy)
+                                  *ng, greedy=greedy)
                 em = np.asarray(emissions)
                 st = np.asarray(packed)
                 stats["launches"] += 1
