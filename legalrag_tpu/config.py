@@ -178,7 +178,8 @@ class LLMConfig(BaseModel):
     # local-jax: schema-constrained JSON decoding (models/constrain.py) —
     # a token-level DFA mask guarantees the answer parses as the
     # sections schema the SSE scanner expects; EOS unlocks only when the
-    # document is complete. Plain + batched engines (spec falls back).
+    # document is complete. Exact in EVERY engine, incl. the speculative
+    # ones (a per-position DFA fold over the drafts inside the verify).
     constrain_json: bool = False
     # HF RepetitionPenaltyLogitsProcessor semantics (the reference's
     # qwen-local passes 1.05); 1.0 = off. Exact in EVERY engine, incl.
