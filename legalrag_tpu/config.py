@@ -206,6 +206,14 @@ class LLMConfig(BaseModel):
     # provisions, so prompt n-gram drafts hit often; greedy output is
     # token-identical to plain decoding. Single-stream engine only.
     spec_k: int = 0
+    # local-jax: int8 weight quantization of the decoder projections +
+    # LM head (models/decoder.py quantize_weights_int8, W8A8) — decode
+    # is weights-bandwidth-bound, so int8 weights halve the dominant HBM
+    # stream and run s8×s8→s32 on the MXU. Off by default: HF
+    # token-parity no longer holds under quantization (the engines stay
+    # token-identical to each other); per-element weight error ≤
+    # channel-amax/254. Applies to every local-jax engine.
+    weight_quant: bool = False
     # local-jax, speculative engines (spec_k > 0): path to a corpus
     # n-gram draft table (.npz from scripts/build_draft_table.py). When a
     # slot's in-sequence prompt lookup misses, the verify program probes

@@ -282,6 +282,7 @@ class LLMClient:
                     + self.cfg.max_new_tokens,
                     decode_chunk=getattr(self.cfg, "decode_chunk", 8),
                     kv_quant=getattr(self.cfg, "kv_quant", False),
+                    weight_quant=getattr(self.cfg, "weight_quant", False),
                     constrain_json=getattr(self.cfg, "constrain_json",
                                            False))
                 pc = getattr(self.cfg, "prefill_chunk", 0)
@@ -302,8 +303,7 @@ class LLMClient:
                         self.cfg.model, n_slots=slots,
                         spec_k=max(spec_k, 0),
                         shared_prefix_text=spt,
-                        prefix_cache=(0 if spt else
-                                      getattr(self.cfg, "prefix_cache", 0)),
+                        prefix_cache=getattr(self.cfg, "prefix_cache", 0),
                         **(dict(prefill_chunk=pc, **kw) if pc else kw))
                 elif spec_k and spec_k > 0:
                     # prompt-lookup speculative decoding: draft from the

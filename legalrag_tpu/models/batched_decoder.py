@@ -152,23 +152,15 @@ class BatchedDecoderLM:
         # capping the [H, C, T] attention-score buffer like the
         # single-stream engine's prefill_chunk (decoder.py)
         self.prefill_chunk = max(prefill_chunk, 16)
-        # exact prompt-prefix KV reuse at admission (see decoder.py
-        # PrefixKVCache) — RAG requests share the system template
-        self._prefix = PrefixKVCache(prefix_cache) if prefix_cache else None
         # PHYSICALLY shared system prefix: ONE pinned copy of the prefix's
         # KV rows ([1, P] per layer, built once at init) is attended by
         # every slot whose prompt starts with it (decoder_forward
         # shared_kv/kv_offset) — slot rows store only positions >= P, so
         # the engine's cache shrinks from S*max_len to S*(max_len-P)+P
         # rows. Matching prompts keep the full max_len context budget;
-        # non-matching prompts get max_len-P. Mutually exclusive with the
-        # per-prompt LRU (prefix_cache) in this engine for now.
+        # non-matching prompts get max_len-P.
         self.shared_prefix = list(shared_prefix) if shared_prefix else None
         if self.shared_prefix:
-            if prefix_cache:
-                raise ValueError(
-                    "shared_prefix and prefix_cache are mutually "
-                    "exclusive on the batched engine")
             if len(self.shared_prefix) >= max_len - 16:
                 raise ValueError(
                     f"shared_prefix ({len(self.shared_prefix)} tokens) "
@@ -178,6 +170,16 @@ class BatchedDecoderLM:
             self.shared_len = 0
         self.slot_len = max_len - self.shared_len
         self._shared_kv = None
+        # exact prompt-prefix KV reuse at admission (decoder.py
+        # PrefixKVCache) — RAG requests share the system template AND, in
+        # multi-turn use, the retrieved candidate blocks. COMPOSES with
+        # shared_prefix: prompts matching the pinned segment use a
+        # second, suffix-keyed LRU whose entries hold slot rows relative
+        # to position P (the pinned segment is never duplicated into LRU
+        # entries); non-matching prompts use the full-prompt LRU.
+        self._prefix = PrefixKVCache(prefix_cache) if prefix_cache else None
+        self._prefix_sfx = (PrefixKVCache(prefix_cache)
+                            if prefix_cache and self.shared_prefix else None)
 
         # schema-constrained JSON decoding (models/constrain.py): one
         # engine-level schema table; streams opt in per call
@@ -269,6 +271,10 @@ class BatchedDecoderLM:
             # pays its own rows), so BPE-boundary mismatch degrades to
             # the unshared path rather than to an error
             kw["shared_prefix"] = tokenizer(shared_prefix_text)["input_ids"]
+        if kw.pop("weight_quant", False):
+            from legalrag_tpu.models.decoder import quantize_weights_int8
+
+            params = quantize_weights_int8(params)
         if device is not None:
             params = jax.device_put(params, device)
         lm = cls(params, cfg, tokenizer, device=device, **kw)
@@ -500,10 +506,12 @@ class BatchedDecoderLM:
         return cache, lm_logits(params, self.cfg, hrow)[:, 0]
 
     def _prefix_forward(self, params, cache, prefix_rows, p_len, ids_sfx,
-                        slot, true_sfx):
+                        slot, true_sfx, shared_kv=None):
         """Shared body of the prefix-reuse admissions: install the cached
         prefix rows into the slot, forward the right-padded suffix at
-        offset positions, and return (updated cache, last real logits)."""
+        offset positions, and return (updated cache, last real logits).
+        With ``shared_kv`` the entry rows are suffix-relative (position −
+        shared_len) and ``p_len`` is the ABSOLUTE reuse offset."""
         row_cache = self._slot_rows(cache, slot)
         row_cache = [  # generic over dense / quantized layer tuples
             tuple(jax.lax.dynamic_update_slice(r, p, (0, 0, 0, 0))
@@ -511,14 +519,14 @@ class BatchedDecoderLM:
             for rows, prows in zip(row_cache, prefix_rows)]
         cache = self._write_slot_rows(cache, row_cache, slot)
         return self._offset_forward(params, cache, p_len, ids_sfx, slot,
-                                    true_sfx)
+                                    true_sfx, shared_kv)
 
     def _prefill_prefix(self, params, cache, last, pos, keys, rep,
                         prefix_rows, p_len, ids_sfx, slot, true_sfx,
-                        key_row, mask_row):
+                        key_row, mask_row, shared_kv=None):
         cache, last_row = self._prefix_forward(params, cache, prefix_rows,
                                                p_len, ids_sfx, slot,
-                                               true_sfx)
+                                               true_sfx, shared_kv)
         last = jax.lax.dynamic_update_slice(
             last, last_row.astype(last.dtype), (slot, 0))
         pos = pos.at[slot].set(p_len + true_sfx)
@@ -530,10 +538,10 @@ class BatchedDecoderLM:
                              pending, rep, prefix_rows, p_len, ids_sfx,
                              full_ids, slot, true_sfx, key_row, mask_row,
                              temp, top_p, top_k, min_p, pen, cstate, cs0,
-                             eos_j):
+                             eos_j, shared_kv=None):
         cache, last_row = self._prefix_forward(params, cache, prefix_rows,
                                                p_len, ids_sfx, slot,
-                                               true_sfx)
+                                               true_sfx, shared_kv)
         scored = apply_repetition_penalty(last_row[0], mask_row, pen)
         scored = self._constrain_first(scored, cs0, eos_j)
         tok, key_adv = self._first_token(scored, key_row, temp, top_p,
@@ -819,10 +827,8 @@ class BatchedDecoderLM:
         cs0 = jnp.int32(jc.start if (jc is not None and st.constrained)
                         else -2)
         eos_j = jnp.int32(-1 if st.eos_id is None else st.eos_id)
-        hit = self._prefix.match(ids, self.max_len) if self._prefix else None
-        if hit is not None and len(ids) - hit[1] > self.prefill_chunk:
-            hit = None  # long suffix: take the chunked cold path instead
-        if st.shared or (hit is None and len(ids) > self.prefill_chunk):
+        hit, sfx0 = self._match_prefix(ids, st.shared)
+        if hit is None and (st.shared or len(ids) > self.prefill_chunk):
             last_row = self._chunked_slot_prefill(ids, slot,
                                                   shared=st.shared)
             tb = pad_bucket(len(ids), hi=self.max_len)
@@ -835,17 +841,20 @@ class BatchedDecoderLM:
                 self._cstate, cs0, eos_j)
         elif hit is not None:
             rows, l, sb = hit
-            sfx = ids[l:] + [0] * (sb - (len(ids) - l))
+            tail = ids[sfx0 + l:]
+            sfx = tail + [0] * (sb - len(tail))
             tb = pad_bucket(len(ids), hi=self.max_len)
             full = ids + [0] * (tb - len(ids))
+            skv = self._shared_kv if st.shared else None
             (self._cache, self._tokens, self._pos, self._keys,
              self._pend_tok, self._rep, self._cstate,
              tok) = self._spec_prefill_prefix_fn(
                 self.params, self._cache, self._tokens, self._pos,
-                self._keys, self._pend_tok, self._rep, rows, jnp.int32(l),
-                jnp.asarray([sfx], jnp.int32),
+                self._keys, self._pend_tok, self._rep, rows,
+                jnp.int32(sfx0 + l), jnp.asarray([sfx], jnp.int32),
                 jnp.asarray([full], jnp.int32), jnp.int32(slot),
-                jnp.int32(len(ids) - l), *common, self._cstate, cs0, eos_j)
+                jnp.int32(len(tail)), *common, self._cstate, cs0, eos_j,
+                skv)
         else:
             bucket = pad_bucket(len(ids), lo=self._PAD_BUCKET_MIN,
                                 hi=self.slot_len)
@@ -858,7 +867,7 @@ class BatchedDecoderLM:
                 jnp.asarray([padded], jnp.int32),
                 jnp.int32(slot), jnp.int32(len(ids)), *common,
                 self._cstate, cs0, eos_j)
-        self._store_prefix(ids, slot)
+        self._store_prefix(ids, slot, st.shared)
         # do NOT sync on the first token here — the fetch happens after
         # the tick dispatches the decode launch, overlapping the round
         # trip with device execution (the slot is installed now so the
@@ -867,22 +876,40 @@ class BatchedDecoderLM:
         self._admitted_firsts.append((st, slot, tok))
 
     # --------------------------------------------------------------- worker
-    def _store_prefix(self, ids: List[int], slot: int) -> None:
-        if self._prefix is None:
+    def _match_prefix(self, ids: List[int], shared: bool):
+        """LRU probe for admission: (hit, key offset). Shared-matching
+        prompts probe the suffix-keyed LRU (entry rows are relative to
+        the pinned segment, key = ids[P:]); others the full-prompt LRU.
+        Hits whose remaining suffix exceeds prefill_chunk are dropped —
+        the chunked cold path caps admission memory instead."""
+        if shared:
+            lru, sfx0 = self._prefix_sfx, self.shared_len
+        else:
+            lru, sfx0 = self._prefix, 0
+        if lru is None:
+            return None, sfx0
+        hit = lru.match(ids[sfx0:], self.slot_len)
+        if hit is not None and len(ids) - sfx0 - hit[1] > self.prefill_chunk:
+            hit = None
+        return hit, sfx0
+
+    def _store_prefix(self, ids: List[int], slot: int,
+                      shared: bool = False) -> None:
+        lru = self._prefix_sfx if shared else self._prefix
+        if lru is None:
             return
-        tb = pad_bucket(len(ids), hi=self.max_len)
+        key = ids[self.shared_len:] if shared else ids
+        tb = pad_bucket(len(key), hi=self.slot_len)
         rows = self._extract_slot_rows_fn(self._cache, jnp.int32(slot),
                                           tb=tb)
-        self._prefix.store(ids, rows, len(ids))
+        lru.store(key, rows, len(key))
 
     def _admit(self, st: _Stream, slot: int) -> None:
         ids = st.prompt_ids
         mask_row = np.zeros(self.cfg.vocab_size, bool)
         mask_row[ids] = True   # repetition-penalty history = the prompt
-        hit = self._prefix.match(ids, self.max_len) if self._prefix else None
-        if hit is not None and len(ids) - hit[1] > self.prefill_chunk:
-            hit = None  # long suffix: take the chunked cold path instead
-        if st.shared or (hit is None and len(ids) > self.prefill_chunk):
+        hit, sfx0 = self._match_prefix(ids, st.shared)
+        if hit is None and (st.shared or len(ids) > self.prefill_chunk):
             last_row = self._chunked_slot_prefill(ids, slot,
                                                   shared=st.shared)
             (self._last, self._pos, self._keys,
@@ -892,14 +919,16 @@ class BatchedDecoderLM:
                 jax.random.PRNGKey(st.seed), jnp.asarray(mask_row))
         elif hit is not None:
             rows, l, sb = hit
-            sfx = ids[l:] + [0] * (sb - (len(ids) - l))
+            tail = ids[sfx0 + l:]
+            sfx = tail + [0] * (sb - len(tail))
+            skv = self._shared_kv if st.shared else None
             (self._cache, self._last, self._pos, self._keys,
              self._rep) = self._prefill_prefix_fn(
                     self.params, self._cache, self._last, self._pos,
-                    self._keys, self._rep, rows, jnp.int32(l),
+                    self._keys, self._rep, rows, jnp.int32(sfx0 + l),
                     jnp.asarray([sfx], jnp.int32), jnp.int32(slot),
-                    jnp.int32(len(ids) - l), jax.random.PRNGKey(st.seed),
-                    jnp.asarray(mask_row))
+                    jnp.int32(len(tail)), jax.random.PRNGKey(st.seed),
+                    jnp.asarray(mask_row), skv)
         else:
             bucket = pad_bucket(len(ids), lo=self._PAD_BUCKET_MIN,
                                 hi=self.slot_len)
@@ -910,7 +939,7 @@ class BatchedDecoderLM:
                     self._keys, self._rep, jnp.asarray([padded], jnp.int32),
                     jnp.int32(slot), jnp.int32(len(ids)),
                     jax.random.PRNGKey(st.seed), jnp.asarray(mask_row))
-        self._store_prefix(ids, slot)
+        self._store_prefix(ids, slot, st.shared)
         self._cstate = self._cstate.at[slot].set(
             jnp.int32(self.json_constraint.start if st.constrained else -2))
         self._slots[slot] = st

@@ -264,8 +264,11 @@ def _moe_block(y: jax.Array, moe: Dict, cfg: DecoderConfig) -> jax.Array:
 
 def lm_logits(params: Dict, cfg: DecoderConfig, x: jax.Array) -> jax.Array:
     """Final-norm hidden states → vocabulary logits (with Gemma softcap)."""
-    logits = jnp.dot(x, params["lm_head"],
-                     preferred_element_type=jnp.float32)
+    head = params["lm_head"]
+    if isinstance(head, dict):               # int8 weight-quantized head
+        logits = _qdot(x, head, jnp.float32)
+    else:
+        logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
     if cfg.final_logit_softcapping:
         cap = cfg.final_logit_softcapping
         logits = cap * jnp.tanh(logits / cap)
@@ -305,6 +308,76 @@ def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 def dequantize_kv(q: jax.Array, scale: jax.Array, dtype) -> jax.Array:
     """Inverse of :func:`quantize_kv` (to the compute dtype)."""
     return (q.astype(jnp.float32) * scale).astype(dtype)
+
+
+def _quant_channel(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-output-channel int8: w [I, O] → (q int8, scale [O])."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=0)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    return jnp.round(wf / scale).astype(jnp.int8), scale
+
+
+def quantize_weights_int8(params: Dict) -> Dict:
+    """int8 weight quantization of the decoder projections (W8A8).
+
+    Single-stream decode reads EVERY weight byte per emitted token —
+    it is weights-bandwidth-bound, so int8 projection weights halve the
+    dominant HBM stream (and the MXU natively runs s8×s8→s32 at ≥2× the
+    bf16 rate). Each q/k/v/o/gate/up/down kernel and the LM head becomes
+    (int8 matrix, per-output-channel f32 scale); at compute time
+    :func:`_qdot` quantizes the activations per row on the fly and runs
+    an integer matmul. Per-element weight error ≤ channel-amax/254;
+    embeddings, norms, biases, and MoE expert stacks stay full precision
+    (experts route per token — quantizing them is a follow-up). Opt-in
+    (``llm.weight_quant``): exact HF token-parity no longer holds, the
+    engines instead stay token-identical to EACH OTHER
+    (tests/test_weight_quant.py). The reference has no quantized serving
+    path at all (full-precision HF ``model.generate``, reference
+    ``llm/client.py:306-369``).
+    """
+    def qnode(node: Dict) -> Dict:
+        q, s = _quant_channel(node["kernel"])
+        out = {k: v for k, v in node.items() if k != "kernel"}
+        out["kernel_q"], out["kernel_scale"] = q, s
+        return out
+
+    out = dict(params)
+    layers = []
+    for layer in params["layers"]:
+        nl = dict(layer)
+        for name in ("q", "k", "v", "o", "gate", "up", "down"):
+            if name in nl and "kernel" in nl[name]:
+                nl[name] = qnode(nl[name])
+        layers.append(nl)
+    out["layers"] = layers
+    out["lm_head"] = qnode({"kernel": params["lm_head"]})
+    return out
+
+
+def _qdot(x: jax.Array, node: Dict, out_dtype=None) -> jax.Array:
+    """x [..., I] @ int8 kernel [I, O] with dynamic per-row activation
+    quantization: both matmul operands stream from HBM as int8 (the
+    weight read is the decode-time bottleneck), the MXU accumulates in
+    s32, and one rescale by (row scale × channel scale) restores
+    magnitudes."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.round(xf / xs).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, node["kernel_q"],
+        dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * xs * node["kernel_scale"]
+    return y.astype(out_dtype or x.dtype)
+
+
+def _proj(x: jax.Array, node: Dict) -> jax.Array:
+    """Dense or int8-quantized projection, by node layout."""
+    if "kernel_q" in node:
+        return _qdot(x, node)
+    return jnp.dot(x, node["kernel"])
 
 
 def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
@@ -360,12 +433,9 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
     new_cache = []
     for li, layer in enumerate(params["layers"]):
         y = _rms_norm(x, layer["input_norm"], cfg.rms_norm_eps, g)
-        q = (jnp.dot(y, layer["q"]["kernel"]) + layer["q"]["bias"]
-             ).reshape(b, t, h, d)
-        k = (jnp.dot(y, layer["k"]["kernel"]) + layer["k"]["bias"]
-             ).reshape(b, t, hkv, d)
-        v = (jnp.dot(y, layer["v"]["kernel"]) + layer["v"]["bias"]
-             ).reshape(b, t, hkv, d)
+        q = (_proj(y, layer["q"]) + layer["q"]["bias"]).reshape(b, t, h, d)
+        k = (_proj(y, layer["k"]) + layer["k"]["bias"]).reshape(b, t, hkv, d)
+        v = (_proj(y, layer["v"]) + layer["v"]["bias"]).reshape(b, t, hkv, d)
         if "q_norm" in layer:   # Qwen3/Gemma3-class per-head RMS before RoPE
             # gemma3 stores these zero-centered ((1+w) convention)
             q = _rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, g)
@@ -474,7 +544,7 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
         scores = jnp.where(att_mask[:, None, :, :], scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1).astype(v_r.dtype)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v_r).reshape(b, t, h * d)
-        attn_out = jnp.dot(ctx, layer["o"]["kernel"])
+        attn_out = _proj(ctx, layer["o"])
         if "pre_ff_norm" in layer:  # Gemma2/3 sandwich norms: post-norm
             x = x + _rms_norm(attn_out, layer["post_norm"],  # on OUTPUTS
                               cfg.rms_norm_eps, True)
@@ -485,12 +555,12 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
         if "moe" in layer:
             mlp_out = _moe_block(y, layer["moe"], cfg)
         else:
-            gate_h = jnp.dot(y, layer["gate"]["kernel"])
+            gate_h = _proj(y, layer["gate"])
             act = (jax.nn.gelu(gate_h, approximate=True)
                    if cfg.hidden_activation == "gelu_pytorch_tanh"
                    else jax.nn.silu(gate_h))
-            up = jnp.dot(y, layer["up"]["kernel"])
-            mlp_out = jnp.dot(act * up, layer["down"]["kernel"])
+            up = _proj(y, layer["up"])
+            mlp_out = _proj(act * up, layer["down"])
         if "post_ff_norm" in layer:
             mlp_out = _rms_norm(mlp_out, layer["post_ff_norm"],
                                 cfg.rms_norm_eps, True)
@@ -753,6 +823,8 @@ class JaxDecoderLM:
 
             kw["json_constraint"] = JsonConstraint.from_tokenizer(
                 SECTIONS_SCHEMA, tokenizer)
+        if kw.pop("weight_quant", False):
+            params = quantize_weights_int8(params)
         if device is not None:
             params = jax.device_put(params, device)
         log.info("loaded decoder %s (%d layers, H=%d, GQA %d/%d)",

@@ -45,18 +45,26 @@ def _spec_for(path: str, ndim: int, cfg: DecoderConfig, tp: int) -> P:
     # branch below. (A real Mixtral config has no moe_intermediate_size —
     # never read it here.)
     ff_col = cfg.intermediate_size % tp == 0
+    # int8 weight quantization (decoder.quantize_weights_int8): kernel_q
+    # shards exactly like kernel; the per-output-channel scale [O] shards
+    # like a bias on column-parallel nodes and replicates on row-parallel
+    # ones (o/down, whose output dim is unsharded)
+    path = path.replace("kernel_q", "kernel")
     if path.endswith("q.kernel"):
         return P(None, MODEL_AXIS) if col else P()
     if path.endswith(("k.kernel", "v.kernel")):
         return P(None, MODEL_AXIS) if kv_col else P()
-    if path.endswith("q.bias"):
+    if path.endswith(("q.bias", "q.kernel_scale")):
         return P(MODEL_AXIS) if col else P()
-    if path.endswith(("k.bias", "v.bias")):
+    if path.endswith(("k.bias", "v.bias", "k.kernel_scale",
+                      "v.kernel_scale")):
         return P(MODEL_AXIS) if kv_col else P()
     if path.endswith("o.kernel"):
         return P(MODEL_AXIS, None) if col else P()
     if path.endswith(("gate.kernel", "up.kernel")):
         return P(None, MODEL_AXIS) if ff_col else P()
+    if path.endswith(("gate.kernel_scale", "up.kernel_scale")):
+        return P(MODEL_AXIS) if ff_col else P()
     if path.endswith("down.kernel"):
         return P(MODEL_AXIS, None) if ff_col else P()
     # MoE stacked experts: shard the leading expert axis (EP)
@@ -65,7 +73,11 @@ def _spec_for(path: str, ndim: int, cfg: DecoderConfig, tp: int) -> P:
             else P()
     if path.endswith("lm_head"):
         return P(None, MODEL_AXIS) if cfg.vocab_size % tp == 0 else P()
-    return P()  # embed, norms, routers, shared-expert gates: replicate
+    if path.endswith("lm_head.kernel"):
+        return P(None, MODEL_AXIS) if cfg.vocab_size % tp == 0 else P()
+    if path.endswith("lm_head.kernel_scale"):
+        return P(MODEL_AXIS) if cfg.vocab_size % tp == 0 else P()
+    return P()  # embed, norms, routers, o/down scales: replicate
 
 
 def shard_decoder_params(params: Dict, cfg: DecoderConfig, mesh: Mesh

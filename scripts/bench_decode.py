@@ -299,6 +299,13 @@ def main() -> None:
                     help="int8 KV cache (models/decoder.py quantize_kv) "
                     "in every engine benchmarked — quantifies the "
                     "throughput cost of halving the cache HBM read")
+    ap.add_argument("--weight-quant", action="store_true",
+                    help="int8 weight quantization (models/decoder.py "
+                    "quantize_weights_int8, W8A8) in every engine "
+                    "benchmarked; the default chunk sweep also runs a "
+                    "dense baseline at the best chunk and reports the "
+                    "speedup (decode streams every weight byte per token "
+                    "— int8 halves that)")
     ap.add_argument("--prefix-cache", type=int, default=0, metavar="P",
                     help="benchmark exact prompt-prefix KV reuse: "
                     "time-to-first-token for a prompt whose first P "
@@ -351,6 +358,16 @@ def main() -> None:
                           else last["down"]["kernel"])
     log(f"init: {time.perf_counter() - t0:.1f}s")
 
+    dense_params = params
+    if args.weight_quant:
+        from legalrag_tpu.models.decoder import quantize_weights_int8
+
+        t0 = time.perf_counter()
+        params = quantize_weights_int8(params)
+        jax.block_until_ready(params["lm_head"]["kernel_q"])
+        log(f"weight quantization (int8 per-channel): "
+            f"{time.perf_counter() - t0:.1f}s")
+
     rng = np.random.default_rng(0)
     prompt = rng.integers(100, cfg.vocab_size - 100,
                           args.prompt_len).tolist()
@@ -387,6 +404,25 @@ def main() -> None:
         log(f"[chunk={chunk}] {n} tokens in {best:.2f}s (best of 3) -> "
             f"{tps:.1f} tok/s")
 
+    dense_tps = None
+    if args.weight_quant:
+        # dense baseline at the winning chunk: the int8 story is the ratio
+        best_chunk = max(results, key=results.get)
+        lm = JaxDecoderLM(dense_params, cfg, max_len=args.max_len,
+                          decode_chunk=best_chunk, kv_quant=args.kv_quant)
+        sum(1 for _ in lm.generate_stream(prompt,
+                                          max_new_tokens=2 * best_chunk))
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = sum(1 for _ in lm.generate_stream(prompt,
+                                                  max_new_tokens=args.new))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        dense_tps = round(n / best, 1)
+        log(f"[dense baseline chunk={best_chunk}] {dense_tps} tok/s -> "
+            f"int8 speedup {results[best_chunk] / dense_tps:.2f}x")
+
     # prefill throughput (prompt tokens processed per second; first
     # execution of a fresh generate includes it, so measure via a
     # 1-new-token generation)
@@ -402,7 +438,7 @@ def main() -> None:
     log(f"prefill: {args.prompt_len} tokens in {best:.3f}s -> "
         f"{prefill_tps:.0f} tok/s")
 
-    print(json.dumps({
+    out = {
         "metric": "decode_tok_per_s",
         "value": max(results.values()),
         "unit": "tokens/s",
@@ -411,7 +447,12 @@ def main() -> None:
         "prompt_len": args.prompt_len,
         "layers": cfg.num_hidden_layers,
         "moe_experts": cfg.num_experts,
-    }))
+    }
+    if dense_tps is not None:
+        out["weight_quant"] = True
+        out["dense_tok_per_s"] = dense_tps
+        out["speedup_vs_dense"] = round(max(results.values()) / dense_tps, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

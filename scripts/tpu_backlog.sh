@@ -48,4 +48,11 @@ timeout 3600 python -m scripts.bench_decode --kv-quant --chunks 8,128 \
   && note "bench_decode --kv-quant ok: $(cat "$OUT/decode_kvquant.json")" \
   || note "bench_decode --kv-quant FAILED"
 
+# 4. int8 weight quantization (W8A8) — the headline is speedup_vs_dense:
+# decode streams every weight byte per token, int8 halves that read
+timeout 3600 python -m scripts.bench_decode --weight-quant --chunks 8,128 \
+  >"$OUT/decode_wquant.json" 2>"$OUT/decode_wquant.log" \
+  && note "bench_decode --weight-quant ok: $(cat "$OUT/decode_wquant.json")" \
+  || note "bench_decode --weight-quant FAILED"
+
 note "backlog done"

@@ -196,11 +196,77 @@ def test_long_suffix_chunks_and_penalty_compose(tiny):
         engine.close()
 
 
-def test_shared_prefix_excludes_prefix_cache(tiny):
+def test_shared_prefix_too_long_raises(tiny):
     cfg, params = tiny
-    with pytest.raises(ValueError):
-        BatchedDecoderLM(params, cfg, max_len=96, shared_prefix=SHARED,
-                         prefix_cache=4)
     with pytest.raises(ValueError):
         BatchedDecoderLM(params, cfg, max_len=32,
                          shared_prefix=list(range(1, 31)))
+
+
+# ------------------------------------------- composition with prefix LRU
+
+CAND = [33, 34, 35, 36] * 5               # 20-token "candidate block"
+TAILS = [[70, 71], [80, 81, 82], [7, 9]]
+LRU_PROMPTS = [SHARED + CAND + t for t in TAILS]
+
+
+def test_shared_composes_with_prefix_cache(tiny):
+    """shared_prefix + prefix_cache on one engine: requests matching the
+    pinned segment reuse the suffix-keyed LRU (the repeated candidate
+    block prefills once, rows stored relative to position P) and stay
+    token-identical to the plain single-stream engine."""
+    cfg, params = tiny
+    lm = JaxDecoderLM(params, cfg, max_len=96, decode_chunk=1)
+    refs = {tuple(p): list(lm.generate_stream(p, max_new_tokens=12))
+            for p in LRU_PROMPTS}
+    engine = BatchedDecoderLM(params, cfg, max_len=96, n_slots=2,
+                              decode_chunk=4, shared_prefix=SHARED,
+                              prefix_cache=4)
+    try:
+        for p in LRU_PROMPTS:                    # sequential: LRU warms
+            got = list(engine.generate_stream(p, max_new_tokens=12))
+            assert got == refs[tuple(p)], p
+        st = engine._prefix_sfx.stats
+        assert st["hits"] >= 2 and st["saved_tokens"] >= 2 * len(CAND), st
+    finally:
+        engine.close()
+
+
+def test_shared_composes_with_prefix_cache_spec(tiny):
+    cfg, params = tiny
+    lm = JaxDecoderLM(params, cfg, max_len=96, decode_chunk=1)
+    refs = {tuple(p): list(lm.generate_stream(p, max_new_tokens=12))
+            for p in LRU_PROMPTS}
+    engine = BatchedDecoderLM(params, cfg, max_len=96, n_slots=2,
+                              spec_k=4, spec_steps=2, shared_prefix=SHARED,
+                              prefix_cache=4)
+    try:
+        for p in LRU_PROMPTS:
+            got = list(engine.generate_stream(p, max_new_tokens=12))
+            assert got == refs[tuple(p)], p
+        assert engine._prefix_sfx.stats["hits"] >= 2
+    finally:
+        engine.close()
+
+
+def test_nonmatching_prompts_use_full_lru(tiny):
+    """In a shared+LRU engine, prompts that do NOT start with the pinned
+    segment fall back to the full-prompt LRU — and never cross-match the
+    suffix-keyed entries."""
+    cfg, params = tiny
+    base = [61, 62] + CAND                       # does not start with SHARED
+    prompts = [base + t for t in TAILS[:2]]
+    lm = JaxDecoderLM(params, cfg, max_len=96, decode_chunk=1)
+    refs = {tuple(p): list(lm.generate_stream(p, max_new_tokens=10))
+            for p in prompts}
+    engine = BatchedDecoderLM(params, cfg, max_len=96, n_slots=2,
+                              decode_chunk=4, shared_prefix=SHARED,
+                              prefix_cache=4)
+    try:
+        for p in prompts:
+            got = list(engine.generate_stream(p, max_new_tokens=10))
+            assert got == refs[tuple(p)], p
+        assert engine._prefix.stats["hits"] >= 1
+        assert engine._prefix_sfx.stats["hits"] == 0
+    finally:
+        engine.close()

@@ -1,0 +1,182 @@
+"""int8 weight quantization (models/decoder.py quantize_weights_int8 +
+W8A8 _qdot): per-channel error bounds, forward fidelity, cross-engine
+token-parity under quantization, composition with int8 KV cache, and TP
+sharding rules for the quantized leaves. CPU, tiny random config.
+
+The reference serves full-precision HF ``model.generate`` only
+(reference ``llm/client.py:306-369``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from legalrag_tpu.models.batched_decoder import BatchedDecoderLM
+from legalrag_tpu.models.decoder import (DecoderConfig, JaxDecoderLM,
+                                         _qdot, decoder_forward,
+                                         quantize_weights_int8)
+from legalrag_tpu.models.spec_decode import SpecLookupDecoderLM
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = DecoderConfig(vocab_size=97, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        intermediate_size=64, max_position_embeddings=128)
+    rng = np.random.default_rng(29)
+
+    def mat(i, o, scale=0.3):
+        return jnp.asarray(rng.standard_normal((i, o)) * scale, jnp.float32)
+
+    h, ff, d = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim
+    hkv = cfg.num_key_value_heads
+    embed = mat(cfg.vocab_size, h, 0.5)
+    params = {
+        "embed": embed, "lm_head": embed.T,
+        "final_norm": jnp.ones(h, jnp.float32),
+        "layers": [
+            {"input_norm": jnp.ones(h, jnp.float32),
+             "q": {"kernel": mat(h, h), "bias": jnp.zeros(h)},
+             "k": {"kernel": mat(h, hkv * d), "bias": jnp.zeros(hkv * d)},
+             "v": {"kernel": mat(h, hkv * d), "bias": jnp.zeros(hkv * d)},
+             "o": {"kernel": mat(h, h)},
+             "post_norm": jnp.ones(h, jnp.float32),
+             "gate": {"kernel": mat(h, ff)},
+             "up": {"kernel": mat(h, ff)},
+             "down": {"kernel": mat(ff, h)}}
+            for _ in range(cfg.num_hidden_layers)
+        ],
+    }
+    return cfg, params
+
+
+# ----------------------------------------------------------- quantization
+
+def test_weight_roundtrip_error_bound(tiny):
+    """Dequantized weights are within channel-amax/254 per element, and
+    the structure transform preserves everything else."""
+    cfg, params = tiny
+    qp = quantize_weights_int8(params)
+    layer, qlayer = params["layers"][0], qp["layers"][0]
+    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+        w = np.asarray(layer[name]["kernel"], np.float64)
+        deq = (np.asarray(qlayer[name]["kernel_q"], np.float64)
+               * np.asarray(qlayer[name]["kernel_scale"], np.float64))
+        bound = np.abs(w).max(axis=0) / 254.0 + 1e-12
+        assert (np.abs(w - deq) <= bound[None, :] + 1e-9).all(), name
+        assert "kernel" not in qlayer[name]
+    assert (np.asarray(qlayer["q"]["bias"])
+            == np.asarray(layer["q"]["bias"])).all()
+    assert isinstance(qp["lm_head"], dict)
+    assert (np.asarray(qp["embed"]) == np.asarray(params["embed"])).all()
+
+
+def test_qdot_matches_dense_within_tolerance():
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((4, 48)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((48, 32)), jnp.float32)
+    from legalrag_tpu.models.decoder import _quant_channel
+
+    q, s = _quant_channel(w)
+    got = np.asarray(_qdot(x, {"kernel_q": q, "kernel_scale": s}))
+    want = np.asarray(x @ w)
+    rel = np.abs(got - want) / (np.abs(want).max() + 1e-9)
+    assert rel.max() < 0.02, rel.max()
+
+
+def test_forward_fidelity(tiny):
+    """Quantized logits track the full-precision logits: same top-1 on
+    most positions, high cosine similarity everywhere."""
+    cfg, params = tiny
+    qp = quantize_weights_int8(params)
+    ids = jnp.asarray([[5, 6, 7, 5, 6, 7, 12, 41, 3, 9]], jnp.int32)
+    pos = jnp.arange(ids.shape[1])[None, :]
+    full, _ = decoder_forward(params, cfg, ids, pos)
+    quant, _ = decoder_forward(qp, cfg, ids, pos)
+    f, q = np.asarray(full[0], np.float64), np.asarray(quant[0], np.float64)
+    cos = (f * q).sum(-1) / (np.linalg.norm(f, axis=-1)
+                             * np.linalg.norm(q, axis=-1) + 1e-9)
+    assert cos.min() > 0.99, cos.min()
+    agree = (f.argmax(-1) == q.argmax(-1)).mean()
+    assert agree >= 0.8, agree
+
+
+# -------------------------------------------------------- engine parity
+
+PROMPTS = [[5, 6, 7, 5, 6, 7, 5, 6], [12, 41, 3, 3, 3, 3, 9], [2, 2]]
+
+
+def test_engines_token_identical_under_quant(tiny):
+    """The serving contract under weight_quant: every engine decodes the
+    SAME quantized model, so greedy streams stay token-identical across
+    plain / speculative / batched engines."""
+    cfg, params = tiny
+    qp = quantize_weights_int8(params)
+    plain = JaxDecoderLM(qp, cfg, max_len=96, decode_chunk=1)
+    spec = SpecLookupDecoderLM(qp, cfg, max_len=96, spec_k=4, spec_steps=2)
+    eng = BatchedDecoderLM(qp, cfg, max_len=96, n_slots=2, decode_chunk=4)
+    try:
+        for p in PROMPTS:
+            want = list(plain.generate_stream(p, max_new_tokens=14))
+            assert list(spec.generate_stream(p, max_new_tokens=14)) == want
+            assert list(eng.generate_stream(p, max_new_tokens=14)) == want
+    finally:
+        eng.close()
+
+
+def test_quant_composes_with_kv_quant_and_prefix(tiny):
+    cfg, params = tiny
+    qp = quantize_weights_int8(params)
+    a = JaxDecoderLM(qp, cfg, max_len=96, decode_chunk=2, kv_quant=True,
+                     prefix_cache=2)
+    b = JaxDecoderLM(qp, cfg, max_len=96, decode_chunk=2, kv_quant=True)
+    p = [5, 6, 7, 5, 6, 7, 5, 6] * 3
+    want = list(b.generate_stream(p, max_new_tokens=10))
+    assert list(a.generate_stream(p, max_new_tokens=10)) == want
+    assert list(a.generate_stream(p, max_new_tokens=10)) == want  # warm LRU
+
+
+# ------------------------------------------------------------------- TP
+
+def test_tp_sharding_rules_for_quant_leaves(tiny):
+    from jax.sharding import PartitionSpec as P
+
+    from legalrag_tpu.parallel.decoder_tp import _spec_for
+
+    cfg, _ = tiny
+    tp = 2
+    assert _spec_for("layers.0.q.kernel_q", 2, cfg, tp) == P(None, "model")
+    assert _spec_for("layers.0.q.kernel_scale", 1, cfg, tp) == P("model")
+    assert _spec_for("layers.0.o.kernel_q", 2, cfg, tp) == P("model", None)
+    assert _spec_for("layers.0.o.kernel_scale", 1, cfg, tp) == P()
+    assert _spec_for("layers.0.down.kernel_q", 2, cfg, tp) == P("model",
+                                                                None)
+    assert _spec_for("layers.0.down.kernel_scale", 1, cfg, tp) == P()
+    assert _spec_for("lm_head.kernel_q", 2, cfg, tp) == P()  # 97 % 2 != 0
+    v64 = DecoderConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        intermediate_size=64,
+                        max_position_embeddings=64)
+    assert _spec_for("lm_head.kernel_q", 2, v64, tp) == P(None, "model")
+    assert _spec_for("lm_head.kernel_scale", 1, v64, tp) == P("model")
+
+
+def test_tp_forward_matches_unsharded_quant(tiny):
+    """Quantized params shard over the 8-device CPU mesh and the TP
+    forward agrees with the single-device quantized forward."""
+    from legalrag_tpu.parallel.decoder_tp import shard_decoder_params
+    from legalrag_tpu.parallel.mesh import local_devices, make_mesh
+
+    cfg, params = tiny
+    qp = quantize_weights_int8(params)
+    devs = local_devices()
+    if len(devs) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    mesh = make_mesh(devs[:2], data=1, model=2)
+    sp = shard_decoder_params(qp, cfg, mesh)
+    ids = jnp.asarray([[5, 6, 7, 5, 6, 7]], jnp.int32)
+    pos = jnp.arange(ids.shape[1])[None, :]
+    want, _ = decoder_forward(qp, cfg, ids, pos)
+    got, _ = decoder_forward(sp, cfg, ids, pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
