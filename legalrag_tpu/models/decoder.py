@@ -247,17 +247,48 @@ def _moe_block(y: jax.Array, moe: Dict, cfg: DecoderConfig) -> jax.Array:
     combine = jnp.sum(
         jax.nn.one_hot(topi, e, dtype=topv.dtype) * topv[..., None],
         axis=-2).astype(y.dtype)
-    g = jnp.einsum("bth,ehf->btef", y, moe["gate"])
-    u = jnp.einsum("bth,ehf->btef", y, moe["up"])
-    act = (jax.nn.gelu(g, approximate=True)
-           if cfg.hidden_activation == "gelu_pytorch_tanh"
-           else jax.nn.silu(g))
-    out = jnp.einsum("btef,efh->bth", act * u * combine[..., None],
-                     moe["down"])
+    if "gate_q" in moe:  # int8 expert stacks (quantize_weights_int8):
+        # keep the expert axis in each integer einsum's OUTPUT so the
+        # per-(expert, channel) rescale stays exact, and apply the
+        # routing combine after the down projection (a scalar commutes
+        # through the linear expert map — same math as the dense path)
+        yq, ys = _quant_acts(y)
+        g = jnp.einsum("bth,ehf->btef", yq, moe["gate_q"],
+                       preferred_element_type=jnp.int32
+                       ).astype(jnp.float32) * ys[..., None] \
+            * moe["gate_scale"]
+        u = jnp.einsum("bth,ehf->btef", yq, moe["up_q"],
+                       preferred_element_type=jnp.int32
+                       ).astype(jnp.float32) * ys[..., None] \
+            * moe["up_scale"]
+        act = (jax.nn.gelu(g, approximate=True)
+               if cfg.hidden_activation == "gelu_pytorch_tanh"
+               else jax.nn.silu(g))
+        xq, xs = _quant_acts(act * u)        # per-(token, expert) rows
+        deq = jnp.einsum("btef,efh->bteh", xq, moe["down_q"],
+                         preferred_element_type=jnp.int32
+                         ).astype(jnp.float32) * xs * moe["down_scale"]
+        out = jnp.sum(deq * combine.astype(jnp.float32)[..., None],
+                      axis=2).astype(y.dtype)
+    else:
+        g = jnp.einsum("bth,ehf->btef", y, moe["gate"])
+        u = jnp.einsum("bth,ehf->btef", y, moe["up"])
+        act = (jax.nn.gelu(g, approximate=True)
+               if cfg.hidden_activation == "gelu_pytorch_tanh"
+               else jax.nn.silu(g))
+        out = jnp.einsum("btef,efh->bth", act * u * combine[..., None],
+                         moe["down"])
     if "shared_gate" in moe:  # Qwen2-MoE shared expert, sigmoid-gated
-        sg = jnp.dot(y, moe["shared"]["gate"])
-        su = jnp.dot(y, moe["shared"]["up"])
-        shared = jnp.dot(jax.nn.silu(sg) * su, moe["shared"]["down"])
+        sh = moe["shared"]
+        if "gate_q" in sh:
+            sg = _qdot2(y, sh["gate_q"], sh["gate_scale"])
+            su = _qdot2(y, sh["up_q"], sh["up_scale"])
+            shared = _qdot2(jax.nn.silu(sg) * su, sh["down_q"],
+                            sh["down_scale"])
+        else:
+            sg = jnp.dot(y, sh["gate"])
+            su = jnp.dot(y, sh["up"])
+            shared = jnp.dot(jax.nn.silu(sg) * su, sh["down"])
         out = out + jax.nn.sigmoid(jnp.dot(y, moe["shared_gate"])) * shared
     return out
 
@@ -318,6 +349,23 @@ def _quant_channel(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return jnp.round(wf / scale).astype(jnp.int8), scale
 
 
+def _quant_stack(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-(expert, output-channel) int8 for stacked expert weights:
+    w [E, I, O] → (q int8 [E, I, O], scale [E, O])."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    return jnp.round(wf / scale[:, None, :]).astype(jnp.int8), scale
+
+
+def _quant_acts(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Dynamic symmetric per-row int8 activations: (q int8, scale [..., 1])."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-8) / 127.0
+    return jnp.round(xf / xs).astype(jnp.int8), xs
+
+
 def quantize_weights_int8(params: Dict) -> Dict:
     """int8 weight quantization of the decoder projections (W8A8).
 
@@ -327,9 +375,15 @@ def quantize_weights_int8(params: Dict) -> Dict:
     bf16 rate). Each q/k/v/o/gate/up/down kernel and the LM head becomes
     (int8 matrix, per-output-channel f32 scale); at compute time
     :func:`_qdot` quantizes the activations per row on the fly and runs
-    an integer matmul. Per-element weight error ≤ channel-amax/254;
-    embeddings, norms, biases, and MoE expert stacks stay full precision
-    (experts route per token — quantizing them is a follow-up). Opt-in
+    an integer matmul. MoE expert stacks quantize too — per-(expert,
+    output-channel) scales; ``_moe_block`` keeps the expert axis in the
+    integer einsum outputs so each expert's rescale stays exact, and the
+    routing combine moves after the down projection (a scalar commutes
+    through the linear expert map), as does the Qwen2-MoE shared expert
+    (flat ``*_q``/``*_scale`` leaves, replicated under TP since its
+    intermediate size differs from the dense one). Per-element weight
+    error ≤ channel-amax/254; embeddings, norms, biases, and routers
+    stay full precision. Opt-in
     (``llm.weight_quant``): exact HF token-parity no longer holds, the
     engines instead stay token-identical to EACH OTHER
     (tests/test_weight_quant.py). The reference has no quantized serving
@@ -342,6 +396,19 @@ def quantize_weights_int8(params: Dict) -> Dict:
         out["kernel_q"], out["kernel_scale"] = q, s
         return out
 
+    def qmoe(moe: Dict) -> Dict:
+        qm = dict(moe)
+        for name in ("gate", "up", "down"):
+            q, s = _quant_stack(qm.pop(name))
+            qm[name + "_q"], qm[name + "_scale"] = q, s
+        if "shared" in qm:  # Qwen2-MoE shared expert: flat quant leaves
+            sh = {}
+            for name, w in qm["shared"].items():
+                q, s = _quant_channel(w)
+                sh[name + "_q"], sh[name + "_scale"] = q, s
+            qm["shared"] = sh
+        return qm
+
     out = dict(params)
     layers = []
     for layer in params["layers"]:
@@ -349,6 +416,8 @@ def quantize_weights_int8(params: Dict) -> Dict:
         for name in ("q", "k", "v", "o", "gate", "up", "down"):
             if name in nl and "kernel" in nl[name]:
                 nl[name] = qnode(nl[name])
+        if "moe" in nl:
+            nl["moe"] = qmoe(nl["moe"])
         layers.append(nl)
     out["layers"] = layers
     out["lm_head"] = qnode({"kernel": params["lm_head"]})
@@ -361,15 +430,18 @@ def _qdot(x: jax.Array, node: Dict, out_dtype=None) -> jax.Array:
     weight read is the decode-time bottleneck), the MXU accumulates in
     s32, and one rescale by (row scale × channel scale) restores
     magnitudes."""
-    xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    xs = jnp.maximum(amax, 1e-8) / 127.0
-    xq = jnp.round(xf / xs).astype(jnp.int8)
+    return _qdot2(x, node["kernel_q"], node["kernel_scale"], out_dtype)
+
+
+def _qdot2(x: jax.Array, kernel_q: jax.Array, kernel_scale: jax.Array,
+           out_dtype=None) -> jax.Array:
+    """Flat-leaf form of :func:`_qdot` (int8 kernel + channel scale)."""
+    xq, xs = _quant_acts(x)
     acc = jax.lax.dot_general(
-        xq, node["kernel_q"],
+        xq, kernel_q,
         dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
-    y = acc.astype(jnp.float32) * xs * node["kernel_scale"]
+    y = acc.astype(jnp.float32) * xs * kernel_scale
     return y.astype(out_dtype or x.dtype)
 
 

@@ -67,10 +67,16 @@ def _spec_for(path: str, ndim: int, cfg: DecoderConfig, tp: int) -> P:
         return P(MODEL_AXIS) if ff_col else P()
     if path.endswith("down.kernel"):
         return P(MODEL_AXIS, None) if ff_col else P()
-    # MoE stacked experts: shard the leading expert axis (EP)
+    # MoE stacked experts: shard the leading expert axis (EP) — dense
+    # [E, I, O] stacks and their int8 twins (gate_q/up_q/down_q) alike
     if ".moe." in path and ndim == 3:
         return P(MODEL_AXIS, None, None) if cfg.num_experts % tp == 0 \
             else P()
+    # per-(expert, channel) scales of quantized stacks: [E, O] — shard
+    # the expert axis with the stack (shared-expert scales are ndim 1
+    # and replicate via the fallthrough)
+    if ".moe." in path and path.endswith("_scale") and ndim == 2:
+        return P(MODEL_AXIS, None) if cfg.num_experts % tp == 0 else P()
     if path.endswith("lm_head"):
         return P(None, MODEL_AXIS) if cfg.vocab_size % tp == 0 else P()
     if path.endswith("lm_head.kernel"):

@@ -180,3 +180,156 @@ def test_tp_forward_matches_unsharded_quant(tiny):
     got, _ = decoder_forward(sp, cfg, ids, pos)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+# ------------------------------------------------------------------ MoE
+
+@pytest.fixture(scope="module")
+def tiny_moe():
+    """Mixtral-style: every layer a 4-expert top-2 sparse MLP."""
+    cfg = DecoderConfig(vocab_size=97, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        intermediate_size=64, moe_intermediate_size=32,
+                        num_experts=4, num_experts_per_tok=2,
+                        max_position_embeddings=128)
+    rng = np.random.default_rng(31)
+
+    def mat(i, o, scale=0.3):
+        return jnp.asarray(rng.standard_normal((i, o)) * scale, jnp.float32)
+
+    h, d = cfg.hidden_size, cfg.head_dim
+    hkv, mi, e = cfg.num_key_value_heads, cfg.moe_intermediate_size, 4
+    embed = mat(cfg.vocab_size, h, 0.5)
+    params = {
+        "embed": embed, "lm_head": embed.T,
+        "final_norm": jnp.ones(h, jnp.float32),
+        "layers": [
+            {"input_norm": jnp.ones(h, jnp.float32),
+             "q": {"kernel": mat(h, h), "bias": jnp.zeros(h)},
+             "k": {"kernel": mat(h, hkv * d), "bias": jnp.zeros(hkv * d)},
+             "v": {"kernel": mat(h, hkv * d), "bias": jnp.zeros(hkv * d)},
+             "o": {"kernel": mat(h, h)},
+             "post_norm": jnp.ones(h, jnp.float32),
+             "moe": {"router": mat(h, e),
+                     "gate": jnp.stack([mat(h, mi) for _ in range(e)]),
+                     "up": jnp.stack([mat(h, mi) for _ in range(e)]),
+                     "down": jnp.stack([mat(mi, h) for _ in range(e)])}}
+            for _ in range(cfg.num_hidden_layers)
+        ],
+    }
+    return cfg, params
+
+
+def test_moe_stack_roundtrip_error_bound(tiny_moe):
+    cfg, params = tiny_moe
+    qm = quantize_weights_int8(params)["layers"][0]["moe"]
+    m = params["layers"][0]["moe"]
+    for name in ("gate", "up", "down"):
+        w = np.asarray(m[name], np.float64)               # [E, I, O]
+        deq = (np.asarray(qm[name + "_q"], np.float64)
+               * np.asarray(qm[name + "_scale"], np.float64)[:, None, :])
+        bound = np.abs(w).max(axis=1) / 254.0 + 1e-12     # [E, O]
+        assert (np.abs(w - deq) <= bound[:, None, :] + 1e-9).all(), name
+        assert name not in qm
+    assert (np.asarray(qm["router"]) == np.asarray(m["router"])).all()
+
+
+def test_moe_quant_forward_fidelity(tiny_moe):
+    cfg, params = tiny_moe
+    qp = quantize_weights_int8(params)
+    ids = jnp.asarray([[5, 6, 7, 5, 6, 7, 12, 41, 3, 9]], jnp.int32)
+    pos = jnp.arange(ids.shape[1])[None, :]
+    full, _ = decoder_forward(params, cfg, ids, pos)
+    quant, _ = decoder_forward(qp, cfg, ids, pos)
+    f, q = np.asarray(full[0], np.float64), np.asarray(quant[0], np.float64)
+    cos = (f * q).sum(-1) / (np.linalg.norm(f, axis=-1)
+                             * np.linalg.norm(q, axis=-1) + 1e-9)
+    assert cos.min() > 0.99, cos.min()
+
+
+def test_moe_quant_engines_token_identical(tiny_moe):
+    cfg, params = tiny_moe
+    qp = quantize_weights_int8(params)
+    plain = JaxDecoderLM(qp, cfg, max_len=96, decode_chunk=1)
+    spec = SpecLookupDecoderLM(qp, cfg, max_len=96, spec_k=4, spec_steps=2)
+    eng = BatchedDecoderLM(qp, cfg, max_len=96, n_slots=2, decode_chunk=4)
+    try:
+        for p in PROMPTS:
+            want = list(plain.generate_stream(p, max_new_tokens=12))
+            assert list(spec.generate_stream(p, max_new_tokens=12)) == want
+            assert list(eng.generate_stream(p, max_new_tokens=12)) == want
+    finally:
+        eng.close()
+
+
+def test_moe_quant_shared_expert(tiny_moe):
+    """Qwen2-MoE shared expert quantizes to flat *_q leaves and the
+    forward stays faithful."""
+    cfg, params = tiny_moe
+    rng = np.random.default_rng(7)
+
+    def mat(i, o, scale=0.3):
+        return jnp.asarray(rng.standard_normal((i, o)) * scale, jnp.float32)
+
+    h = cfg.hidden_size
+    params = dict(params)
+    params["layers"] = [dict(l) for l in params["layers"]]
+    for layer in params["layers"]:
+        layer["moe"] = dict(layer["moe"])
+        layer["moe"]["shared"] = {"gate": mat(h, 48), "up": mat(h, 48),
+                                  "down": mat(48, h)}
+        layer["moe"]["shared_gate"] = mat(h, 1)
+    qp = quantize_weights_int8(params)
+    sh = qp["layers"][0]["moe"]["shared"]
+    assert set(sh) == {"gate_q", "gate_scale", "up_q", "up_scale",
+                       "down_q", "down_scale"}
+    assert isinstance(qp["layers"][0]["moe"]["shared_gate"], jax.Array)
+    ids = jnp.asarray([[5, 6, 7, 12, 41, 3]], jnp.int32)
+    pos = jnp.arange(ids.shape[1])[None, :]
+    full, _ = decoder_forward(params, cfg, ids, pos)
+    quant, _ = decoder_forward(qp, cfg, ids, pos)
+    f, q = np.asarray(full[0], np.float64), np.asarray(quant[0], np.float64)
+    cos = (f * q).sum(-1) / (np.linalg.norm(f, axis=-1)
+                             * np.linalg.norm(q, axis=-1) + 1e-9)
+    assert cos.min() > 0.99, cos.min()
+
+
+def test_tp_sharding_rules_for_moe_quant_leaves(tiny_moe):
+    from jax.sharding import PartitionSpec as P
+
+    from legalrag_tpu.parallel.decoder_tp import _spec_for
+
+    cfg, _ = tiny_moe
+    tp = 2                                   # 4 experts % 2 == 0
+    assert _spec_for("layers.0.moe.gate_q", 3, cfg, tp) == \
+        P("model", None, None)
+    assert _spec_for("layers.0.moe.down_q", 3, cfg, tp) == \
+        P("model", None, None)
+    assert _spec_for("layers.0.moe.gate_scale", 2, cfg, tp) == \
+        P("model", None)
+    assert _spec_for("layers.0.moe.down_scale", 2, cfg, tp) == \
+        P("model", None)
+    # shared-expert quant leaves replicate (intermediate differs)
+    assert _spec_for("layers.0.moe.shared.gate_q", 2, cfg, tp) == P()
+    assert _spec_for("layers.0.moe.shared.gate_scale", 1, cfg, tp) == P()
+    assert _spec_for("layers.0.moe.router", 2, cfg, tp) == P()
+
+
+def test_tp_forward_matches_unsharded_moe_quant(tiny_moe):
+    from legalrag_tpu.parallel.decoder_tp import shard_decoder_params
+    from legalrag_tpu.parallel.mesh import local_devices, make_mesh
+
+    cfg, params = tiny_moe
+    qp = quantize_weights_int8(params)
+    devs = local_devices()
+    if len(devs) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    mesh = make_mesh(devs[:2], data=1, model=2)
+    sp = shard_decoder_params(qp, cfg, mesh)
+    assert not sp["layers"][0]["moe"]["gate_q"].sharding.is_fully_replicated
+    ids = jnp.asarray([[5, 6, 7, 5, 6, 7]], jnp.int32)
+    pos = jnp.arange(ids.shape[1])[None, :]
+    want, _ = decoder_forward(qp, cfg, ids, pos)
+    got, _ = decoder_forward(sp, cfg, ids, pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
