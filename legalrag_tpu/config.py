@@ -214,6 +214,10 @@ class LLMConfig(BaseModel):
     # token-identical to each other); per-element weight error ≤
     # channel-amax/254. Applies to every local-jax engine.
     weight_quant: bool = False
+    # bits for weight_quant: 8 (per-channel, W8A8 integer matmuls) or 4
+    # (grouped XLA-native int4 — the weight stream drops to a QUARTER of
+    # bf16; error ≤ group-amax/14; MoE stacks stay int8 either way)
+    weight_bits: int = 8
     # local-jax, speculative engines (spec_k > 0): path to a corpus
     # n-gram draft table (.npz from scripts/build_draft_table.py). When a
     # slot's in-sequence prompt lookup misses, the verify program probes

@@ -283,6 +283,7 @@ class LLMClient:
                     decode_chunk=getattr(self.cfg, "decode_chunk", 8),
                     kv_quant=getattr(self.cfg, "kv_quant", False),
                     weight_quant=getattr(self.cfg, "weight_quant", False),
+                    weight_bits=getattr(self.cfg, "weight_bits", 8),
                     constrain_json=getattr(self.cfg, "constrain_json",
                                            False))
                 pc = getattr(self.cfg, "prefill_chunk", 0)

@@ -271,10 +271,11 @@ class BatchedDecoderLM:
             # pays its own rows), so BPE-boundary mismatch degrades to
             # the unshared path rather than to an error
             kw["shared_prefix"] = tokenizer(shared_prefix_text)["input_ids"]
-        if kw.pop("weight_quant", False):
-            from legalrag_tpu.models.decoder import quantize_weights_int8
+        wq, wb = kw.pop("weight_quant", False), kw.pop("weight_bits", 8)
+        if wq:
+            from legalrag_tpu.models.decoder import quantize_weights
 
-            params = quantize_weights_int8(params)
+            params = quantize_weights(params, bits=wb)
         if device is not None:
             params = jax.device_put(params, device)
         lm = cls(params, cfg, tokenizer, device=device, **kw)

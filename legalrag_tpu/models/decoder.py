@@ -358,6 +358,23 @@ def _quant_stack(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return jnp.round(wf / scale[:, None, :]).astype(jnp.int8), scale
 
 
+def _quant_group4(w: jax.Array, group: int) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric grouped int4: w [I, O] → (q int4 [I, O], scale [I/g, O]).
+
+    Stored as XLA's native ``int4`` dtype — the compiler owns the nibble
+    packing in HBM and fuses the widening convert into the consumer, so
+    the weight stream is 4 bits/element without hand-rolled shift/mask
+    unpacking. Groups run along the input (contraction) dim; when
+    ``group`` does not divide I the whole column is one group."""
+    i = w.shape[0]
+    g = group if i % group == 0 else i
+    wf = w.astype(jnp.float32).reshape(i // g, g, *w.shape[1:])
+    amax = jnp.max(jnp.abs(wf), axis=1)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wf / scale[:, None]), -8, 7)
+    return q.reshape(w.shape).astype(jnp.int4), scale
+
+
 def _quant_acts(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Dynamic symmetric per-row int8 activations: (q int8, scale [..., 1])."""
     xf = x.astype(jnp.float32)
@@ -390,8 +407,28 @@ def quantize_weights_int8(params: Dict) -> Dict:
     path at all (full-precision HF ``model.generate``, reference
     ``llm/client.py:306-369``).
     """
+    return quantize_weights(params, bits=8)
+
+
+def quantize_weights(params: Dict, bits: int = 8, group: int = 64) -> Dict:
+    """Weight quantization at ``bits`` ∈ {8, 4} (see
+    :func:`quantize_weights_int8` for the design).
+
+    bits=4 stores projection kernels and the LM head as XLA-native
+    ``int4`` (grouped symmetric, ``group`` along the contraction dim,
+    per-(group, channel) scales — error ≤ group-amax/14 per element):
+    the weight HBM stream drops to a quarter of bf16. MoE expert stacks
+    quantize at int8 in both modes (their per-expert einsum already has
+    the exact-rescale structure; int4 experts are a follow-up).
+    """
+    if bits not in (8, 4):
+        raise ValueError(f"weight_bits must be 8 or 4, got {bits}")
+
     def qnode(node: Dict) -> Dict:
-        q, s = _quant_channel(node["kernel"])
+        if bits == 4:
+            q, s = _quant_group4(node["kernel"], group)
+        else:
+            q, s = _quant_channel(node["kernel"])
         out = {k: v for k, v in node.items() if k != "kernel"}
         out["kernel_q"], out["kernel_scale"] = q, s
         return out
@@ -436,12 +473,32 @@ def _qdot(x: jax.Array, node: Dict, out_dtype=None) -> jax.Array:
 def _qdot2(x: jax.Array, kernel_q: jax.Array, kernel_scale: jax.Array,
            out_dtype=None) -> jax.Array:
     """Flat-leaf form of :func:`_qdot` (int8 kernel + channel scale)."""
+    if kernel_q.dtype == jnp.int4:
+        return _qdot4(x, kernel_q, kernel_scale, out_dtype)
     xq, xs = _quant_acts(x)
     acc = jax.lax.dot_general(
         xq, kernel_q,
         dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * xs * kernel_scale
+    return y.astype(out_dtype or x.dtype)
+
+
+def _qdot4(x: jax.Array, kernel_q: jax.Array, kernel_scale: jax.Array,
+           out_dtype=None) -> jax.Array:
+    """x [..., I] @ int4 kernel [I, O] with per-(group, channel) scales
+    [I/g, O]: the grouped integer einsum keeps the group axis in the
+    s32 accumulator output so each group's rescale is exact, then sums
+    groups in f32. The int4 operand widens to int8 for the MXU; HBM
+    still streams 4 bits/element (XLA packs s4 natively)."""
+    i, ig = kernel_q.shape[0], kernel_scale.shape[0]
+    g = i // ig
+    xq, xs = _quant_acts(x)
+    xg = xq.reshape(*xq.shape[:-1], ig, g)
+    wg = kernel_q.astype(jnp.int8).reshape(ig, g, -1)
+    acc = jnp.einsum("...gi,gio->...go", xg, wg,
+                     preferred_element_type=jnp.int32)
+    y = jnp.sum(acc.astype(jnp.float32) * kernel_scale, axis=-2) * xs
     return y.astype(out_dtype or x.dtype)
 
 
@@ -895,8 +952,9 @@ class JaxDecoderLM:
 
             kw["json_constraint"] = JsonConstraint.from_tokenizer(
                 SECTIONS_SCHEMA, tokenizer)
-        if kw.pop("weight_quant", False):
-            params = quantize_weights_int8(params)
+        wq, wb = kw.pop("weight_quant", False), kw.pop("weight_bits", 8)
+        if wq:
+            params = quantize_weights(params, bits=wb)
         if device is not None:
             params = jax.device_put(params, device)
         log.info("loaded decoder %s (%d layers, H=%d, GQA %d/%d)",

@@ -50,6 +50,22 @@ def _spec_for(path: str, ndim: int, cfg: DecoderConfig, tp: int) -> P:
     # like a bias on column-parallel nodes and replicates on row-parallel
     # ones (o/down, whose output dim is unsharded)
     path = path.replace("kernel_q", "kernel")
+    # int4 grouped scales are ndim-2 [I/g, O]: the group axis follows the
+    # kernel's input dim (row-parallel shards it), the channel axis
+    # follows the output dim (column-parallel shards it)
+    if ndim == 2 and path.endswith("kernel_scale"):
+        if path.endswith("q.kernel_scale"):
+            return P(None, MODEL_AXIS) if col else P()
+        if path.endswith(("k.kernel_scale", "v.kernel_scale")):
+            return P(None, MODEL_AXIS) if kv_col else P()
+        if path.endswith("o.kernel_scale"):
+            return P(MODEL_AXIS, None) if col else P()
+        if path.endswith(("gate.kernel_scale", "up.kernel_scale")):
+            return P(None, MODEL_AXIS) if ff_col else P()
+        if path.endswith("down.kernel_scale"):
+            return P(MODEL_AXIS, None) if ff_col else P()
+        if path.endswith("lm_head.kernel_scale"):
+            return P(None, MODEL_AXIS) if cfg.vocab_size % tp == 0 else P()
     if path.endswith("q.kernel"):
         return P(None, MODEL_AXIS) if col else P()
     if path.endswith(("k.kernel", "v.kernel")):
@@ -98,6 +114,11 @@ def shard_decoder_params(params: Dict, cfg: DecoderConfig, mesh: Mesh
         if isinstance(tree, list):
             return [walk(v, f"{path}.{i}") for i, v in enumerate(tree)]
         spec = _spec_for(path, getattr(tree, "ndim", 0), cfg, tp)
+        # drop shardings the leaf's shape cannot honor (e.g. an int4
+        # scale with fewer groups than shards): replicate instead
+        if any(s is not None and tree.shape[d] % tp
+               for d, s in enumerate(spec)):
+            spec = P()
         return jax.device_put(tree, NamedSharding(mesh, spec))
 
     sharded = walk(params, "")

@@ -299,6 +299,10 @@ def main() -> None:
                     help="int8 KV cache (models/decoder.py quantize_kv) "
                     "in every engine benchmarked — quantifies the "
                     "throughput cost of halving the cache HBM read")
+    ap.add_argument("--weight-bits", type=int, default=8, choices=(8, 4),
+                    help="bits for --weight-quant: 8 = W8A8 integer "
+                    "matmuls; 4 = grouped XLA-native int4 (weight stream "
+                    "drops to a quarter of bf16)")
     ap.add_argument("--weight-quant", action="store_true",
                     help="int8 weight quantization (models/decoder.py "
                     "quantize_weights_int8, W8A8) in every engine "
@@ -360,12 +364,12 @@ def main() -> None:
 
     dense_params = params
     if args.weight_quant:
-        from legalrag_tpu.models.decoder import quantize_weights_int8
+        from legalrag_tpu.models.decoder import quantize_weights
 
         t0 = time.perf_counter()
-        params = quantize_weights_int8(params)
+        params = quantize_weights(params, bits=args.weight_bits)
         jax.block_until_ready(params["lm_head"]["kernel_q"])
-        log(f"weight quantization (int8 per-channel): "
+        log(f"weight quantization (int{args.weight_bits}): "
             f"{time.perf_counter() - t0:.1f}s")
 
     rng = np.random.default_rng(0)
@@ -450,6 +454,7 @@ def main() -> None:
     }
     if dense_tps is not None:
         out["weight_quant"] = True
+        out["weight_bits"] = args.weight_bits
         out["dense_tok_per_s"] = dense_tps
         out["speedup_vs_dense"] = round(max(results.values()) / dense_tps, 2)
     print(json.dumps(out))

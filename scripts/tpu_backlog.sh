@@ -55,4 +55,11 @@ timeout 3600 python -m scripts.bench_decode --weight-quant --chunks 8,128 \
   && note "bench_decode --weight-quant ok: $(cat "$OUT/decode_wquant.json")" \
   || note "bench_decode --weight-quant FAILED"
 
+# 5. int4 weights — quarter-bf16 weight stream; XLA-native s4 packing
+timeout 3600 python -m scripts.bench_decode --weight-quant --weight-bits 4 \
+  --chunks 8,128 \
+  >"$OUT/decode_wquant4.json" 2>"$OUT/decode_wquant4.log" \
+  && note "bench_decode --weight-bits 4 ok: $(cat "$OUT/decode_wquant4.json")" \
+  || note "bench_decode --weight-bits 4 FAILED"
+
 note "backlog done"

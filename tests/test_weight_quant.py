@@ -333,3 +333,173 @@ def test_tp_forward_matches_unsharded_moe_quant(tiny_moe):
     got, _ = decoder_forward(sp, cfg, ids, pos)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+# ----------------------------------------------------------------- int4
+
+def test_int4_roundtrip_error_bound(tiny):
+    """Grouped int4: error ≤ group-amax/14 per element; kernels store as
+    XLA-native int4 (the compiler owns nibble packing)."""
+    from legalrag_tpu.models.decoder import quantize_weights
+
+    cfg, params = tiny
+    qp = quantize_weights(params, bits=4, group=16)
+    layer, qlayer = params["layers"][0], qp["layers"][0]
+    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+        w = np.asarray(layer[name]["kernel"], np.float64)   # [I, O]
+        qn = qlayer[name]
+        assert qn["kernel_q"].dtype == jnp.int4, name
+        i = w.shape[0]
+        g = 16 if i % 16 == 0 else i
+        scale = np.asarray(qn["kernel_scale"], np.float64)  # [I/g, O]
+        assert scale.shape == (i // g, w.shape[1]), name
+        deq = (np.asarray(qn["kernel_q"], np.float64).reshape(i // g, g, -1)
+               * scale[:, None, :]).reshape(w.shape)
+        wg = np.abs(w).reshape(i // g, g, -1).max(axis=1)
+        bound = wg / 14.0 + 1e-12
+        err = np.abs(w - deq).reshape(i // g, g, -1).max(axis=1)
+        assert (err <= bound + 1e-9).all(), name
+
+
+def test_qdot4_matches_dense_within_tolerance():
+    from legalrag_tpu.models.decoder import _qdot2, _quant_group4
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((4, 48)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((48, 32)), jnp.float32)
+    q, s = _quant_group4(w, 16)
+    assert q.dtype == jnp.int4 and s.shape == (3, 32)
+    got = np.asarray(_qdot2(x, q, s))
+    want = np.asarray(x @ w)
+    rel = np.abs(got - want) / (np.abs(want).max() + 1e-9)
+    assert rel.max() < 0.12, rel.max()  # int4: error ≤ group-amax/14
+
+
+def test_int4_forward_fidelity(tiny):
+    """The int4 fast path equals the mathematically-dequantized dense
+    model up to int8 ACTIVATION quantization (the only other error
+    source); fidelity vs the full-precision model is sanity-checked
+    loosely — an N(0,1)-random tiny model is the quantizer's worst case
+    (real checkpoints have far lower per-group kurtosis)."""
+    from legalrag_tpu.models.decoder import quantize_weights
+
+    cfg, params = tiny
+    qp = quantize_weights(params, bits=4, group=16)
+
+    def deq_node(qn):
+        q = np.asarray(qn["kernel_q"], np.float64)
+        s = np.asarray(qn["kernel_scale"], np.float64)
+        i = q.shape[0]
+        g = i // s.shape[0]
+        w = (q.reshape(i // g, g, -1) * s[:, None, :]).reshape(q.shape)
+        out = {k: v for k, v in qn.items()
+               if k not in ("kernel_q", "kernel_scale")}
+        out["kernel"] = jnp.asarray(w, jnp.float32)
+        return out
+
+    dq = dict(qp)
+    dq["layers"] = [{k: (deq_node(v) if isinstance(v, dict)
+                         and "kernel_q" in v else v)
+                     for k, v in layer.items()} for layer in qp["layers"]]
+    dq["lm_head"] = deq_node(qp["lm_head"])["kernel"]
+    ids = jnp.asarray([[5, 6, 7, 5, 6, 7, 12, 41, 3, 9]], jnp.int32)
+    pos = jnp.arange(ids.shape[1])[None, :]
+    full, _ = decoder_forward(params, cfg, ids, pos)
+    deq, _ = decoder_forward(dq, cfg, ids, pos)
+    quant, _ = decoder_forward(qp, cfg, ids, pos)
+
+    def cosines(a, b):
+        a = np.asarray(a[0], np.float64)
+        b = np.asarray(b[0], np.float64)
+        return (a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
+                                  * np.linalg.norm(b, axis=-1) + 1e-9)
+
+    impl = cosines(quant, deq)          # implementation vs the math
+    assert impl.min() > 0.995, impl.min()
+    sanity = cosines(quant, full)       # quantization loss itself
+    assert sanity.mean() > 0.9, sanity.mean()
+
+
+def test_int4_engines_token_identical(tiny):
+    from legalrag_tpu.models.decoder import quantize_weights
+
+    cfg, params = tiny
+    qp = quantize_weights(params, bits=4, group=16)
+    plain = JaxDecoderLM(qp, cfg, max_len=96, decode_chunk=1)
+    spec = SpecLookupDecoderLM(qp, cfg, max_len=96, spec_k=4, spec_steps=2)
+    eng = BatchedDecoderLM(qp, cfg, max_len=96, n_slots=2, decode_chunk=4)
+    try:
+        for p in PROMPTS:
+            want = list(plain.generate_stream(p, max_new_tokens=12))
+            assert list(spec.generate_stream(p, max_new_tokens=12)) == want
+            assert list(eng.generate_stream(p, max_new_tokens=12)) == want
+    finally:
+        eng.close()
+
+
+def test_int4_moe_stacks_stay_int8(tiny_moe):
+    from legalrag_tpu.models.decoder import quantize_weights
+
+    cfg, params = tiny_moe
+    qp = quantize_weights(params, bits=4, group=16)
+    moe = qp["layers"][0]["moe"]
+    assert moe["gate_q"].dtype == jnp.int8
+    assert qp["layers"][0]["q"]["kernel_q"].dtype == jnp.int4
+
+
+def test_int4_tp_rules_and_forward(tiny):
+    from jax.sharding import PartitionSpec as P
+
+    from legalrag_tpu.models.decoder import quantize_weights
+    from legalrag_tpu.parallel.decoder_tp import (_spec_for,
+                                                  shard_decoder_params)
+    from legalrag_tpu.parallel.mesh import local_devices, make_mesh
+
+    cfg, params = tiny
+    tp = 2
+    # grouped (ndim-2) scales: channel axis follows column-parallel,
+    # group axis follows row-parallel
+    assert _spec_for("layers.0.q.kernel_scale", 2, cfg, tp) == \
+        P(None, "model")
+    assert _spec_for("layers.0.o.kernel_scale", 2, cfg, tp) == \
+        P("model", None)
+    assert _spec_for("layers.0.down.kernel_scale", 2, cfg, tp) == \
+        P("model", None)
+    devs = local_devices()
+    if len(devs) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    qp = quantize_weights(params, bits=4, group=16)
+    mesh = make_mesh(devs[:2], data=1, model=2)
+    sp = shard_decoder_params(qp, cfg, mesh)
+    ids = jnp.asarray([[5, 6, 7, 5, 6, 7]], jnp.int32)
+    pos = jnp.arange(ids.shape[1])[None, :]
+    want, _ = decoder_forward(qp, cfg, ids, pos)
+    got, _ = decoder_forward(sp, cfg, ids, pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_client_plumbs_weight_quant_bits(monkeypatch):
+    import legalrag_tpu.models.batched_decoder as bd
+    import legalrag_tpu.models.decoder as dec
+    from legalrag_tpu.config import LLMConfig
+    from legalrag_tpu.llm.client import LLMClient
+
+    captured = {}
+
+    def fake(name, **kw):
+        captured.clear()
+        captured.update(kw)
+        return object()
+
+    monkeypatch.setattr(bd.BatchedDecoderLM, "from_pretrained",
+                        staticmethod(fake))
+    monkeypatch.setattr(dec.JaxDecoderLM, "from_pretrained",
+                        staticmethod(fake))
+    c = LLMClient(LLMConfig(provider="local-jax", batch_slots=2,
+                            weight_quant=True, weight_bits=4))
+    c._load_jax_lm()
+    assert captured["weight_quant"] is True and captured["weight_bits"] == 4
+    c = LLMClient(LLMConfig(provider="local-jax", weight_quant=True))
+    c._load_jax_lm()
+    assert captured["weight_quant"] is True and captured["weight_bits"] == 8
