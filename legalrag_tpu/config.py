@@ -229,6 +229,13 @@ class LLMConfig(BaseModel):
     # local devices (parallel/decoder_tp.py) — Megatron-style column/row
     # parallel projections via GSPMD, composing with any decode engine
     tp_shards: int = 0
+    # local-jax: >1 serves that many independent engine REPLICAS, one per
+    # device (or per tp_shards-wide submesh — DP×TP), behind one
+    # least-busy admission front (parallel/decoder_dp.py). No
+    # cross-replica communication; aggregate tokens/s scales with
+    # replicas. The TPU-native replacement for the reference's
+    # docker-compose HTTP replica scale-out.
+    dp_replicas: int = 0
     # local-jax: int8 KV cache (models/decoder.py quantize_kv) — nearly
     # halves the decode-time cache HBM read and footprint (≈2× context or
     # batch slots in the same budget) for a ≤1/254-of-row-amax per-element
@@ -239,8 +246,9 @@ class LLMConfig(BaseModel):
     # rendered system prelude's KV rows; every request whose token ids
     # start with it attends the pinned segment instead of installing its
     # own copy (S x less prefix HBM). Tokenization-boundary mismatches
-    # degrade gracefully to the unshared path. Mutually exclusive with
-    # prefix_cache on the batched engine.
+    # degrade gracefully to the unshared path. Composes with
+    # prefix_cache: matching prompts use a suffix-keyed LRU whose
+    # entries never duplicate the pinned segment.
     shared_prefix_text: str = ""
     # local-jax: >0 keeps the KV rows of that many recent prompts and
     # prefills only the suffix on an exact shared token prefix — RAG

@@ -292,6 +292,9 @@ class LLMClient:
                 if spec_k and getattr(self.cfg, "ngram_draft_path", ""):
                     # corpus n-gram drafts for the speculative engines
                     kw["ngram_draft"] = self.cfg.ngram_draft_path
+                kw["prefix_cache"] = getattr(self.cfg, "prefix_cache", 0)
+                if pc:
+                    kw["prefill_chunk"] = pc
                 if slots and slots > 1:
                     # continuous batching: concurrent answer streams share
                     # one batched decode loop (models/batched_decoder.py);
@@ -299,43 +302,51 @@ class LLMClient:
                     from legalrag_tpu.models.batched_decoder import \
                         BatchedDecoderLM
 
-                    spt = getattr(self.cfg, "shared_prefix_text", "")
-                    self._local = BatchedDecoderLM.from_pretrained(
-                        self.cfg.model, n_slots=slots,
-                        spec_k=max(spec_k, 0),
-                        shared_prefix_text=spt,
-                        prefix_cache=getattr(self.cfg, "prefix_cache", 0),
-                        **(dict(prefill_chunk=pc, **kw) if pc else kw))
+                    engine_cls = BatchedDecoderLM
+                    kw.update(n_slots=slots, spec_k=max(spec_k, 0),
+                              shared_prefix_text=getattr(
+                                  self.cfg, "shared_prefix_text", ""))
                 elif spec_k and spec_k > 0:
                     # prompt-lookup speculative decoding: draft from the
                     # prompt's own n-grams, verify k tokens per forward
                     from legalrag_tpu.models.spec_decode import \
                         SpecLookupDecoderLM
 
-                    self._local = SpecLookupDecoderLM.from_pretrained(
-                        self.cfg.model, spec_k=spec_k,
-                        prefix_cache=getattr(self.cfg, "prefix_cache", 0),
-                        **(dict(prefill_chunk=pc, **kw) if pc else kw))
+                    engine_cls = SpecLookupDecoderLM
+                    kw["spec_k"] = spec_k
                 else:
                     from legalrag_tpu.models.decoder import JaxDecoderLM
 
-                    self._local = JaxDecoderLM.from_pretrained(
-                        self.cfg.model,
-                        prefix_cache=getattr(self.cfg, "prefix_cache", 0),
-                        **(dict(prefill_chunk=pc, **kw) if pc else kw))
+                    engine_cls = JaxDecoderLM
                 tp = getattr(self.cfg, "tp_shards", 0)
-                if tp and tp > 1:
-                    # re-place the loaded params tensor-parallel (and the
-                    # batched engine's persistent slot cache kv-head-
-                    # parallel); the engines are sharding-agnostic (GSPMD
-                    # inserts the collectives at trace time)
-                    from legalrag_tpu.parallel.decoder_tp import \
-                        apply_tp_to_engine
-                    from legalrag_tpu.parallel.mesh import (local_devices,
-                                                            make_mesh)
+                dp = getattr(self.cfg, "dp_replicas", 0)
+                if dp and dp > 1:
+                    # data-parallel serving: dp engine replicas (each on
+                    # its own device, or its own tp-wide submesh) behind
+                    # one least-busy admission front
+                    from legalrag_tpu.parallel.decoder_dp import \
+                        DPDecoderRouter
 
-                    mesh = make_mesh(local_devices()[:tp], data=1, model=tp)
-                    apply_tp_to_engine(self._local, mesh)
+                    self._local = DPDecoderRouter.from_pretrained(
+                        engine_cls, self.cfg.model, replicas=dp,
+                        tp_shards=tp, **kw)
+                else:
+                    self._local = engine_cls.from_pretrained(
+                        self.cfg.model, **kw)
+                    if tp and tp > 1:
+                        # re-place the loaded params tensor-parallel (and
+                        # the batched engine's persistent slot cache
+                        # kv-head-parallel); the engines are
+                        # sharding-agnostic (GSPMD inserts the collectives
+                        # at trace time)
+                        from legalrag_tpu.parallel.decoder_tp import \
+                            apply_tp_to_engine
+                        from legalrag_tpu.parallel.mesh import (
+                            local_devices, make_mesh)
+
+                        mesh = make_mesh(local_devices()[:tp], data=1,
+                                         model=tp)
+                        apply_tp_to_engine(self._local, mesh)
             except Exception as e:
                 raise LLMUnavailable(f"jax decoder load failed: {e}") from e
         return self._local
