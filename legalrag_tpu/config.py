@@ -54,7 +54,11 @@ class PathsConfig(BaseModel):
 class EngineConfig(BaseModel):
     """TPU query-engine knobs (no reference analogue; replaces FAISS/PLAID)."""
 
-    # storage dtype of the dense / token embedding matrices in HBM
+    # storage dtype of the dense / token embedding matrices in HBM.
+    # "int8" stores the dense matrix in unit-int8 form (rows are
+    # L2-normalized, so round(127·e) with implicit scale 1/127 is
+    # near-lossless — score error ≲2e-3): HALF the dominant HBM stream
+    # at large N, s8×s8→s32 scoring on the MXU (ops.topk.dense_scores).
     dtype: str = "bfloat16"
     # index capacity is rounded up to a multiple of this (static shapes under jit;
     # incremental adds fill pre-allocated rows — SURVEY.md §7.2 step 4)

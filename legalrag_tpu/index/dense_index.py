@@ -52,14 +52,23 @@ class DenseIndex:
             self.emb = self._put(new)
 
     def add(self, vectors: np.ndarray) -> None:
-        """Append [m, dim] float vectors (L2-normalized by the encoder)."""
+        """Append [m, dim] float vectors (L2-normalized by the encoder).
+
+        dtype "int8" stores the unit-int8 form ``round(127·e)`` (implicit
+        global scale 1/127 — valid because rows are unit-norm, so every
+        element is in [-1, 1]): HALF the bf16 HBM stream, and
+        ``ops.topk.dense_scores`` runs the s8×s8→s32 scorer."""
         m = vectors.shape[0]
         if m == 0:
             return
         assert vectors.shape[1] == self.dim
         self._ensure_capacity(self.n + m)
         with on_device(self.device):
-            vec = self._put(jnp.asarray(vectors, self.dtype))
+            if self.dtype == jnp.int8:
+                v = np.clip(np.asarray(vectors, np.float32), -1.0, 1.0)
+                vec = self._put(jnp.asarray(np.rint(v * 127.0), jnp.int8))
+            else:
+                vec = self._put(jnp.asarray(vectors, self.dtype))
             self.emb = jax.lax.dynamic_update_slice(self.emb, vec, (self.n, 0))
         self.n += m
 
@@ -73,8 +82,11 @@ class DenseIndex:
 
         k = min(k, self.n)
         kb = bucket_k(k, self.capacity)
+        # queries stay float: dense_scores owns the per-dtype cast (an
+        # int8 store quantizes q per row inside the program)
+        qdt = jnp.float32 if self.dtype == jnp.int8 else self.emb.dtype
         with on_device(self.device):
-            s, i = dense_topk(self.emb, self._put(jnp.asarray(q, self.emb.dtype)),
+            s, i = dense_topk(self.emb, self._put(jnp.asarray(q, qdt)),
                               self.n, kb, backend=backend, tile_n=tile_n)
         return np.asarray(s)[:, :k], np.asarray(i)[:, :k]
 
@@ -85,14 +97,21 @@ class DenseIndex:
             return np.zeros(0, np.float32)
         with on_device(self.device):
             emb_rows = jnp.take(self.emb, jnp.asarray(rows, jnp.int32), axis=0)
-            s = jnp.dot(emb_rows, jnp.asarray(q, self.emb.dtype),
-                        preferred_element_type=jnp.float32)
+            if self.dtype == jnp.int8:
+                s = jnp.dot(emb_rows.astype(jnp.float32) / 127.0,
+                            jnp.asarray(q, jnp.float32),
+                            preferred_element_type=jnp.float32)
+            else:
+                s = jnp.dot(emb_rows, jnp.asarray(q, self.emb.dtype),
+                            preferred_element_type=jnp.float32)
         return np.asarray(s)
 
     # ------------------------------------------------------------- persist
     def save(self, path: str | Path) -> None:
         emb = np.asarray(self.emb[: self.n], np.float32) if self.n else \
             np.zeros((0, self.dim), np.float32)
+        if self.dtype == jnp.int8:
+            emb = emb / 127.0  # artifact format stays dtype-agnostic f16
         np.savez_compressed(path, emb=emb.astype(np.float16),
                             dim=self.dim, n=self.n)
 

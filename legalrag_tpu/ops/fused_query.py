@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from legalrag_tpu.ops.maxsim import doc_len as _doc_len, maxsim_full
-from legalrag_tpu.ops.topk import NEG_INF, topk_large
+from legalrag_tpu.ops.topk import NEG_INF, dense_scores, topk_large
 
 
 class FusedParams(NamedTuple):
@@ -112,8 +112,7 @@ def fused_hybrid_topk(emb: jax.Array, impact: jax.Array,
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         return jnp.where(col < valid_n, s, NEG_INF)
 
-    dense_s = mask_invalid(jnp.dot(qvec.astype(emb.dtype), emb.T,
-                                   preferred_element_type=jnp.float32))
+    dense_s = mask_invalid(dense_scores(emb, qvec))
 
     if sparse_bm25:
         # large-corpus mode: CSR postings + candidate-LIST fusion — no
@@ -341,8 +340,7 @@ def fused_channels_topk(emb: jax.Array, impact: jax.Array,
 
     k = min(eff_k, n)
     out: Dict[str, Tuple] = {"qvec": qvec}
-    dense_s = mask_invalid(jnp.dot(qvec.astype(emb.dtype), emb.T,
-                                   preferred_element_type=jnp.float32))
+    dense_s = mask_invalid(dense_scores(emb, qvec))
     out["dense"] = topk_large(dense_s, k)
     bm25_s = mask_invalid(jnp.dot(qtf.astype(impact.dtype), impact,
                                   preferred_element_type=jnp.float32))

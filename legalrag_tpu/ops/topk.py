@@ -67,12 +67,38 @@ def default_backend(n: int = 0) -> str:
 # ---------------------------------------------------------------------------
 # XLA path
 
+def dense_scores(emb: jax.Array, q: jax.Array) -> jax.Array:
+    """[B, d] queries × [N, d] embedding rows → [B, N] f32 scores.
+
+    One scorer for every storage dtype. ``emb`` of dtype int8 is the
+    "unit-int8" store (``DenseIndex(dtype='int8')``): rows are
+    ``round(127·e)`` of L2-normalized embeddings, the implicit global
+    scale is 1/127 — so the corpus-side HBM stream HALVES vs bf16 and
+    the matmul runs s8×s8→s32 on the MXU. Queries quantize per row on
+    the fly; one rescale by (query row scale / 127) restores inner
+    products. Per-element error ≤ 1/254 absolute, i.e. a ~2e-3 score
+    std on unit vectors (query elements are ~1/√d) — measured
+    rank-neutral on the bundled corpora (EVAL.md). Replaces the f32
+    storage of the reference's FAISS flat/HNSW store
+    (``vector_store.py:112-118``)."""
+    if emb.dtype == jnp.int8:
+        qf = q.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+        qs = jnp.maximum(amax, 1e-8) / 127.0
+        qq = jnp.round(qf / qs).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            qq, emb, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (qs / 127.0)
+    return jnp.dot(q.astype(emb.dtype), emb.T,
+                   preferred_element_type=jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def dense_topk_xla(emb: jax.Array, q: jax.Array, valid_n: jax.Array, k: int
                    ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k inner products. emb [N, d], q [B, d] → ([B, k], [B, k])."""
-    scores = jnp.dot(q.astype(emb.dtype), emb.T,
-                     preferred_element_type=jnp.float32)
+    scores = dense_scores(emb, q)
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(col < valid_n, scores, NEG_INF)
     return jax.lax.top_k(scores, k)
@@ -158,8 +184,7 @@ def dense_topk_2pass(emb: jax.Array, q: jax.Array, valid_n: jax.Array,
                      k: int, block: int = TWO_PASS_BLOCK
                      ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k inner products via the two-pass selection."""
-    scores = jnp.dot(q.astype(emb.dtype), emb.T,
-                     preferred_element_type=jnp.float32)
+    scores = dense_scores(emb, q)
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(col < valid_n, scores, NEG_INF)
     return topk_2pass(scores, k, block=block)
@@ -258,6 +283,11 @@ def dense_topk(emb: jax.Array, q: jax.Array, valid_n, k: int, *,
     """
     if backend == "auto":
         backend = default_backend(emb.shape[0])
+    if backend == "pallas" and emb.dtype == jnp.int8:
+        # the Pallas tile kernel scores in the storage dtype directly;
+        # unit-int8 stores route to the XLA scorer (which owns the
+        # quantized-dot semantics)
+        backend = default_backend(emb.shape[0])
     valid_n = jnp.asarray(valid_n, dtype=jnp.int32)
     k = min(k, emb.shape[0])
     if backend == "pallas":
@@ -275,6 +305,6 @@ def dense_topk(emb: jax.Array, q: jax.Array, valid_n, k: int, *,
 
 def full_scores(emb: jax.Array, q: jax.Array, valid_n) -> jax.Array:
     """[B, N] f32 score map (used by the fused hybrid path at modest N)."""
-    scores = jnp.dot(q.astype(emb.dtype), emb.T, preferred_element_type=jnp.float32)
+    scores = dense_scores(emb, q)
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     return jnp.where(col < jnp.asarray(valid_n, jnp.int32), scores, NEG_INF)

@@ -22,7 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from legalrag_tpu.ops.topk import topk_large
+from legalrag_tpu.ops.topk import dense_scores, topk_large
 from legalrag_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
@@ -37,8 +37,7 @@ def make_sharded_dense_topk(mesh: Mesh, k: int):
         n_local = emb_local.shape[0]
         shard = jax.lax.axis_index(MODEL_AXIS)
         offset = shard * n_local
-        scores = jnp.dot(q_local.astype(emb_local.dtype), emb_local.T,
-                         preferred_element_type=jnp.float32)
+        scores = dense_scores(emb_local, q_local)
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + offset
         scores = jnp.where(col < valid_n, scores, -1e30)
         kk = min(k, n_local)
@@ -107,8 +106,7 @@ def make_sharded_hybrid_step(mesh: Mesh, k: int, eff_k: int,
 
         lists = [
             (w_dense, *_gather_topk(
-                jnp.dot(qvec_local.astype(emb_local.dtype), emb_local.T,
-                        preferred_element_type=jnp.float32),
+                dense_scores(emb_local, qvec_local),
                 eff_k, offset, valid_n)),
             (w_bm25, *_gather_topk(
                 jnp.dot(qtf_local.astype(impact_local.dtype), impact_local.T,
@@ -172,10 +170,8 @@ def _channels_shardmap(mesh: Mesh, eff_k: int, has_late: bool):
         n_local = emb_l.shape[0]
         offset = jax.lax.axis_index(MODEL_AXIS) * n_local
 
-        dense = _gather_topk(
-            jnp.dot(qvec.astype(emb_l.dtype), emb_l.T,
-                    preferred_element_type=jnp.float32),
-            eff_k, offset, valid_n)
+        dense = _gather_topk(dense_scores(emb_l, qvec),
+                             eff_k, offset, valid_n)
         b, v = term_ids.shape[0], impact_l.shape[0]
         qtf = jnp.zeros((b, v), jnp.float32).at[
             jnp.arange(b)[:, None], term_ids].add(

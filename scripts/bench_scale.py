@@ -28,6 +28,11 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--candidates", type=int, default=128)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--dense-dtype", choices=("bfloat16", "int8"),
+                    default="bfloat16",
+                    help="dense embedding store: int8 = unit-int8 "
+                    "(ops.topk.dense_scores) — halves the dense HBM "
+                    "stream, s8xs8->s32 scoring")
     ap.add_argument("--token-dtype", choices=("int8", "nbit4", "bfloat16"),
                     default="int8",
                     help="token-store storage (nbit4 = PLAID-class "
@@ -63,7 +68,12 @@ def main() -> None:
     # standard_normal, out-of-place arithmetic) costs minutes of wall
     emb = rng.standard_normal((n, d), dtype=np.float32)
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
-    emb = jnp.asarray(emb).astype(jnp.bfloat16)
+    if args.dense_dtype == "int8":
+        emb *= 127.0
+        np.rint(emb, out=emb)
+        emb = jnp.asarray(emb.astype(np.int8))
+    else:
+        emb = jnp.asarray(emb).astype(jnp.bfloat16)
 
     # cluster-structured unit token vectors (quantization behaves like real
     # embeddings; iid noise would understate compression error)
@@ -170,11 +180,10 @@ def main() -> None:
         )
         from legalrag_tpu.ops.fused_query import fuse_candidate_lists
         from legalrag_tpu.ops.maxsim import maxsim_candidates
-        from legalrag_tpu.ops.topk import NEG_INF, topk_2pass
+        from legalrag_tpu.ops.topk import NEG_INF, dense_scores, topk_2pass
 
         def masked_scores(e, qv):
-            s = jnp.dot(qv.astype(e.dtype), e.T,
-                        preferred_element_type=jnp.float32)
+            s = dense_scores(e, qv)
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             return jnp.where(col < n, s, NEG_INF)
 
@@ -294,6 +303,7 @@ def main() -> None:
              else "")
     print(f'{{"metric": "scale_hybrid_qps", "n_docs": {n}, '
           f'"value": {b / dt:.1f}, "unit": "queries/s", '
+          f'"dense_dtype": "{args.dense_dtype}", '
           f'"token_dtype": "{args.token_dtype}", '
           f'"token_store_gb": {store_bytes / 1e9:.3f}{extra}}}')
 

@@ -55,6 +55,15 @@ timeout 3600 python -m scripts.bench_decode --weight-quant --chunks 8,128 \
   && note "bench_decode --weight-quant ok: $(cat "$OUT/decode_wquant.json")" \
   || note "bench_decode --weight-quant FAILED"
 
+# 4b. unit-int8 dense store at 1M docs — halves the dense HBM stream;
+# recall-neutral on the real corpora (EVAL.md). Compare to the bf16
+# large_n figure in BENCH.
+timeout 3600 python -m scripts.bench_scale --n-docs 1048576 --iters 5 \
+  --dense-dtype int8 \
+  >"$OUT/scale_int8.json" 2>"$OUT/scale_int8.log" \
+  && note "bench_scale --dense-dtype int8 ok: $(cat "$OUT/scale_int8.json")" \
+  || note "bench_scale --dense-dtype int8 FAILED"
+
 # 5. int4 weights — quarter-bf16 weight stream; XLA-native s4 packing
 timeout 3600 python -m scripts.bench_decode --weight-quant --weight-bits 4 \
   --chunks 8,128 \

@@ -78,3 +78,31 @@ def test_padded_batch_matches_single(setup):
     s3, r3, _ = engine.search_batch(QUERIES, 5)  # padded to bucket 4
     assert (r1[0] == r3[0]).all()
     np.testing.assert_allclose(s1[0], s3[0], atol=1e-5)
+
+
+def test_fused_engine_int8_dense_store(en_chunks):
+    """engine.dtype='int8' (unit-int8 dense store, ops.topk.dense_scores):
+    the fused engine serves the same top results as the bf16 store on the
+    real corpus slice — the dense channel's HBM stream halves."""
+    import jax.numpy as jnp
+
+    cfg8 = AppConfig()
+    cfg8.engine.capacity_round = 256
+    cfg8.engine.late_doc_maxlen = 64
+    cfg8.engine.dtype = "int8"
+    b8 = IndexBundle.build_from_chunks(en_chunks[:200], cfg8, "en")
+    assert b8.dense.emb.dtype == jnp.int8
+    e8 = FusedQueryEngine(b8, cfg8)
+
+    cfg = AppConfig()
+    cfg.engine.capacity_round = 256
+    cfg.engine.late_doc_maxlen = 64
+    bf = IndexBundle.build_from_chunks(en_chunks[:200], cfg, "en")
+    ef = FusedQueryEngine(bf, cfg)
+
+    s8, r8, _ = e8.search_batch(QUERIES, 10)
+    sf, rf, _ = ef.search_batch(QUERIES, 10)
+    for qi in range(len(QUERIES)):
+        # top-3 identical; fused scores within quantization tolerance
+        assert [int(x) for x in r8[qi][:3]] == [int(x) for x in rf[qi][:3]]
+        np.testing.assert_allclose(s8[qi], sf[qi], atol=3e-2)

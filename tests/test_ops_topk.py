@@ -159,3 +159,69 @@ def test_topk_2pass_k_exceeds_n():
                                rtol=1e-6)
     assert np.all(np.isneginf(np.asarray(s[:, 10:])) |
                   (np.asarray(s[:, 10:]) < -1e29))
+
+
+# ------------------------------------------------------- unit-int8 store
+
+def test_dense_scores_int8_close_and_rank_stable(data):
+    """unit-int8 dense scoring (implicit 1/127 scale): scores within
+    ~1e-2 of f32 on unit vectors and the top-k ids agree wherever the
+    f32 score margin exceeds the quantization error."""
+    from legalrag_tpu.ops.topk import dense_scores
+
+    emb, q = data
+    emb8 = jnp.asarray(np.rint(np.clip(emb, -1, 1) * 127.0), jnp.int8)
+    s8 = np.asarray(dense_scores(emb8, jnp.asarray(q)))
+    sf = q @ emb.T
+    assert np.abs(s8 - sf).max() < 1.5e-2, np.abs(s8 - sf).max()
+    k = 10
+    ids8 = np.argsort(-s8, axis=1)[:, :k]
+    idsf = np.argsort(-sf, axis=1)[:, :k]
+    for b in range(q.shape[0]):
+        margin = sf[b, idsf[b, k - 1]] - np.sort(sf[b])[::-1][k]
+        if margin > 3e-2:  # clear separation → identical sets
+            assert set(ids8[b]) == set(idsf[b])
+
+
+def test_dense_topk_int8_routes_and_matches(data):
+    from legalrag_tpu.ops.topk import dense_topk
+
+    emb, q = data
+    emb8 = jnp.asarray(np.rint(np.clip(emb, -1, 1) * 127.0), jnp.int8)
+    for backend in ("xla", "xla2", "pallas", "auto"):
+        s, i = dense_topk(emb8, jnp.asarray(q), emb.shape[0], 5,
+                          backend=backend)
+        assert s.shape == (q.shape[0], 5) and s.dtype == jnp.float32
+        sf = q @ emb.T
+        want = np.take_along_axis(sf, np.asarray(i), axis=1)
+        # returned scores equal the quantized products of the returned ids
+        np.testing.assert_allclose(np.asarray(s), want, atol=1.5e-2)
+
+
+def test_dense_index_int8_end_to_end(tmp_path):
+    from legalrag_tpu.index.dense_index import DenseIndex
+
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((256, 64)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    a = DenseIndex(64, dtype="bfloat16")
+    b = DenseIndex(64, dtype="int8")
+    a.add(emb)
+    b.add(emb)
+    assert b.emb.dtype == jnp.int8
+    q = emb[:4] + rng.standard_normal((4, 64)).astype(np.float32) * 0.05
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    sa, ia = a.topk(q, 5)
+    sb, ib = b.topk(q, 5)
+    assert (ia[:, 0] == ib[:, 0]).all()         # self-match survives
+    np.testing.assert_allclose(sa, sb, atol=2e-2)
+    # graph-channel scorer parity
+    rows = np.asarray([0, 7, 33])
+    np.testing.assert_allclose(b.score_rows(q[0], rows),
+                               a.score_rows(q[0], rows), atol=2e-2)
+    # save → load roundtrip re-quantizes from the dtype-agnostic artifact
+    b.save(tmp_path / "i8.npz")
+    c = DenseIndex.load(tmp_path / "i8.npz", dtype="int8")
+    assert c.emb.dtype == jnp.int8 and c.n == 256
+    sc, ic = c.topk(q, 5)
+    assert (ic[:, 0] == ib[:, 0]).all()
