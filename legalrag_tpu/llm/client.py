@@ -307,13 +307,17 @@ class LLMClient:
                               shared_prefix_text=getattr(
                                   self.cfg, "shared_prefix_text", ""))
                 elif spec_k and spec_k > 0:
-                    # prompt-lookup speculative decoding: draft from the
-                    # prompt's own n-grams, verify k tokens per forward
+                    # speculative decoding: draft from the prompt's own
+                    # n-grams (default) or a small draft MODEL
+                    # (llm.draft_model), verify k tokens per forward
                     from legalrag_tpu.models.spec_decode import \
                         SpecLookupDecoderLM
 
                     engine_cls = SpecLookupDecoderLM
                     kw["spec_k"] = spec_k
+                    dm = getattr(self.cfg, "draft_model", "")
+                    if dm:
+                        kw["draft_model"] = dm
                 else:
                     from legalrag_tpu.models.decoder import JaxDecoderLM
 

@@ -955,6 +955,16 @@ class JaxDecoderLM:
         wq, wb = kw.pop("weight_quant", False), kw.pop("weight_bits", 8)
         if wq:
             params = quantize_weights(params, bits=wb)
+        dm = kw.pop("draft_model", "")
+        if dm:  # draft-MODEL speculation (spec engines): load the small
+            # decoder alongside; same quantization treatment as the target
+            ddir = resolve_model_dir(dm)
+            dparams, dcfg = load_hf_decoder_params(ddir)
+            if wq:
+                dparams = quantize_weights(dparams, bits=wb)
+            if device is not None:
+                dparams = jax.device_put(dparams, device)
+            kw["draft"] = (dparams, dcfg)
         if device is not None:
             params = jax.device_put(params, device)
         log.info("loaded decoder %s (%d layers, H=%d, GQA %d/%d)",

@@ -167,7 +167,9 @@ def bench_spec(args, cfg, params, rng) -> None:
     """
     import time as _time
 
-    from legalrag_tpu.models.decoder import JaxDecoderLM
+    import jax.numpy as jnp
+
+    from legalrag_tpu.models.decoder import DecoderConfig, JaxDecoderLM
     from legalrag_tpu.models.spec_decode import SpecLookupDecoderLM
 
     k = args.spec
@@ -190,9 +192,21 @@ def bench_spec(args, cfg, params, rng) -> None:
     log(f"[plain chunk={chunk}] {n_plain} tokens in {best:.2f}s -> "
         f"{plain_tps:.1f} tok/s")
 
+    draft = None
+    if args.draft_layers:
+        # draft-MODEL speculation: a smaller random-init decoder drafts
+        # inside the verify program. Random inits are UNCORRELATED, so
+        # acceptance here is a floor — the transferable number is the
+        # per-round cost of carrying the draft scan in the program.
+        dcfg = DecoderConfig(num_hidden_layers=args.draft_layers,
+                             max_position_embeddings=args.max_len)
+        dparams = device_random_params(dcfg, jnp.bfloat16)
+        draft = (dparams, dcfg)
+        log(f"draft model: {dcfg.num_hidden_layers} layers (random init — "
+            "acceptance is a floor)")
     spec = SpecLookupDecoderLM(params, cfg, max_len=args.max_len,
                                spec_k=k, spec_steps=4,
-                               kv_quant=args.kv_quant)
+                               kv_quant=args.kv_quant, draft=draft)
     sum(1 for _ in spec.generate_stream(prompt, max_new_tokens=2 * k))
     best, stats = None, None
     for _ in range(3):
@@ -290,6 +304,11 @@ def main() -> None:
                     "sharing one batched decode loop vs the same S "
                     "requests served sequentially single-stream — the "
                     "aggregate-tokens/s win is the point of the engine")
+    ap.add_argument("--draft-layers", type=int, default=0, metavar="N",
+                    help="with --spec: draft with an N-layer random-init "
+                    "DRAFT MODEL (models/spec_decode.py draft=) instead "
+                    "of prompt lookup; measures the in-program draft-scan "
+                    "cost (random drafts make acceptance a floor)")
     ap.add_argument("--spec", type=int, default=0, metavar="K",
                     help="benchmark prompt-lookup speculative decoding "
                     "(models/spec_decode.py) with draft length K vs plain "
