@@ -229,12 +229,13 @@ class LLMConfig(BaseModel):
     # bigram — first quotes of statute text NOT in the prompt still
     # draft-accelerate. Draft quality only affects speed, never output.
     ngram_draft_path: str = ""
-    # local-jax, single-stream speculative engine (spec_k > 0): HF name or
-    # path of a SMALL decoder to generate drafts — k greedy draft-model
-    # steps run INSIDE the verify program (lax.scan, zero extra host
-    # dispatches), replacing the prompt-lookup table. Works when answers
-    # do not quote the prompt. Draft quality only affects acceptance,
-    # never output; vocab must match the target's.
+    # local-jax, speculative engines (spec_k > 0, single-stream AND
+    # batched): HF name or path of a SMALL decoder to generate drafts —
+    # k greedy draft-model steps run INSIDE the verify program
+    # (lax.scan, zero extra host dispatches), replacing the
+    # prompt-lookup table. Works when answers do not quote the prompt.
+    # Draft quality only affects acceptance, never output; vocab must
+    # match the target's.
     draft_model: str = ""
     # local-jax: >1 shards the decoder tensor-parallel over that many
     # local devices (parallel/decoder_tp.py) — Megatron-style column/row

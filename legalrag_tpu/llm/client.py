@@ -306,6 +306,9 @@ class LLMClient:
                     kw.update(n_slots=slots, spec_k=max(spec_k, 0),
                               shared_prefix_text=getattr(
                                   self.cfg, "shared_prefix_text", ""))
+                    dm = getattr(self.cfg, "draft_model", "")
+                    if dm and spec_k:
+                        kw["draft_model"] = dm
                 elif spec_k and spec_k > 0:
                     # speculative decoding: draft from the prompt's own
                     # n-grams (default) or a small draft MODEL

@@ -127,7 +127,7 @@ class BatchedDecoderLM:
                  prefix_cache: int = 0, kv_quant: bool = False,
                  prefill_chunk: int = 1024,
                  shared_prefix: Optional[List[int]] = None,
-                 json_constraint=None, ngram_draft=None):
+                 json_constraint=None, ngram_draft=None, draft=None):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -191,9 +191,36 @@ class BatchedDecoderLM:
         from legalrag_tpu.models.ngram_draft import resolve_ngram_draft
 
         self.ngram_draft = resolve_ngram_draft(ngram_draft)
+        # DRAFT-MODEL speculation (draft = (params, cfg) of a small
+        # decoder, see spec_decode.py): per-slot drafts come from k
+        # greedy [S, 1] draft-model steps INSIDE the verify program. The
+        # draft keeps its own [S, max_len] slot cache at ABSOLUTE
+        # positions (no shared-prefix pinning — the draft is small, so
+        # per-slot prefix rows are affordable); admission prefills the
+        # slot's draft rows with the full prompt regardless of which
+        # shortcut (LRU / shared / chunked) the target admission took.
+        if draft is not None:
+            if not spec_k:
+                raise ValueError("draft model requires spec_k > 0")
+            dparams, dcfg = draft
+            if dcfg.vocab_size != cfg.vocab_size:
+                raise ValueError(
+                    f"draft model vocab {dcfg.vocab_size} != target "
+                    f"vocab {cfg.vocab_size}")
+            self.draft_params, self.draft_cfg = dparams, dcfg
+        else:
+            self.draft_params = self.draft_cfg = None
         with on_device(device):
             if self.shared_prefix:
                 self._shared_kv = self._build_shared_rows()
+            if self.draft_params is not None:
+                dcfg = self.draft_cfg
+                dt = self.draft_params["embed"].dtype
+                hkv_d, dd = dcfg.num_key_value_heads, dcfg.head_dim
+                self._dcache = [
+                    (jnp.zeros((n_slots, max_len, hkv_d, dd), dt),
+                     jnp.zeros((n_slots, max_len, hkv_d, dd), dt))
+                    for _ in range(dcfg.num_hidden_layers)]
             self._cstate = jnp.full((n_slots,), -2, jnp.int32)
             self._cache = self._empty_cache()
             self._last = jnp.zeros((n_slots, cfg.vocab_size), jnp.float32)
@@ -215,8 +242,12 @@ class BatchedDecoderLM:
         if spec_k:
             self._spec_prefill_fn = jax.jit(
                 self._spec_prefill, donate_argnums=(1, 2, 3, 4, 5, 6))
-            self._spec_decode_fn = jax.jit(
-                self._spec_decode, donate_argnums=(1, 2, 3, 4, 5, 6))
+            dd = (1, 2, 3, 4, 5, 6) + ((24,) if draft is not None else ())
+            self._spec_decode_fn = jax.jit(self._spec_decode,
+                                           donate_argnums=dd)
+            if draft is not None:
+                self._draft_admit_fn = jax.jit(self._draft_admit_chunk,
+                                               donate_argnums=(1,))
         # chunked admission: one offset-forward per chunk + a final
         # per-slot state install (plain / spec variants)
         self._offset_forward_fn = jax.jit(self._offset_forward,
@@ -276,6 +307,17 @@ class BatchedDecoderLM:
             from legalrag_tpu.models.decoder import quantize_weights
 
             params = quantize_weights(params, bits=wb)
+        dm = kw.pop("draft_model", "")
+        if dm:  # draft-MODEL speculation: load the small decoder too
+            dparams, dcfg = load_hf_decoder_params(
+                Path(resolve_model_dir(dm)))
+            if wq:
+                from legalrag_tpu.models.decoder import quantize_weights
+
+                dparams = quantize_weights(dparams, bits=wb)
+            if device is not None:
+                dparams = jax.device_put(dparams, device)
+            kw["draft"] = (dparams, dcfg)
         if device is not None:
             params = jax.device_put(params, device)
         lm = cls(params, cfg, tokenizer, device=device, **kw)
@@ -658,7 +700,7 @@ class BatchedDecoderLM:
     def _spec_decode(self, params, cache, tokens, pos, keys, pending, rep,
                      temp, top_p, topk, minp, pen, eos_ids, limit,
                      active, offv, shared_kv, cstate, ctable, cacc,
-                     nka, nkb, nvals):
+                     nka, nkb, nvals, dparams=None, dcache=None):
         """``spec_steps`` batched speculation rounds in ONE program.
 
         Vectorizes models/spec_decode.py over slots: per-slot bigram match
@@ -679,37 +721,65 @@ class BatchedDecoderLM:
         sidx = jnp.arange(s)
 
         def step(carry, _):
-            (cache, tokens, pos, keys, pending, active, hit_eos, rep,
-             cstate) = carry
-            # trigram-preferred prompt lookup (see spec_decode.py — draft
-            # quality only affects acceptance, never output)
-            a_tok = tokens[sidx, jnp.maximum(pos - 1, 0)]
-            a2_tok = tokens[sidx, jnp.maximum(pos - 2, 0)]
-            prev = jnp.concatenate([tokens[:, :1], tokens[:, :-1]], axis=1)
-            prev2 = jnp.concatenate([tokens[:, :2], tokens[:, :-2]], axis=1)
-            hit2 = ((idx_row >= 1) & (idx_row < pos[:, None])
-                    & (prev == a_tok[:, None])
-                    & (tokens == pending[:, None]))
-            hit3 = (hit2 & (idx_row >= 2) & (prev2 == a2_tok[:, None])
-                    & (pos >= 2)[:, None])
-            j3 = jnp.max(jnp.where(hit3, idx_row, -1), axis=1)
-            j2 = jnp.max(jnp.where(hit2, idx_row, -1), axis=1)
-            j = jnp.where(j3 >= 0, j3, j2)
-            draft = jax.vmap(
-                lambda row, jj: jax.lax.dynamic_slice(row, (jj + 1,), (k,))
-            )(tokens, j)
-            if nvals is not None:
-                # corpus-table fallback for slots whose in-sequence lookup
-                # missed: one vectorized hash probe of the direct-mapped
-                # bigram table (same uint32 Knuth hash as the host
-                # builder); mismatches keep the sliced draft — both paths
-                # only affect acceptance, never output
-                h = ((a_tok.astype(jnp.uint32)
-                      * jnp.uint32(2654435761)
-                      + pending.astype(jnp.uint32))
-                     & jnp.uint32(nsize - 1)).astype(jnp.int32)
-                ok = (j < 0) & (nka[h] == a_tok) & (nkb[h] == pending)
-                draft = jnp.where(ok[:, None], nvals[h], draft)
+            if dparams is not None:
+                (cache, dcache_c, tokens, pos, keys, pending, active,
+                 hit_eos, rep, cstate) = carry
+            else:
+                (cache, tokens, pos, keys, pending, active, hit_eos, rep,
+                 cstate) = carry
+                dcache_c = None
+            if dparams is not None:
+                # per-slot drafts from k greedy [S, 1] DRAFT-MODEL steps
+                # (inner lax.scan — one host dispatch per round either
+                # way). Draft cache rows at absolute positions; accepted
+                # positions' rows are correct by construction, rejected
+                # rows sit past the write pointer and are rewritten
+                # before attention (see spec_decode.py).
+                def dstep(dc, i):
+                    dcache_i, tok_i = dc
+                    lgd, dcache_i = decoder_forward(
+                        dparams, self.draft_cfg, tok_i[:, None],
+                        (pos + i)[:, None], kv_cache=dcache_i,
+                        cache_len=pos + i)
+                    nxt = jnp.argmax(lgd[:, -1], axis=-1).astype(jnp.int32)
+                    return (dcache_i, nxt), nxt
+                (dcache_c, _), draft_t = jax.lax.scan(
+                    dstep, (dcache_c, pending), iota[:k])
+                draft = draft_t.T                            # [S, k]
+            else:
+                # trigram-preferred prompt lookup (see spec_decode.py —
+                # draft quality only affects acceptance, never output)
+                a_tok = tokens[sidx, jnp.maximum(pos - 1, 0)]
+                a2_tok = tokens[sidx, jnp.maximum(pos - 2, 0)]
+                prev = jnp.concatenate([tokens[:, :1], tokens[:, :-1]],
+                                       axis=1)
+                prev2 = jnp.concatenate([tokens[:, :2], tokens[:, :-2]],
+                                        axis=1)
+                hit2 = ((idx_row >= 1) & (idx_row < pos[:, None])
+                        & (prev == a_tok[:, None])
+                        & (tokens == pending[:, None]))
+                hit3 = (hit2 & (idx_row >= 2) & (prev2 == a2_tok[:, None])
+                        & (pos >= 2)[:, None])
+                j3 = jnp.max(jnp.where(hit3, idx_row, -1), axis=1)
+                j2 = jnp.max(jnp.where(hit2, idx_row, -1), axis=1)
+                j = jnp.where(j3 >= 0, j3, j2)
+                draft = jax.vmap(
+                    lambda row, jj: jax.lax.dynamic_slice(row, (jj + 1,),
+                                                          (k,))
+                )(tokens, j)
+                if nvals is not None:
+                    # corpus-table fallback for slots whose in-sequence
+                    # lookup missed: one vectorized hash probe of the
+                    # direct-mapped bigram table (same uint32 Knuth hash
+                    # as the host builder); mismatches keep the sliced
+                    # draft — both paths only affect acceptance, never
+                    # output
+                    h = ((a_tok.astype(jnp.uint32)
+                          * jnp.uint32(2654435761)
+                          + pending.astype(jnp.uint32))
+                         & jnp.uint32(nsize - 1)).astype(jnp.int32)
+                    ok = (j < 0) & (nka[h] == a_tok) & (nkb[h] == pending)
+                    draft = jnp.where(ok[:, None], nvals[h], draft)
             seq = jnp.concatenate([pending[:, None], draft], axis=1)
             positions = pos[:, None] + iota[None, :]
             logits, cache = decoder_forward(params, self.cfg, seq,
@@ -805,16 +875,54 @@ class BatchedDecoderLM:
             hit_eos = hit_eos | step_eos
             active = (active & ~step_eos & (pos + 1 < limit)
                       & (pos + k <= capv - 1))
+            if dparams is not None:
+                return (cache, dcache_c, tokens, pos, keys, pending,
+                        active, hit_eos, rep, cstate), emissions
             return (cache, tokens, pos, keys, pending, active,
                     hit_eos, rep, cstate), emissions
 
-        carry0 = (cache, tokens, pos, keys, pending, active,
-                  jnp.zeros((s,), bool), rep, cstate)
-        (cache, tokens, pos, keys, pending, active, hit_eos, rep,
-         cstate), emissions = \
-            jax.lax.scan(step, carry0, None, length=self.spec_steps)
+        if dparams is not None:
+            carry0 = (cache, dcache, tokens, pos, keys, pending, active,
+                      jnp.zeros((s,), bool), rep, cstate)
+            (cache, dcache, tokens, pos, keys, pending, active, hit_eos,
+             rep, cstate), emissions = \
+                jax.lax.scan(step, carry0, None, length=self.spec_steps)
+        else:
+            carry0 = (cache, tokens, pos, keys, pending, active,
+                      jnp.zeros((s,), bool), rep, cstate)
+            (cache, tokens, pos, keys, pending, active, hit_eos, rep,
+             cstate), emissions = \
+                jax.lax.scan(step, carry0, None, length=self.spec_steps)
         return (emissions, cache, tokens, pos, keys, pending, hit_eos, rep,
-                cstate)
+                cstate, dcache)
+
+    def _draft_admit_chunk(self, dparams, dcache, ids, slot, off, n):
+        """Prefill one chunk of a slot's DRAFT-model cache rows."""
+        row = [tuple(jax.lax.dynamic_slice(a, (slot, 0, 0, 0),
+                                           (1,) + a.shape[1:])
+                     for a in layer) for layer in dcache]
+        t = ids.shape[1]
+        positions = off + jnp.arange(t, dtype=jnp.int32)[None, :]
+        _, row = decoder_forward(dparams, self.draft_cfg, ids, positions,
+                                 kv_cache=row, cache_len=off)
+        return [tuple(jax.lax.dynamic_update_slice(c, r, (slot, 0, 0, 0))
+                      for c, r in zip(layer, rows))
+                for layer, rows in zip(dcache, row)]
+
+    def _draft_admit(self, ids: List[int], slot: int) -> None:
+        """Prefill the slot's draft-model cache with the FULL prompt at
+        absolute positions — independent of which shortcut the target
+        admission took (LRU / shared prefix / chunked)."""
+        c = self.prefill_chunk
+        for off in range(0, len(ids), c):
+            piece = list(ids[off:off + c])
+            n = len(piece)
+            cb = c if n == c else pad_bucket(n, hi=self.max_len - off)
+            piece += [0] * (cb - n)
+            self._dcache = self._draft_admit_fn(
+                self.draft_params, self._dcache,
+                jnp.asarray([piece], jnp.int32), jnp.int32(slot),
+                jnp.int32(off), jnp.int32(n))
 
     def _spec_admit(self, st: _Stream, slot: int) -> None:
         ids = st.prompt_ids
@@ -869,6 +977,8 @@ class BatchedDecoderLM:
                 jnp.int32(slot), jnp.int32(len(ids)), *common,
                 self._cstate, cs0, eos_j)
         self._store_prefix(ids, slot, st.shared)
+        if self.draft_params is not None:
+            self._draft_admit(ids, slot)
         # do NOT sync on the first token here — the fetch happens after
         # the tick dispatches the decode launch, overlapping the round
         # trip with device execution (the slot is installed now so the
@@ -1052,13 +1162,16 @@ class BatchedDecoderLM:
             ng = (self.ngram_draft.device_arrays(self.spec_k)
                   if self.ngram_draft is not None else (None, None, None))
             (em, self._cache, self._tokens, self._pos, self._keys,
-             self._pend_tok, hit_eos, self._rep,
-             self._cstate) = self._spec_decode_fn(
+             self._pend_tok, hit_eos, self._rep, self._cstate,
+             dcache) = self._spec_decode_fn(
                 self.params, self._cache, self._tokens, self._pos,
                 self._keys, self._pend_tok, self._rep, temp, top_p, topk,
                 minp, pen, eos, limit, active, offv, skv, self._cstate,
                 jc.table if jc else None, jc.accepting if jc else None,
-                *ng)
+                *ng, self.draft_params,
+                self._dcache if self.draft_params is not None else None)
+            if self.draft_params is not None:
+                self._dcache = dcache
             # deferred admission first tokens: the int() syncs overlap the
             # decode execution just dispatched above
             for st, slot, tok_dev in self._admitted_firsts:

@@ -153,3 +153,93 @@ def test_client_plumbs_draft_model(monkeypatch):
     c._load_jax_lm()
     assert captured["draft_model"] == "tiny-draft"
     assert captured["spec_k"] == 4
+
+
+# --------------------------------------------------------------- batched
+
+def test_batched_draft_model_parity(models):
+    """The BATCHED engine with a draft model: every concurrent stream is
+    token-identical to plain decoding, for an uncorrelated draft."""
+    import threading
+
+    from legalrag_tpu.models.batched_decoder import BatchedDecoderLM
+
+    tcfg, tparams, dcfg, dparams = models
+    plain = JaxDecoderLM(tparams, tcfg, max_len=96, decode_chunk=1)
+    want = {tuple(p): list(plain.generate_stream(p, max_new_tokens=14))
+            for p in PROMPTS}
+    eng = BatchedDecoderLM(tparams, tcfg, max_len=96, n_slots=2, spec_k=4,
+                           spec_steps=2, draft=(dparams, dcfg))
+    try:
+        got, errs = {}, []
+
+        def run(p):
+            try:
+                got[tuple(p)] = list(
+                    eng.generate_stream(p, max_new_tokens=14))
+            except Exception as e:
+                errs.append(e)
+
+        ts = [threading.Thread(target=run, args=(p,)) for p in PROMPTS]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=600)
+        assert not errs, errs
+        for p in PROMPTS:
+            assert got[tuple(p)] == want[tuple(p)], p
+    finally:
+        eng.close()
+
+
+def test_batched_draft_with_shared_prefix(models):
+    """Draft admission prefills the FULL prompt at absolute positions even
+    when the target slot only stores suffix rows past the pinned shared
+    segment — streams stay exact."""
+    from legalrag_tpu.models.batched_decoder import BatchedDecoderLM
+
+    tcfg, tparams, dcfg, dparams = models
+    shared = list(range(1, 9))
+    prompts = [shared + [70, 71, 72], shared + [7, 9] * 4,
+               [60, 61, 62, 63]]                     # last: non-matching
+    plain = JaxDecoderLM(tparams, tcfg, max_len=96, decode_chunk=1)
+    want = {tuple(p): list(plain.generate_stream(p, max_new_tokens=12))
+            for p in prompts}
+    eng = BatchedDecoderLM(tparams, tcfg, max_len=96, n_slots=2, spec_k=4,
+                           spec_steps=2, shared_prefix=shared,
+                           draft=(dparams, dcfg))
+    try:
+        for p in prompts:
+            got = list(eng.generate_stream(p, max_new_tokens=12))
+            assert got == want[tuple(p)], p
+    finally:
+        eng.close()
+
+
+def test_batched_draft_requires_spec(models):
+    from legalrag_tpu.models.batched_decoder import BatchedDecoderLM
+
+    tcfg, tparams, dcfg, dparams = models
+    with pytest.raises(ValueError):
+        BatchedDecoderLM(tparams, tcfg, max_len=96, n_slots=2,
+                         draft=(dparams, dcfg))
+
+
+def test_client_plumbs_batched_draft(monkeypatch):
+    import legalrag_tpu.models.batched_decoder as bd
+    from legalrag_tpu.config import LLMConfig
+    from legalrag_tpu.llm.client import LLMClient
+
+    captured = {}
+
+    def fake(name, **kw):
+        captured.update(kw)
+        return object()
+
+    monkeypatch.setattr(bd.BatchedDecoderLM, "from_pretrained",
+                        staticmethod(fake))
+    c = LLMClient(LLMConfig(provider="local-jax", batch_slots=2, spec_k=4,
+                            draft_model="tiny-draft"))
+    c._load_jax_lm()
+    assert captured["draft_model"] == "tiny-draft"
+    assert captured["spec_k"] == 4 and captured["n_slots"] == 2
