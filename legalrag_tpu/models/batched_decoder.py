@@ -728,13 +728,49 @@ class BatchedDecoderLM:
                 (cache, tokens, pos, keys, pending, active, hit_eos, rep,
                  cstate) = carry
                 dcache_c = None
+            # trigram-preferred prompt lookup, source 1 (see
+            # spec_decode.py — draft quality only affects acceptance,
+            # never output)
+            a_tok = tokens[sidx, jnp.maximum(pos - 1, 0)]
+            a2_tok = tokens[sidx, jnp.maximum(pos - 2, 0)]
+            prev = jnp.concatenate([tokens[:, :1], tokens[:, :-1]],
+                                   axis=1)
+            prev2 = jnp.concatenate([tokens[:, :2], tokens[:, :-2]],
+                                    axis=1)
+            hit2 = ((idx_row >= 1) & (idx_row < pos[:, None])
+                    & (prev == a_tok[:, None])
+                    & (tokens == pending[:, None]))
+            hit3 = (hit2 & (idx_row >= 2) & (prev2 == a2_tok[:, None])
+                    & (pos >= 2)[:, None])
+            j3 = jnp.max(jnp.where(hit3, idx_row, -1), axis=1)
+            j2 = jnp.max(jnp.where(hit2, idx_row, -1), axis=1)
+            j = jnp.where(j3 >= 0, j3, j2)
+            draft = jax.vmap(
+                lambda row, jj: jax.lax.dynamic_slice(row, (jj + 1,),
+                                                      (k,))
+            )(tokens, j)
+            if nvals is not None:
+                # source 2, corpus-table fallback for slots whose
+                # in-sequence lookup missed: one vectorized hash probe of
+                # the direct-mapped bigram table (same uint32 Knuth hash
+                # as the host builder); mismatches keep the sliced draft
+                # — both paths only affect acceptance, never output
+                h = ((a_tok.astype(jnp.uint32)
+                      * jnp.uint32(2654435761)
+                      + pending.astype(jnp.uint32))
+                     & jnp.uint32(nsize - 1)).astype(jnp.int32)
+                ok = (j < 0) & (nka[h] == a_tok) & (nkb[h] == pending)
+                draft = jnp.where(ok[:, None], nvals[h], draft)
+                j = jnp.where(ok, jnp.int32(0), j)  # table hit = a hit
             if dparams is not None:
-                # per-slot drafts from k greedy [S, 1] DRAFT-MODEL steps
-                # (inner lax.scan — one host dispatch per round either
-                # way). Draft cache rows at absolute positions; accepted
-                # positions' rows are correct by construction, rejected
-                # rows sit past the write pointer and are rewritten
-                # before attention (see spec_decode.py).
+                # source 3, DRAFT MODEL for slots whose lookup missed: k
+                # greedy [S, 1] draft steps (inner lax.scan — one host
+                # dispatch per round either way); per-slot selection
+                # keeps lookup hits (free, high-acceptance on quoting
+                # streams). Draft-cache writes here are NOT trusted — the
+                # round-end catch-up below rewrites rows pos..pos+k from
+                # the true verify targets, so every slot's draft cache is
+                # correct below its write pointer whichever source won.
                 def dstep(dc, i):
                     dcache_i, tok_i = dc
                     lgd, dcache_i = decoder_forward(
@@ -745,41 +781,7 @@ class BatchedDecoderLM:
                     return (dcache_i, nxt), nxt
                 (dcache_c, _), draft_t = jax.lax.scan(
                     dstep, (dcache_c, pending), iota[:k])
-                draft = draft_t.T                            # [S, k]
-            else:
-                # trigram-preferred prompt lookup (see spec_decode.py —
-                # draft quality only affects acceptance, never output)
-                a_tok = tokens[sidx, jnp.maximum(pos - 1, 0)]
-                a2_tok = tokens[sidx, jnp.maximum(pos - 2, 0)]
-                prev = jnp.concatenate([tokens[:, :1], tokens[:, :-1]],
-                                       axis=1)
-                prev2 = jnp.concatenate([tokens[:, :2], tokens[:, :-2]],
-                                        axis=1)
-                hit2 = ((idx_row >= 1) & (idx_row < pos[:, None])
-                        & (prev == a_tok[:, None])
-                        & (tokens == pending[:, None]))
-                hit3 = (hit2 & (idx_row >= 2) & (prev2 == a2_tok[:, None])
-                        & (pos >= 2)[:, None])
-                j3 = jnp.max(jnp.where(hit3, idx_row, -1), axis=1)
-                j2 = jnp.max(jnp.where(hit2, idx_row, -1), axis=1)
-                j = jnp.where(j3 >= 0, j3, j2)
-                draft = jax.vmap(
-                    lambda row, jj: jax.lax.dynamic_slice(row, (jj + 1,),
-                                                          (k,))
-                )(tokens, j)
-                if nvals is not None:
-                    # corpus-table fallback for slots whose in-sequence
-                    # lookup missed: one vectorized hash probe of the
-                    # direct-mapped bigram table (same uint32 Knuth hash
-                    # as the host builder); mismatches keep the sliced
-                    # draft — both paths only affect acceptance, never
-                    # output
-                    h = ((a_tok.astype(jnp.uint32)
-                          * jnp.uint32(2654435761)
-                          + pending.astype(jnp.uint32))
-                         & jnp.uint32(nsize - 1)).astype(jnp.int32)
-                    ok = (j < 0) & (nka[h] == a_tok) & (nkb[h] == pending)
-                    draft = jnp.where(ok[:, None], nvals[h], draft)
+                draft = jnp.where((j < 0)[:, None], draft_t.T, draft)
             seq = jnp.concatenate([pending[:, None], draft], axis=1)
             positions = pos[:, None] + iota[None, :]
             logits, cache = decoder_forward(params, self.cfg, seq,
@@ -837,6 +839,18 @@ class BatchedDecoderLM:
                 jnp.repeat(topk, k + 1), jnp.repeat(minp, k + 1)
             ).astype(jnp.int32).reshape(s, k + 1)
             targets = jnp.where((temp > 0)[:, None], stok, gtok)
+            if dparams is not None:
+                # round-end draft-cache catch-up (see spec_decode.py):
+                # rewrite each slot's rows pos..pos+k with the KV of
+                # [pending, targets[:, :k]] — correct below the next
+                # write pointer whichever draft source won; rows past it
+                # are stale-by-design and rewritten before attention.
+                seq_d = jnp.concatenate([pending[:, None],
+                                         targets[:, :k]], axis=1)
+                _, dcache_c = decoder_forward(dparams, self.draft_cfg,
+                                              seq_d, positions,
+                                              kv_cache=dcache_c,
+                                              cache_len=pos)
             acc = jnp.cumprod((draft == targets[:, :k]).astype(jnp.int32),
                               axis=1)
             a = jnp.sum(acc, axis=1)                            # [S]

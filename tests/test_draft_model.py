@@ -243,3 +243,54 @@ def test_client_plumbs_batched_draft(monkeypatch):
     c._load_jax_lm()
     assert captured["draft_model"] == "tiny-draft"
     assert captured["spec_k"] == 4 and captured["n_slots"] == 2
+
+
+# ---------------------------------------------------- hybrid draft source
+
+def test_hybrid_lookup_preferred_parity(models):
+    """Lookup + draft model on one engine: quoting prompts draft from the
+    in-sequence lookup, non-quoting rounds from the model — output stays
+    exact either way, in both engines."""
+    from legalrag_tpu.models.batched_decoder import BatchedDecoderLM
+
+    tcfg, tparams, dcfg, dparams = models
+    plain = JaxDecoderLM(tparams, tcfg, max_len=96, decode_chunk=1)
+    # the random-init greedy chain self-repeats, so lookup rounds occur;
+    # fresh short prompts force model-draft rounds too
+    prompts = PROMPTS
+    want = {tuple(p): list(plain.generate_stream(p, max_new_tokens=16))
+            for p in prompts}
+    spec = SpecLookupDecoderLM(tparams, tcfg, max_len=96, spec_k=4,
+                               spec_steps=2, draft=(dparams, dcfg))
+    eng = BatchedDecoderLM(tparams, tcfg, max_len=96, n_slots=2, spec_k=4,
+                           spec_steps=2, draft=(dparams, dcfg))
+    try:
+        for p in prompts:
+            assert list(spec.generate_stream(p, max_new_tokens=16)) \
+                == want[tuple(p)], p
+            assert list(eng.generate_stream(p, max_new_tokens=16)) \
+                == want[tuple(p)], p
+    finally:
+        eng.close()
+
+
+def test_hybrid_with_ngram_table_parity(models, tmp_path):
+    """All three draft sources on one engine (lookup, corpus table,
+    model): greedy parity holds with an adversarial random table."""
+    import numpy as _np
+
+    tcfg, tparams, dcfg, dparams = models
+    rng = _np.random.default_rng(7)
+    size = 64
+    tbl = dict(keys_a=rng.integers(0, 97, size).astype(_np.int32),
+               keys_b=rng.integers(0, 97, size).astype(_np.int32),
+               vals=rng.integers(0, 97, (size, 8)).astype(_np.int32))
+    path = tmp_path / "tbl.npz"
+    _np.savez(path, **tbl)
+    plain = JaxDecoderLM(tparams, tcfg, max_len=96, decode_chunk=1)
+    spec = SpecLookupDecoderLM(tparams, tcfg, max_len=96, spec_k=4,
+                               spec_steps=2, draft=(dparams, dcfg),
+                               ngram_draft=str(path))
+    for p in PROMPTS[:3]:
+        want = list(plain.generate_stream(p, max_new_tokens=14))
+        assert list(spec.generate_stream(p, max_new_tokens=14)) == want, p
