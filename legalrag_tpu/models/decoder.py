@@ -490,7 +490,16 @@ def _qdot4(x: jax.Array, kernel_q: jax.Array, kernel_scale: jax.Array,
     [I/g, O]: the grouped integer einsum keeps the group axis in the
     s32 accumulator output so each group's rescale is exact, then sums
     groups in f32. The int4 operand widens to int8 for the MXU; HBM
-    still streams 4 bits/element (XLA packs s4 natively)."""
+    still streams 4 bits/element (XLA packs s4 natively).
+
+    Memory note: the [..., I/g, O] s32 accumulator is negligible at
+    decode (leading dim 1) but scales with the prefill chunk — at
+    prefill_chunk=1024 on 0.5B geometry the largest (down-projection)
+    accumulator is ~0.3 GB transient; lower ``llm.prefill_chunk`` if
+    int4 prefill ever pressures HBM. The group-sum order is identical
+    for every leading shape, which the speculative engines' exactness
+    (verify row == plain decode row) relies on — do not specialize this
+    path by shape."""
     i, ig = kernel_q.shape[0], kernel_scale.shape[0]
     g = i // ig
     xq, xs = _quant_acts(x)
