@@ -220,7 +220,8 @@ class LLMConfig(BaseModel):
     weight_quant: bool = False
     # bits for weight_quant: 8 (per-channel, W8A8 integer matmuls) or 4
     # (grouped XLA-native int4 — the weight stream drops to a QUARTER of
-    # bf16; error ≤ group-amax/14; MoE stacks stay int8 either way)
+    # bf16; error ≤ group-amax/14; incl. MoE expert stacks + shared
+    # expert, per-(expert, group, channel) scales)
     weight_bits: int = 8
     # local-jax, speculative engines (spec_k > 0): path to a corpus
     # n-gram draft table (.npz from scripts/build_draft_table.py). When a
@@ -262,6 +263,20 @@ class LLMConfig(BaseModel):
     # prefix_cache: matching prompts use a suffix-keyed LRU whose
     # entries never duplicate the pinned segment.
     shared_prefix_text: str = ""
+    # local-jax, batched serving: serve the continuous batch from ONE
+    # paged KV block pool with radix-tree prefix reuse
+    # (models/paged_decoder.py) instead of per-slot contiguous stripes —
+    # prompts sharing a token prefix (system template, few-shot block,
+    # repeated candidates) attach the same physical KV blocks by
+    # reference, finished prompts stay cached until evicted, and HBM is
+    # bounded by the pool, not slots × max_len. Subsumes
+    # shared_prefix_text and prefix_cache (ignore those when set);
+    # spec_k / constrain_json streams need the contiguous engine.
+    paged_kv: bool = False
+    # paged_kv: tokens per KV block (sharing granularity; max_len must
+    # be a multiple) and total pool blocks (0 = (slots+1) * max_len/BS)
+    kv_block_size: int = 64
+    kv_pool_blocks: int = 0
     # local-jax: >0 keeps the KV rows of that many recent prompts and
     # prefills only the suffix on an exact shared token prefix — RAG
     # prompts share the system template + few-shot example, so

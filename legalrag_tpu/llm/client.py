@@ -295,13 +295,37 @@ class LLMClient:
                 kw["prefix_cache"] = getattr(self.cfg, "prefix_cache", 0)
                 if pc:
                     kw["prefill_chunk"] = pc
-                if slots and slots > 1:
+                paged = getattr(self.cfg, "paged_kv", False)
+                if slots and slots > 1 and paged and not spec_k \
+                        and not getattr(self.cfg, "constrain_json", False):
+                    # paged KV pool + radix prefix reuse
+                    # (models/paged_decoder.py): cross-request prefix KV
+                    # shared by REFERENCE, HBM bounded by the pool. The
+                    # radix tree subsumes prefix_cache/shared_prefix, so
+                    # those knobs are dropped here rather than forwarded.
+                    from legalrag_tpu.models.paged_decoder import \
+                        PagedDecoderLM
+
+                    engine_cls = PagedDecoderLM
+                    kw.pop("constrain_json", None)
+                    kw.pop("prefix_cache", None)
+                    kw.pop("ngram_draft", None)
+                    bs_blk = getattr(self.cfg, "kv_block_size", 64)
+                    kw["max_len"] = -(-kw["max_len"] // bs_blk) * bs_blk
+                    kw.update(n_slots=slots, block_size=bs_blk,
+                              pool_blocks=getattr(self.cfg,
+                                                  "kv_pool_blocks", 0))
+                elif slots and slots > 1:
                     # continuous batching: concurrent answer streams share
                     # one batched decode loop (models/batched_decoder.py);
                     # spec_k > 0 adds per-slot prompt-lookup speculation
                     from legalrag_tpu.models.batched_decoder import \
                         BatchedDecoderLM
 
+                    if paged:
+                        log.warning(
+                            "paged_kv ignored: spec_k/constrain_json "
+                            "require the contiguous batched engine")
                     engine_cls = BatchedDecoderLM
                     kw.update(n_slots=slots, spec_k=max(spec_k, 0),
                               shared_prefix_text=getattr(

@@ -247,7 +247,41 @@ def _moe_block(y: jax.Array, moe: Dict, cfg: DecoderConfig) -> jax.Array:
     combine = jnp.sum(
         jax.nn.one_hot(topi, e, dtype=topv.dtype) * topv[..., None],
         axis=-2).astype(y.dtype)
-    if "gate_q" in moe:  # int8 expert stacks (quantize_weights_int8):
+    if "gate_q" in moe and moe["gate_q"].dtype == jnp.int4:
+        # grouped int4 expert stacks (quantize_weights bits=4): the s32
+        # accumulator keeps BOTH the expert and group axes so each
+        # (expert, group, channel) rescale is exact before the f32 group
+        # sum — the stacked-expert analogue of _qdot4. Memory note: the
+        # [B, T, E, G, H] down-projection accumulator scales with the
+        # prefill chunk, same caveat as _qdot4's.
+        yq, ys = _quant_acts(y)
+        ig = moe["gate_scale"].shape[1]
+        yg = yq.reshape(*yq.shape[:-1], ig, yq.shape[-1] // ig)
+
+        def up_proj(wq, ws):
+            wg = wq.astype(jnp.int8).reshape(e, ig, -1, wq.shape[-1])
+            acc = jnp.einsum("btgi,egif->btegf", yg, wg,
+                             preferred_element_type=jnp.int32)
+            return (jnp.sum(acc.astype(jnp.float32) * ws, axis=-2)
+                    * ys[..., None])
+
+        g = up_proj(moe["gate_q"], moe["gate_scale"])
+        u = up_proj(moe["up_q"], moe["up_scale"])
+        act = (jax.nn.gelu(g, approximate=True)
+               if cfg.hidden_activation == "gelu_pytorch_tanh"
+               else jax.nn.silu(g))
+        xq, xs = _quant_acts(act * u)        # per-(token, expert) rows
+        igd = moe["down_scale"].shape[1]
+        xg = xq.reshape(*xq.shape[:-1], igd, xq.shape[-1] // igd)
+        wgd = moe["down_q"].astype(jnp.int8).reshape(
+            e, igd, -1, moe["down_q"].shape[-1])
+        accd = jnp.einsum("btegi,egih->btegh", xg, wgd,
+                          preferred_element_type=jnp.int32)
+        deq = (jnp.sum(accd.astype(jnp.float32) * moe["down_scale"],
+                       axis=-2) * xs)
+        out = jnp.sum(deq * combine.astype(jnp.float32)[..., None],
+                      axis=2).astype(y.dtype)
+    elif "gate_q" in moe:  # int8 expert stacks (quantize_weights_int8):
         # keep the expert axis in each integer einsum's OUTPUT so the
         # per-(expert, channel) rescale stays exact, and apply the
         # routing combine after the down projection (a scalar commutes
@@ -358,6 +392,20 @@ def _quant_stack(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return jnp.round(wf / scale[:, None, :]).astype(jnp.int8), scale
 
 
+def _quant_stack4(w: jax.Array, group: int) -> Tuple[jax.Array, jax.Array]:
+    """Grouped symmetric int4 for stacked expert weights: w [E, I, O] →
+    (q int4 [E, I, O], scale [E, I/g, O]). Groups run along the
+    contraction dim I per expert; when ``group`` does not divide I the
+    whole column is one group (mirrors :func:`_quant_group4`)."""
+    e, i = w.shape[0], w.shape[1]
+    g = group if i % group == 0 else i
+    wf = w.astype(jnp.float32).reshape(e, i // g, g, *w.shape[2:])
+    amax = jnp.max(jnp.abs(wf), axis=2)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wf / scale[:, :, None]), -8, 7)
+    return q.reshape(w.shape).astype(jnp.int4), scale
+
+
 def _quant_group4(w: jax.Array, group: int) -> Tuple[jax.Array, jax.Array]:
     """Symmetric grouped int4: w [I, O] → (q int4 [I, O], scale [I/g, O]).
 
@@ -418,8 +466,10 @@ def quantize_weights(params: Dict, bits: int = 8, group: int = 64) -> Dict:
     ``int4`` (grouped symmetric, ``group`` along the contraction dim,
     per-(group, channel) scales — error ≤ group-amax/14 per element):
     the weight HBM stream drops to a quarter of bf16. MoE expert stacks
-    quantize at int8 in both modes (their per-expert einsum already has
-    the exact-rescale structure; int4 experts are a follow-up).
+    quantize to grouped int4 too (per-(expert, group, channel) scales,
+    :func:`_quant_stack4`; ``_moe_block`` keeps expert AND group axes in
+    the s32 accumulator so every rescale is exact), as does the Qwen2-MoE
+    shared expert via :func:`_quant_group4` flat leaves.
     """
     if bits not in (8, 4):
         raise ValueError(f"weight_bits must be 8 or 4, got {bits}")
@@ -436,12 +486,18 @@ def quantize_weights(params: Dict, bits: int = 8, group: int = 64) -> Dict:
     def qmoe(moe: Dict) -> Dict:
         qm = dict(moe)
         for name in ("gate", "up", "down"):
-            q, s = _quant_stack(qm.pop(name))
+            if bits == 4:
+                q, s = _quant_stack4(qm.pop(name), group)
+            else:
+                q, s = _quant_stack(qm.pop(name))
             qm[name + "_q"], qm[name + "_scale"] = q, s
         if "shared" in qm:  # Qwen2-MoE shared expert: flat quant leaves
             sh = {}
             for name, w in qm["shared"].items():
-                q, s = _quant_channel(w)
+                if bits == 4:
+                    q, s = _quant_group4(w, group)
+                else:
+                    q, s = _quant_channel(w)
                 sh[name + "_q"], sh[name + "_scale"] = q, s
             qm["shared"] = sh
         return qm
@@ -523,7 +579,7 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
                     kv_cache: Optional[List[Tuple[jax.Array, jax.Array]]] = None,
                     cache_len: Optional[jax.Array] = None,
                     return_hidden: bool = False,
-                    shared_kv=None, kv_offset=None):
+                    shared_kv=None, kv_offset=None, block_tables=None):
     """[B, T] ids (+ positions [B, T]) → logits [B, T, V].
 
     With ``kv_cache`` (list of ([B, S, Hkv, D], [B, S, Hkv, D]) per layer)
@@ -555,6 +611,18 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
     shared prefix stores only positions ≥ P in its own rows. ``cache_len``
     stays ABSOLUTE. One copy of the prefix serves all slots — S× less
     prefix HBM than per-slot installs.
+
+    ``block_tables`` ([B, MAXB] int32) selects the PAGED cache path
+    (models/paged_decoder.py): ``kv_cache`` layer entries are then batch-
+    free block POOLS ([NB, BS, Hkv, D], same dense 2-tuple / quantized
+    4-tuple format) and row ``b``'s cache row for absolute position ``p``
+    is pool[block_tables[b, p // BS], p % BS]. Writes scatter into the
+    pool (a table entry of NB — one past the last block — is a sentinel
+    whose writes DROP); reads gather the row's table into a contiguous
+    [B, MAXB*BS] view and mask exactly like the contiguous path, so
+    position semantics (causality, filled_to, sliding windows) are
+    unchanged. Mutually exclusive with ``shared_kv``/``kv_offset`` —
+    paged sharing happens at the block-table level instead.
     """
     b, t = input_ids.shape
     h, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
@@ -592,14 +660,37 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
             # prefix offset (0 when no shared segment is in play)
             row0 = cache_len if kv_offset is None else cache_len - kv_offset
 
-            def cache_write(dst, upd):
-                if jnp.ndim(cache_len) == 0:
-                    return jax.lax.dynamic_update_slice(
-                        dst, upd, (0, row0, 0, 0))
-                # per-row offsets: row b's T new entries land at
-                # row0[b]..row0[b]+T-1 (scatter; OOB rows drop)
-                rows = row0[:, None] + jnp.arange(t)[None, :]
-                return dst.at[jnp.arange(b)[:, None], rows].set(upd)
+            if block_tables is not None:
+                # paged pools: absolute row p of batch row b lives at
+                # pool[table[b, p // BS], p % BS]; sentinel NB writes drop
+                assert shared_kv is None and kv_offset is None
+                bs_blk = kv_cache[0][0].shape[1]
+                rows_p = (jnp.broadcast_to(jnp.asarray(row0), (b,))[:, None]
+                          + jnp.arange(t)[None, :])              # [B, T]
+                blk = jnp.take_along_axis(
+                    block_tables, jnp.minimum(rows_p // bs_blk,
+                                              block_tables.shape[1] - 1),
+                    axis=1)
+                inner = rows_p % bs_blk
+
+                def cache_write(dst, upd):
+                    return dst.at[blk, inner].set(upd, mode="drop")
+
+                def cache_read(pool):
+                    g = jnp.take(pool, block_tables, axis=0)
+                    return g.reshape(b, -1, *pool.shape[2:])
+            else:
+                def cache_write(dst, upd):
+                    if jnp.ndim(cache_len) == 0:
+                        return jax.lax.dynamic_update_slice(
+                            dst, upd, (0, row0, 0, 0))
+                    # per-row offsets: row b's T new entries land at
+                    # row0[b]..row0[b]+T-1 (scatter; OOB rows drop)
+                    rows = row0[:, None] + jnp.arange(t)[None, :]
+                    return dst.at[jnp.arange(b)[:, None], rows].set(upd)
+
+                def cache_read(arr):
+                    return arr
 
             entry = kv_cache[li]
             if len(entry) == 4:
@@ -614,13 +705,17 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
                 ckq, cks = cache_write(ckq, kq), cache_write(cks, ksc)
                 cvq, cvs = cache_write(cvq, vq), cache_write(cvs, vsc)
                 new_cache.append((ckq, cvq, cks, cvs))
-                k_att = dequantize_kv(ckq, cks, k.dtype)
-                v_att = dequantize_kv(cvq, cvs, v.dtype)
+                # paged: gather the row's blocks FIRST, dequantize only
+                # the gathered [B, L] view (not the whole pool)
+                k_att = dequantize_kv(cache_read(ckq), cache_read(cks),
+                                      k.dtype)
+                v_att = dequantize_kv(cache_read(cvq), cache_read(cvs),
+                                      v.dtype)
             else:
                 ck, cv = entry
                 ck, cv = cache_write(ck, k), cache_write(cv, v)
                 new_cache.append((ck, cv))
-                k_att, v_att = ck, cv
+                k_att, v_att = cache_read(ck), cache_read(cv)
             if jnp.ndim(cache_len) == 0:
                 filled_to = cache_len + t                        # scalar
             else:

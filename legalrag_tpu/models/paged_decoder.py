@@ -1,0 +1,680 @@
+"""Paged KV cache with radix-tree prefix sharing — vLLM/SGLang-class
+serving memory management, expressed TPU-natively.
+
+The contiguous engines (models/batched_decoder.py) give every slot a
+private ``max_len`` stripe of KV rows: S slots cost S×max_len rows of
+HBM even when every request carries the same system prelude + few-shot
+block, and cross-request reuse needs two special mechanisms (the pinned
+``shared_prefix`` segment and the ``prefix_cache`` LRU, which COPIES
+rows into the admitting slot). This engine replaces the stripe with a
+single block POOL and subsumes both mechanisms:
+
+- **Block pool.** Per layer, one batch-free ``[NB, BS, Hkv, D]`` k/v
+  pool (``BS`` = block_size tokens). A stream's cache is a per-slot
+  block TABLE ``[MAXB]`` of pool indices; absolute position ``p`` lives
+  at ``pool[table[p // BS], p % BS]``. ``decoder_forward`` gained a
+  ``block_tables`` path: writes scatter into the pool (a sentinel table
+  entry of NB drops writes), reads gather the table into a contiguous
+  ``[B, MAXB*BS]`` view with unchanged mask semantics — so the
+  attention math, sliding windows, and the int8 KV-quant path are
+  shared with every other engine, not re-implemented.
+- **Radix tree.** Full blocks of PROMPT tokens are published to a host-
+  side radix tree keyed by BS-token chunks. Admission walks the tree:
+  every matched block is attached to the new stream's table by
+  REFERENCE — zero prefill compute, zero copies, one physical copy of
+  the KV no matter how many concurrent streams share it. KV sharing is
+  sound exactly when the entire token prefix matches, which is what the
+  root-to-node path encodes. The tree retains blocks after streams
+  finish (refcount 0) as an eviction-ready cache, so the next request
+  with the same system template + candidate blocks prefills only its
+  unique suffix — ``prefix_cache``'s win without the row copies, and
+  ``shared_prefix``'s win without pre-declaring the prefix.
+- **Reservation-based admission.** A stream is admitted only when
+  ``free + evictable − reserved`` blocks cover its worst-case budget
+  (prompt + clamped max_new). Mid-decode allocation therefore never
+  fails: the host tops up each slot's table ahead of every decode chunk
+  from its reservation, evicting least-recently-used refcount-0 tree
+  blocks as needed. Streams that do not fit wait in the pending queue
+  (FIFO; admission order is preserved so large requests cannot starve).
+
+Generation semantics are identical to the plain continuous-batching
+engine (greedy streams are token-identical to ``JaxDecoderLM`` — the
+parity contract in tests/test_paged_decoder.py): per-slot temperature /
+top-p / top-k / min-p sampling via the shared ``_warp_filter`` chain,
+HF-exact repetition penalty, per-slot EOS/budget freezing inside the
+``lax.scan`` decode chunk.
+
+Reference being replaced: HF ``model.generate`` per request (reference
+``llm/client.py:306-369``) — which re-prefills the full prompt every
+request and holds per-request contiguous caches. Paged attention +
+radix caching is the production-serving design (vLLM PagedAttention,
+SGLang RadixAttention) built here on XLA scatter/gather with static
+shapes rather than CUDA kernels.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from collections import OrderedDict, deque
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legalrag_tpu.models.batched_decoder import _sample_top_p_per_slot
+from legalrag_tpu.models.decoder import (DecoderConfig,
+                                         apply_repetition_penalty,
+                                         decoder_forward, lm_logits,
+                                         pad_bucket)
+from legalrag_tpu.utils import get_logger
+from legalrag_tpu.utils.device import on_device
+from legalrag_tpu.utils.metrics import METRICS
+
+log = get_logger("models.paged_decoder")
+
+
+class _Node:
+    """Radix-tree node: one published full block of prompt KV."""
+
+    __slots__ = ("key", "block_id", "refs", "children", "parent")
+
+    def __init__(self, key: Tuple[int, ...], block_id: int, parent):
+        self.key = key
+        self.block_id = block_id
+        self.refs = 0
+        self.children: Dict[Tuple[int, ...], "_Node"] = {}
+        self.parent = parent
+
+
+class _RadixIndex:
+    """Host-side radix tree over BS-token chunks + pool free-list with
+    LRU eviction of refcount-0 nodes.
+
+    Invariant: a node with refs > 0 never has a refs == 0 ancestor
+    (matching increfs the whole root→node path), so every refcount-0
+    node's subtree is entirely refcount-0 and safe to evict as a unit.
+    """
+
+    def __init__(self, n_blocks: int, block_size: int):
+        self.bs = block_size
+        self.root = _Node((), -1, None)
+        self.free: deque = deque(range(n_blocks))
+        # LRU over refcount-0 nodes: insertion order = least recent first
+        self.zeroref: "OrderedDict[_Node, None]" = OrderedDict()
+        self.reserved = 0          # blocks promised to admitted streams
+        self.reused_blocks = 0     # lifetime stats (paged_stats)
+        self.evicted_blocks = 0
+
+    # ------------------------------------------------------------- matching
+    def match(self, ids: List[int]) -> List[_Node]:
+        """Longest published-block chain covering a strict prefix of
+        ``ids`` (at least one suffix token is always left to forward, so
+        admission has logits to seed sampling from)."""
+        limit = (len(ids) - 1) // self.bs
+        path: List[_Node] = []
+        node = self.root
+        for j in range(limit):
+            child = node.children.get(tuple(ids[j * self.bs:(j + 1) * self.bs]))
+            if child is None:
+                break
+            path.append(child)
+            node = child
+        return path
+
+    def incref(self, nodes: List[_Node]) -> None:
+        for n in nodes:
+            if n.refs == 0:
+                self.zeroref.pop(n, None)
+            n.refs += 1
+
+    def decref(self, nodes: List[_Node]) -> None:
+        for n in nodes:
+            n.refs -= 1
+            if n.refs == 0:
+                self.zeroref[n] = None       # newest = last evicted
+
+    # ----------------------------------------------------------- allocation
+    @property
+    def evictable(self) -> int:
+        return len(self.zeroref)
+
+    def available(self) -> int:
+        return len(self.free) + self.evictable - self.reserved
+
+    def alloc(self) -> int:
+        """One block from the free list, evicting LRU refcount-0 tree
+        blocks if empty. Callers draw against a prior reservation, so
+        exhaustion here is a bug, not a load condition."""
+        if not self.free:
+            self._evict_one()
+        return self.free.popleft()
+
+    def _evict_one(self) -> None:
+        if not self.zeroref:
+            raise RuntimeError("paged KV pool exhausted despite "
+                               "reservation accounting")
+        node, _ = self.zeroref.popitem(last=False)
+        # the whole subtree is refcount-0 (class invariant): evict it
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            for c in n.children.values():
+                self.zeroref.pop(c, None)
+                stack.append(c)
+            self.free.append(n.block_id)
+            self.evicted_blocks += 1
+        if node.parent is not None:
+            node.parent.children.pop(node.key, None)
+
+    def publish(self, parent: _Node, key: Tuple[int, ...],
+                block_id: int) -> Optional[_Node]:
+        """Insert a freshly prefilled full prompt block under ``parent``.
+        If a concurrent stream already published the same chunk, keep
+        theirs (ours stays a private block, freed at stream end)."""
+        if key in parent.children:
+            return None
+        node = _Node(key, block_id, parent)
+        node.refs = 1
+        parent.children[key] = node
+        return node
+
+
+class _Stream:
+    """Host bookkeeping for one in-flight request."""
+
+    __slots__ = ("out", "prompt_ids", "max_new", "eos_id", "temperature",
+                 "top_p", "top_k", "min_p", "seed", "produced", "cancelled",
+                 "error", "repetition_penalty", "path", "private",
+                 "reserve", "n_blocks", "limit")
+
+    def __init__(self, prompt_ids, max_new, eos_id, temperature, top_p,
+                 seed, repetition_penalty=1.0, top_k=0, min_p=0.0):
+        self.out: "queue.Queue" = queue.Queue()
+        self.prompt_ids = prompt_ids
+        self.max_new = max_new
+        self.eos_id = eos_id
+        self.temperature = temperature
+        self.top_p = top_p
+        self.top_k = top_k
+        self.min_p = min_p
+        self.seed = seed
+        self.repetition_penalty = repetition_penalty
+        self.produced = 0
+        self.cancelled = False
+        self.error: Optional[BaseException] = None
+        self.path: List[_Node] = []      # radix nodes this stream refs
+        self.private: List[int] = []     # block ids owned outright
+        self.reserve = 0                 # blocks still drawable
+        self.n_blocks = 0                # table entries filled so far
+        self.limit = 0                   # last allowed position + 1
+
+
+class PagedDecoderLM:
+    """Continuous batching over a paged KV pool with radix prefix reuse.
+
+    Same ``generate_stream`` contract as ``BatchedDecoderLM``; greedy
+    streams are token-identical to the contiguous engines.
+    """
+
+    _PAD_BUCKET_MIN = 16
+
+    def __init__(self, params: Dict, cfg: DecoderConfig, tokenizer=None,
+                 device=None, max_len: int = 4096, n_slots: int = 4,
+                 decode_chunk: int = 8, block_size: int = 64,
+                 pool_blocks: int = 0, prefill_chunk: int = 1024,
+                 kv_quant: bool = False):
+        if max_len % block_size:
+            raise ValueError(f"max_len {max_len} must be a multiple of "
+                             f"block_size {block_size}")
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.device = device
+        self.max_len = max_len
+        self.n_slots = n_slots
+        self.decode_chunk = max(1, decode_chunk)
+        self.block_size = block_size
+        self.maxb = max_len // block_size
+        # default pool: every slot can hold a full context, plus one
+        # slot's worth of retained (refcount-0) cache blocks
+        self.n_blocks = pool_blocks or (n_slots + 1) * self.maxb
+        if self.n_blocks < self.maxb:
+            raise ValueError("pool smaller than one full-context stream")
+        self.prefill_chunk = max(prefill_chunk, block_size)
+        self.kv_quant = kv_quant
+        self.radix = _RadixIndex(self.n_blocks, block_size)
+
+        with on_device(device):
+            self._pools = self._empty_pools()
+            self._last = jnp.zeros((n_slots, cfg.vocab_size), jnp.float32)
+            self._pos = jnp.zeros((n_slots,), jnp.int32)
+            self._keys = jnp.zeros((n_slots, 2), jnp.uint32)
+            self._rep = jnp.zeros((n_slots, cfg.vocab_size), bool)
+        # host-authoritative block tables; sentinel NB = "no block":
+        # writes drop, gathers clamp into masked garbage
+        self._tables = np.full((n_slots, self.maxb), self.n_blocks,
+                               np.int32)
+
+        self._prefill_fn = jax.jit(self._prefill_chunk, donate_argnums=(1,))
+        self._install_fn = jax.jit(self._install_state,
+                                   donate_argnums=(0, 1, 2, 3))
+        self._decode_fn = jax.jit(self._decode_chunk,
+                                  static_argnames=("n_steps",),
+                                  donate_argnums=(1, 2, 3, 4, 5))
+
+        self._slots: List[Optional[_Stream]] = [None] * n_slots
+        self._pending: "deque[_Stream]" = deque()
+        self._cond = threading.Condition()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="paged-decoder")
+        self._worker.start()
+
+    # ------------------------------------------------------------- factories
+    @classmethod
+    def from_pretrained(cls, name_or_path: str, device=None, **kw
+                        ) -> "PagedDecoderLM":
+        from legalrag_tpu.models.bert import resolve_model_dir
+        from legalrag_tpu.models.decoder import load_hf_decoder_params
+
+        model_dir = resolve_model_dir(name_or_path)
+        params, cfg = load_hf_decoder_params(Path(model_dir))
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(str(model_dir))
+        wq, wb = kw.pop("weight_quant", False), kw.pop("weight_bits", 8)
+        if wq:
+            from legalrag_tpu.models.decoder import quantize_weights
+
+            params = quantize_weights(params, bits=wb)
+        if device is not None:
+            params = jax.device_put(params, device)
+        lm = cls(params, cfg, tokenizer, device=device, **kw)
+        log.info("loaded paged decoder %s (%d slots, %d x %d-token blocks,"
+                 " max_len %d)", name_or_path, lm.n_slots, lm.n_blocks,
+                 lm.block_size, lm.max_len)
+        return lm
+
+    # ------------------------------------------------------------- programs
+    def _empty_pools(self):
+        hkv, d = self.cfg.num_key_value_heads, self.cfg.head_dim
+        nb, bs = self.n_blocks, self.block_size
+        if self.kv_quant:
+            return [(jnp.zeros((nb, bs, hkv, d), jnp.int8),
+                     jnp.zeros((nb, bs, hkv, d), jnp.int8),
+                     jnp.zeros((nb, bs, hkv, 1), jnp.float32),
+                     jnp.zeros((nb, bs, hkv, 1), jnp.float32))
+                    for _ in range(self.cfg.num_hidden_layers)]
+        dt = self.params["embed"].dtype
+        return [(jnp.zeros((nb, bs, hkv, d), dt),
+                 jnp.zeros((nb, bs, hkv, d), dt))
+                for _ in range(self.cfg.num_hidden_layers)]
+
+    def _prefill_chunk(self, params, pools, table_row, ids, p_len,
+                       true_len):
+        """Forward one right-padded [1, C] prompt chunk at absolute
+        offset ``p_len`` through the slot's block table; returns
+        (pools, last real chunk token's logits [1, V])."""
+        c = ids.shape[1]
+        positions = (p_len + jnp.arange(c, dtype=jnp.int32))[None, :]
+        hidden, pools = decoder_forward(params, self.cfg, ids, positions,
+                                        kv_cache=pools, cache_len=p_len,
+                                        return_hidden=True,
+                                        block_tables=table_row)
+        hrow = jax.lax.dynamic_slice(
+            hidden, (0, true_len - 1, 0), (1, 1, hidden.shape[-1]))
+        return pools, lm_logits(params, self.cfg, hrow)[:, 0]
+
+    def _install_state(self, last, pos, keys, rep, last_row, slot, total,
+                       key_row, mask_row):
+        last = jax.lax.dynamic_update_slice(
+            last, last_row.astype(last.dtype), (slot, 0))
+        pos = pos.at[slot].set(total)
+        keys = keys.at[slot].set(key_row)
+        rep = rep.at[slot].set(mask_row)
+        return last, pos, keys, rep
+
+    def _decode_chunk(self, params, pools, last, pos, keys, rep, tables,
+                      temp, top_p, topk, minp, pen, eos_ids, limit,
+                      active, n_steps: int):
+        """``n_steps`` batched sample+decode steps in ONE program —
+        the paged twin of BatchedDecoderLM._decode_chunk. Frozen slots
+        keep scattering one k/v row at their frozen position, but only
+        into blocks their own table still owns (the host rewrites a
+        finished slot's table row to the drop sentinel before the next
+        launch), so a freed-and-reused block can never be corrupted."""
+        max_len = self.max_len
+
+        def step(carry, _):
+            pools, last, pos, keys, rep, active = carry
+            splits = jax.vmap(jax.random.split)(keys)
+            next_keys, subs = splits[:, 0], splits[:, 1]
+            scored = apply_repetition_penalty(last, rep, pen[:, None])
+            gtok = jnp.argmax(scored, axis=-1).astype(jnp.int32)
+            scaled = scored / jnp.maximum(temp, 1e-6)[:, None]
+            stok = _sample_top_p_per_slot(scaled, top_p, topk, minp, subs)
+            tok = jnp.where(temp > 0, stok, gtok)
+            emit = jnp.where(active, tok, -1)
+            safe = jnp.minimum(pos, max_len - 1)
+            logits, pools = decoder_forward(
+                params, self.cfg, tok[:, None], safe[:, None],
+                kv_cache=pools, cache_len=safe, block_tables=tables)
+            keep = active[:, None]
+            last2 = jnp.where(keep, logits[:, -1], last)
+            keys2 = jnp.where(keep, next_keys, keys)
+            rep2 = rep.at[jnp.arange(tok.shape[0]), tok].set(True)
+            hit_eos = active & (tok == eos_ids)
+            pos2 = pos + active.astype(jnp.int32)
+            active2 = active & ~hit_eos & (pos2 < limit)
+            return (pools, last2, pos2, keys2, rep2, active2), emit
+
+        (pools, last, pos, keys, rep, active), toks = jax.lax.scan(
+            step, (pools, last, pos, keys, rep, active), None,
+            length=n_steps)
+        return toks, pools, last, pos, keys, rep, active
+
+    # -------------------------------------------------------------- blocks
+    def _table_dev(self):
+        return jnp.asarray(self._tables)
+
+    def _alloc_into(self, st: _Stream, slot: int) -> int:
+        """One block from the stream's reservation into its table."""
+        bid = self.radix.alloc()
+        self.radix.reserved -= 1
+        st.reserve -= 1
+        st.private.append(bid)
+        self._tables[slot, st.n_blocks] = bid
+        st.n_blocks += 1
+        return bid
+
+    def _release(self, st: _Stream, slot: int) -> None:
+        """Return a finished stream's blocks: decref shared path nodes
+        (they stay cached, evictable at refcount 0) and free private
+        ones; release any unused reservation."""
+        self.radix.decref(st.path)
+        st.path = []
+        self.radix.free.extend(st.private)
+        st.private = []
+        self.radix.reserved -= st.reserve
+        st.reserve = 0
+        self._tables[slot, :] = self.n_blocks
+
+    # ----------------------------------------------------------- admission
+    def _try_admit(self, st: _Stream, slot: int) -> bool:
+        """Admit ``st`` into ``slot`` if its worst-case block budget fits
+        free + evictable − reserved; False = leave pending (blocks free
+        up as other streams finish)."""
+        ids = st.prompt_ids
+        bs = self.block_size
+        st.limit = min(len(ids) + st.max_new, self.max_len)
+        path = self.radix.match(ids)
+        self.radix.incref(path)
+        need = -(-st.limit // bs) - len(path)      # ceil
+        if self.radix.available() < need:
+            self.radix.decref(path)
+            return False
+        self.radix.reserved += need
+        st.reserve = need
+        st.path = path
+        m = len(path) * bs
+        for j, node in enumerate(path):
+            self._tables[slot, j] = node.block_id
+        st.n_blocks = len(path)
+        self.radix.reused_blocks += len(path)
+        METRICS.inc("legalrag_paged_reused_tokens", m, engine="paged")
+
+        # allocate the suffix's blocks and prefill it chunk by chunk
+        sfx = ids[m:]
+        n_sfx_blocks = -(-len(sfx) // bs)
+        for _ in range(n_sfx_blocks):
+            self._alloc_into(st, slot)
+        table_row = jnp.asarray(self._tables[slot:slot + 1])
+        c = self.prefill_chunk
+        last_row = None
+        for off in range(0, len(sfx), c):
+            piece = list(sfx[off:off + c])
+            n = len(piece)
+            cb = c if n == c else pad_bucket(n, lo=self._PAD_BUCKET_MIN,
+                                             hi=self.max_len - (m + off))
+            piece += [0] * (cb - n)
+            self._pools, last_row = self._prefill_fn(
+                self.params, self._pools, table_row,
+                jnp.asarray([piece], jnp.int32), jnp.int32(m + off),
+                jnp.int32(n))
+        METRICS.inc("legalrag_paged_prefill_tokens", len(sfx),
+                    engine="paged")
+
+        # publish this prompt's freshly filled FULL blocks to the radix
+        # tree so later identical prefixes reuse them; the partial tail
+        # block (if any) stays private
+        parent = st.path[-1] if st.path else self.radix.root
+        n_full = len(ids) // bs
+        pub_ids = deque(st.private)
+        for j in range(len(path), n_full):
+            bid = pub_ids.popleft()
+            node = self.radix.publish(
+                parent, tuple(ids[j * bs:(j + 1) * bs]), bid)
+            if node is None:
+                break           # lost a publish race; keep block private
+            st.private.remove(bid)
+            st.path.append(node)
+            parent = node
+
+        mask_row = np.zeros(self.cfg.vocab_size, bool)
+        mask_row[ids] = True   # repetition-penalty history = the prompt
+        (self._last, self._pos, self._keys, self._rep) = self._install_fn(
+            self._last, self._pos, self._keys, self._rep, last_row,
+            jnp.int32(slot), jnp.int32(len(ids)),
+            jax.random.PRNGKey(st.seed), jnp.asarray(mask_row))
+        self._slots[slot] = st
+        return True
+
+    def _top_up_tables(self) -> None:
+        """Before a decode launch: every active slot's table must cover
+        positions up to pos + decode_chunk (drawn from its reservation).
+        The device position of an active slot is always
+        len(prompt) + produced, so no device fetch is needed here."""
+        for i, st in enumerate(self._slots):
+            if st is None:
+                continue
+            pos = len(st.prompt_ids) + st.produced
+            horizon = min(pos + self.decode_chunk, st.limit, self.max_len)
+            while st.n_blocks * self.block_size < horizon:
+                self._alloc_into(st, i)
+
+    # --------------------------------------------------------------- worker
+    def _control_vectors(self):
+        s = self.n_slots
+        temp = np.zeros(s, np.float32)
+        top_p = np.full(s, 0.9, np.float32)
+        topk = np.zeros(s, np.int32)
+        minp = np.zeros(s, np.float32)
+        pen = np.ones(s, np.float32)
+        eos = np.full(s, -1, np.int32)
+        limit = np.zeros(s, np.int32)
+        active = np.zeros(s, bool)
+        for i, st in enumerate(self._slots):
+            if st is None:
+                continue
+            temp[i] = st.temperature
+            top_p[i] = st.top_p
+            topk[i] = st.top_k
+            minp[i] = st.min_p
+            pen[i] = st.repetition_penalty
+            eos[i] = -1 if st.eos_id is None else st.eos_id
+            limit[i] = st.limit
+            active[i] = True
+        return (jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(topk),
+                jnp.asarray(minp), jnp.asarray(pen), jnp.asarray(eos),
+                jnp.asarray(limit), jnp.asarray(active))
+
+    def _finish(self, slot: int) -> None:
+        st = self._slots[slot]
+        if st is not None:
+            self._release(st, slot)
+            st.out.put(None)
+            self._slots[slot] = None
+
+    def _run(self) -> None:
+        while True:
+            with self._cond:
+                while (not self._closed and not self._pending
+                       and not any(s is not None for s in self._slots)):
+                    self._cond.wait()
+                if self._closed:
+                    for st in self._pending:
+                        st.out.put(None)
+                    self._pending.clear()
+                    for i in range(self.n_slots):
+                        self._finish(i)
+                    return
+                pending, self._pending = self._pending, deque()
+            try:
+                with on_device(self.device):
+                    self._tick(pending)
+            except BaseException as e:  # pragma: no cover - defensive
+                log.exception("paged decoder worker error: %s", e)
+                for st in list(pending):
+                    st.error = e
+                    st.out.put(None)
+                for i in range(self.n_slots):
+                    st = self._slots[i]
+                    if st is not None:
+                        st.error = e
+                    self._finish(i)
+
+    def _tick(self, pending: "deque[_Stream]") -> None:
+        for i, st in enumerate(self._slots):
+            if st is not None and st.cancelled:
+                self._finish(i)
+        while pending and pending[0].cancelled:
+            pending.popleft().out.put(None)
+        # FIFO admission; stop at the first stream that does not fit so
+        # a large waiting request cannot be starved by later small ones
+        for i in range(self.n_slots):
+            if not pending:
+                break
+            if self._slots[i] is None:
+                st = pending[0]
+                try:
+                    if not self._try_admit(st, i):
+                        break
+                    pending.popleft()
+                except BaseException as e:
+                    log.exception("paged admission failed: %s", e)
+                    pending.popleft()
+                    self._release(st, i)  # undo partial allocs/refs
+                    st.error = e
+                    st.out.put(None)
+                    self._slots[i] = None
+        if pending:
+            with self._cond:
+                pending.extend(self._pending)
+                self._pending = pending
+        if not any(s is not None for s in self._slots):
+            return
+        self._top_up_tables()
+        (temp, top_p, topk, minp, pen, eos, limit,
+         active) = self._control_vectors()
+        occ = sum(s is not None for s in self._slots)
+        METRICS.inc("legalrag_gen_launches", engine="paged", occupancy=occ)
+        (toks, self._pools, self._last, self._pos, self._keys, self._rep,
+         _) = self._decode_fn(self.params, self._pools, self._last,
+                              self._pos, self._keys, self._rep,
+                              self._table_dev(), temp, top_p, topk, minp,
+                              pen, eos, limit, active,
+                              n_steps=self.decode_chunk)
+        toks_host = np.asarray(toks)                         # [n_steps, S]
+        n_launch_toks = 0
+        for i, st in enumerate(self._slots):
+            if st is None:
+                continue
+            for t in toks_host[:, i].tolist():
+                if t < 0:
+                    break
+                if st.eos_id is not None and t == st.eos_id:
+                    self._finish(i)
+                    break
+                st.produced += 1
+                n_launch_toks += 1
+                if not st.cancelled:
+                    st.out.put(int(t))
+                if st.produced >= st.max_new:
+                    self._finish(i)
+                    break
+        METRICS.inc("legalrag_gen_tokens", n_launch_toks, engine="paged")
+
+    # ------------------------------------------------------------------ API
+    def paged_stats(self) -> Dict[str, int]:
+        """Pool/radix observability: block reuse is the whole point."""
+        r = self.radix
+        return {"n_blocks": self.n_blocks, "block_size": self.block_size,
+                "free_blocks": len(r.free), "cached_blocks": r.evictable,
+                "reserved_blocks": r.reserved,
+                "reused_blocks": r.reused_blocks,
+                "evicted_blocks": r.evicted_blocks}
+
+    def generate_stream(self, prompt_ids: List[int],
+                        max_new_tokens: int = 256, temperature: float = 0.0,
+                        top_p: float = 0.9, eos_id: Optional[int] = None,
+                        seed: int = 0, repetition_penalty: float = 1.0,
+                        top_k: int = 0, min_p: float = 0.0,
+                        constrain: bool = False) -> Iterator[int]:
+        """Same contract as ``BatchedDecoderLM.generate_stream``.
+        Schema-DFA constraints live in the contiguous engines; requesting
+        one here is a config error, not a silent no-op."""
+        if constrain:
+            raise ValueError("constrain=True is not supported by the "
+                             "paged engine; use llm.batch_slots without "
+                             "llm.paged_kv for schema-constrained output")
+        t = len(prompt_ids)
+        if t >= self.max_len:
+            raise ValueError(
+                f"prompt ({t} tokens) does not fit the {self.max_len}-token"
+                " budget; truncate the prompt before generation")
+        budget = self.max_len - t
+        if max_new_tokens > budget:
+            log.warning("max_new_tokens %d exceeds cache budget %d "
+                        "(prompt %d / max_len %d); clamping",
+                        max_new_tokens, budget, t, self.max_len)
+            max_new_tokens = budget
+        st = _Stream(list(prompt_ids), max_new_tokens, eos_id, temperature,
+                     top_p, seed, repetition_penalty, top_k, min_p)
+        with self._cond:
+            if self._closed:
+                raise RuntimeError("PagedDecoderLM is closed")
+            self._pending.append(st)
+            self._cond.notify()
+        try:
+            while True:
+                waited = 0.0
+                while True:
+                    try:
+                        item = st.out.get(timeout=30)
+                        break
+                    except queue.Empty:
+                        waited += 30
+                        if not self._worker.is_alive():
+                            raise RuntimeError(
+                                "decode worker died") from st.error
+                        if waited >= 1800:
+                            raise RuntimeError(
+                                "generation stalled for 30 minutes")
+                if item is None:
+                    if st.error is not None:
+                        raise RuntimeError(
+                            "generation failed") from st.error
+                    return
+                yield item
+        finally:
+            st.cancelled = True
+
+    def close(self) -> None:
+        """Stop the worker thread and fail open streams. Idempotent."""
+        with self._cond:
+            self._closed = True
+            self._cond.notify()
+        self._worker.join(timeout=30)

@@ -157,6 +157,99 @@ def bench_batched(args, cfg, params, rng) -> None:
     }))
 
 
+def bench_paged(args, cfg, params, rng) -> None:
+    """Paged-pool engine (models/paged_decoder.py) vs the contiguous
+    batched engine at equal occupancy — quantifies the block
+    gather/scatter paging overhead — plus the radix prefix-reuse
+    time-to-first-token win (second request sharing a long prefix
+    prefills only its suffix, reusing published blocks by reference)."""
+    import threading
+    import time as _time
+
+    from legalrag_tpu.models.batched_decoder import BatchedDecoderLM
+    from legalrag_tpu.models.paged_decoder import PagedDecoderLM
+
+    s = args.paged
+    chunk = max(int(c) for c in args.chunks.split(",") if c)
+    prompts = [rng.integers(100, cfg.vocab_size - 100,
+                            args.prompt_len).tolist() for _ in range(s)]
+
+    def agg_tps(engine):
+        counts = [0] * s
+
+        def run(i):
+            counts[i] = sum(1 for _ in engine.generate_stream(
+                prompts[i], max_new_tokens=args.new))
+
+        run(0)  # warm (compile prefill bucket + decode chunk program)
+        counts[0] = 0
+        t0 = _time.perf_counter()
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(s)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = _time.perf_counter() - t0
+        return sum(counts) / dt
+
+    contig = BatchedDecoderLM(params, cfg, max_len=args.max_len,
+                              n_slots=s, decode_chunk=chunk,
+                              kv_quant=args.kv_quant)
+    contig_tps = agg_tps(contig)
+    contig.close()
+    log(f"[contiguous x{s}] {contig_tps:.1f} tok/s aggregate")
+
+    paged = PagedDecoderLM(params, cfg, max_len=args.max_len, n_slots=s,
+                           decode_chunk=chunk, kv_quant=args.kv_quant)
+    paged_tps = agg_tps(paged)
+    log(f"[paged x{s}] {paged_tps:.1f} tok/s aggregate "
+        f"({paged_tps / contig_tps:.2f}x of contiguous)")
+
+    # radix TTFT: two prompts sharing all but their last 64 tokens — the
+    # second admission reuses the published prefix blocks by reference
+    shared = rng.integers(100, cfg.vocab_size - 100,
+                          max(args.prompt_len - 64, 64)).tolist()
+
+    def req():
+        return shared + rng.integers(100, cfg.vocab_size - 100, 64).tolist()
+
+    def ttft():
+        t0 = _time.perf_counter()
+        next(iter(paged.generate_stream(req(), max_new_tokens=1)))
+        return _time.perf_counter() - t0
+
+    ttft()  # compile the suffix-bucket prefill program
+    # cold: drop every cached block so nothing matches
+    cold, warm = [], []
+    for _ in range(3):
+        while paged.radix.zeroref:
+            paged.radix._evict_one()
+        cold.append(ttft())
+    warm = [ttft() for _ in range(3)]
+    stats = paged.paged_stats()
+    paged.close()
+    cold_s, warm_s = min(cold), min(warm)
+    log(f"radix TTFT prompt={len(shared)}+64: cold {cold_s * 1e3:.1f} ms, "
+        f"warm {warm_s * 1e3:.1f} ms ({cold_s / warm_s:.2f}x); {stats}")
+    print(json.dumps({
+        "metric": "paged_decode_tok_per_s",
+        "value": round(paged_tps, 1),
+        "unit": "tokens/s",
+        "slots": s,
+        "chunk": chunk,
+        "contiguous_tok_per_s": round(contig_tps, 1),
+        "paged_vs_contiguous": round(paged_tps / contig_tps, 2),
+        "radix_ttft_warm_ms": round(warm_s * 1e3, 1),
+        "radix_ttft_cold_ms": round(cold_s * 1e3, 1),
+        "radix_ttft_speedup": round(cold_s / warm_s, 2),
+        "reused_blocks": stats["reused_blocks"],
+        "prompt_len": args.prompt_len,
+        "new_tokens": args.new,
+        "layers": cfg.num_hidden_layers,
+    }))
+
+
 def bench_spec(args, cfg, params, rng) -> None:
     """Spec decode vs plain chunked decode on the same prompt.
 
@@ -304,6 +397,11 @@ def main() -> None:
                     "sharing one batched decode loop vs the same S "
                     "requests served sequentially single-stream — the "
                     "aggregate-tokens/s win is the point of the engine")
+    ap.add_argument("--paged", type=int, default=0, metavar="S",
+                    help="benchmark the paged-KV engine "
+                    "(models/paged_decoder.py): S concurrent streams on "
+                    "one block pool vs the contiguous batched engine, "
+                    "plus the radix prefix-reuse TTFT win")
     ap.add_argument("--draft-layers", type=int, default=0, metavar="N",
                     help="with --spec: draft with an N-layer random-init "
                     "DRAFT MODEL (models/spec_decode.py draft=) instead "
@@ -397,6 +495,9 @@ def main() -> None:
 
     if args.batched:
         bench_batched(args, cfg, params, rng)
+        return
+    if args.paged:
+        bench_paged(args, cfg, params, rng)
         return
     if args.spec:
         bench_spec(args, cfg, params, rng)
