@@ -271,7 +271,8 @@ class LLMConfig(BaseModel):
     # reference, finished prompts stay cached until evicted, and HBM is
     # bounded by the pool, not slots × max_len. Subsumes
     # shared_prefix_text and prefix_cache (ignore those when set);
-    # spec_k / constrain_json streams need the contiguous engine.
+    # constrain_json is supported; spec_k streams need the contiguous
+    # engine.
     paged_kv: bool = False
     # paged_kv: tokens per KV block (sharing granularity; max_len must
     # be a multiple) and total pool blocks (0 = (slots+1) * max_len/BS)

@@ -296,18 +296,18 @@ class LLMClient:
                 if pc:
                     kw["prefill_chunk"] = pc
                 paged = getattr(self.cfg, "paged_kv", False)
-                if slots and slots > 1 and paged and not spec_k \
-                        and not getattr(self.cfg, "constrain_json", False):
+                if slots and slots > 1 and paged and not spec_k:
                     # paged KV pool + radix prefix reuse
                     # (models/paged_decoder.py): cross-request prefix KV
                     # shared by REFERENCE, HBM bounded by the pool. The
                     # radix tree subsumes prefix_cache/shared_prefix, so
-                    # those knobs are dropped here rather than forwarded.
+                    # those knobs are dropped here rather than forwarded;
+                    # constrain_json is supported (same schema-DFA mask
+                    # as the contiguous engines).
                     from legalrag_tpu.models.paged_decoder import \
                         PagedDecoderLM
 
                     engine_cls = PagedDecoderLM
-                    kw.pop("constrain_json", None)
                     kw.pop("prefix_cache", None)
                     kw.pop("ngram_draft", None)
                     bs_blk = getattr(self.cfg, "kv_block_size", 64)
@@ -324,8 +324,8 @@ class LLMClient:
 
                     if paged:
                         log.warning(
-                            "paged_kv ignored: spec_k/constrain_json "
-                            "require the contiguous batched engine")
+                            "paged_kv ignored: spec_k requires the "
+                            "contiguous batched engine")
                     engine_cls = BatchedDecoderLM
                     kw.update(n_slots=slots, spec_k=max(spec_k, 0),
                               shared_prefix_text=getattr(

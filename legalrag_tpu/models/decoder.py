@@ -677,7 +677,12 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
                     return dst.at[blk, inner].set(upd, mode="drop")
 
                 def cache_read(pool):
-                    g = jnp.take(pool, block_tables, axis=0)
+                    # mode="clip": sentinel (NB) entries must gather SOME
+                    # real block — jnp.take's default fill mode yields NaN
+                    # rows, and 0-masked × NaN = NaN through the softmax;
+                    # clipped garbage is finite and exactly zeroed by the
+                    # filled/causal mask
+                    g = jnp.take(pool, block_tables, axis=0, mode="clip")
                     return g.reshape(b, -1, *pool.shape[2:])
             else:
                 def cache_write(dst, upd):

@@ -42,7 +42,10 @@ engine (greedy streams are token-identical to ``JaxDecoderLM`` — the
 parity contract in tests/test_paged_decoder.py): per-slot temperature /
 top-p / top-k / min-p sampling via the shared ``_warp_filter`` chain,
 HF-exact repetition penalty, per-slot EOS/budget freezing inside the
-``lax.scan`` decode chunk.
+``lax.scan`` decode chunk, and per-slot schema-DFA constrained decoding
+(``generate_stream(constrain=True)`` with an engine-level
+``json_constraint`` — the same token-table mask as the contiguous
+engines, carried as a per-slot DFA state through the decode scan).
 
 Reference being replaced: HF ``model.generate`` per request (reference
 ``llm/client.py:306-369``) — which re-prefills the full prompt every
@@ -188,7 +191,7 @@ class _Stream:
     __slots__ = ("out", "prompt_ids", "max_new", "eos_id", "temperature",
                  "top_p", "top_k", "min_p", "seed", "produced", "cancelled",
                  "error", "repetition_penalty", "path", "private",
-                 "reserve", "n_blocks", "limit")
+                 "reserve", "n_blocks", "limit", "constrained")
 
     def __init__(self, prompt_ids, max_new, eos_id, temperature, top_p,
                  seed, repetition_penalty=1.0, top_k=0, min_p=0.0):
@@ -205,6 +208,7 @@ class _Stream:
         self.produced = 0
         self.cancelled = False
         self.error: Optional[BaseException] = None
+        self.constrained = False  # schema-DFA JSON constraint opt-in
         self.path: List[_Node] = []      # radix nodes this stream refs
         self.private: List[int] = []     # block ids owned outright
         self.reserve = 0                 # blocks still drawable
@@ -225,7 +229,7 @@ class PagedDecoderLM:
                  device=None, max_len: int = 4096, n_slots: int = 4,
                  decode_chunk: int = 8, block_size: int = 64,
                  pool_blocks: int = 0, prefill_chunk: int = 1024,
-                 kv_quant: bool = False):
+                 kv_quant: bool = False, json_constraint=None):
         if max_len % block_size:
             raise ValueError(f"max_len {max_len} must be a multiple of "
                              f"block_size {block_size}")
@@ -245,6 +249,11 @@ class PagedDecoderLM:
             raise ValueError("pool smaller than one full-context stream")
         self.prefill_chunk = max(prefill_chunk, block_size)
         self.kv_quant = kv_quant
+        # schema-constrained JSON decoding (models/constrain.py): one
+        # engine-level DFA; streams opt in per call
+        # (generate_stream(constrain=True)); per-slot DFA state, −2 =
+        # unconstrained slot (mask passes through)
+        self.json_constraint = json_constraint
         self.radix = _RadixIndex(self.n_blocks, block_size)
 
         with on_device(device):
@@ -253,6 +262,7 @@ class PagedDecoderLM:
             self._pos = jnp.zeros((n_slots,), jnp.int32)
             self._keys = jnp.zeros((n_slots, 2), jnp.uint32)
             self._rep = jnp.zeros((n_slots, cfg.vocab_size), bool)
+            self._cstate = jnp.full((n_slots,), -2, jnp.int32)
         # host-authoritative block tables; sentinel NB = "no block":
         # writes drop, gathers clamp into masked garbage
         self._tables = np.full((n_slots, self.maxb), self.n_blocks,
@@ -260,10 +270,10 @@ class PagedDecoderLM:
 
         self._prefill_fn = jax.jit(self._prefill_chunk, donate_argnums=(1,))
         self._install_fn = jax.jit(self._install_state,
-                                   donate_argnums=(0, 1, 2, 3))
+                                   donate_argnums=(0, 1, 2, 3, 4))
         self._decode_fn = jax.jit(self._decode_chunk,
                                   static_argnames=("n_steps",),
-                                  donate_argnums=(1, 2, 3, 4, 5))
+                                  donate_argnums=(1, 2, 3, 4, 5, 6))
 
         self._slots: List[Optional[_Stream]] = [None] * n_slots
         self._pending: "deque[_Stream]" = deque()
@@ -285,6 +295,12 @@ class PagedDecoderLM:
         from transformers import AutoTokenizer
 
         tokenizer = AutoTokenizer.from_pretrained(str(model_dir))
+        if kw.pop("constrain_json", False) and "json_constraint" not in kw:
+            from legalrag_tpu.models.constrain import (SECTIONS_SCHEMA,
+                                                       JsonConstraint)
+
+            kw["json_constraint"] = JsonConstraint.from_tokenizer(
+                SECTIONS_SCHEMA, tokenizer)
         wq, wb = kw.pop("weight_quant", False), kw.pop("weight_bits", 8)
         if wq:
             from legalrag_tpu.models.decoder import quantize_weights
@@ -328,18 +344,19 @@ class PagedDecoderLM:
             hidden, (0, true_len - 1, 0), (1, 1, hidden.shape[-1]))
         return pools, lm_logits(params, self.cfg, hrow)[:, 0]
 
-    def _install_state(self, last, pos, keys, rep, last_row, slot, total,
-                       key_row, mask_row):
+    def _install_state(self, last, pos, keys, rep, cstate, last_row, slot,
+                       total, key_row, mask_row, cs0):
         last = jax.lax.dynamic_update_slice(
             last, last_row.astype(last.dtype), (slot, 0))
         pos = pos.at[slot].set(total)
         keys = keys.at[slot].set(key_row)
         rep = rep.at[slot].set(mask_row)
-        return last, pos, keys, rep
+        cstate = cstate.at[slot].set(cs0)
+        return last, pos, keys, rep, cstate
 
-    def _decode_chunk(self, params, pools, last, pos, keys, rep, tables,
-                      temp, top_p, topk, minp, pen, eos_ids, limit,
-                      active, n_steps: int):
+    def _decode_chunk(self, params, pools, last, pos, keys, rep, cstate,
+                      tables, temp, top_p, topk, minp, pen, eos_ids, limit,
+                      active, ctable, cacc, n_steps: int):
         """``n_steps`` batched sample+decode steps in ONE program —
         the paged twin of BatchedDecoderLM._decode_chunk. Frozen slots
         keep scattering one k/v row at their frozen position, but only
@@ -349,10 +366,24 @@ class PagedDecoderLM:
         max_len = self.max_len
 
         def step(carry, _):
-            pools, last, pos, keys, rep, active = carry
+            pools, last, pos, keys, rep, active, cstate = carry
             splits = jax.vmap(jax.random.split)(keys)
             next_keys, subs = splits[:, 0], splits[:, 1]
             scored = apply_repetition_penalty(last, rep, pen[:, None])
+            if ctable is not None:
+                # schema-DFA mask (same semantics as the contiguous
+                # engines): from each constrained slot's state only
+                # tokens with a valid transition survive; EOS only when
+                # the state is accepting. −2 slots pass through.
+                st_ = jnp.maximum(cstate, 0)
+                row = ctable[st_]                            # [S, V]
+                uncon = (cstate < 0)[:, None]
+                iota_v = jnp.arange(row.shape[1])
+                eos_col = iota_v[None, :] == eos_ids[:, None]
+                allowed = jnp.where(eos_col,
+                                    (cacc[st_] | (cstate < 0))[:, None],
+                                    (row >= 0) | uncon)
+                scored = jnp.where(allowed, scored, -1e30)
             gtok = jnp.argmax(scored, axis=-1).astype(jnp.int32)
             scaled = scored / jnp.maximum(temp, 1e-6)[:, None]
             stok = _sample_top_p_per_slot(scaled, top_p, topk, minp, subs)
@@ -367,14 +398,19 @@ class PagedDecoderLM:
             keys2 = jnp.where(keep, next_keys, keys)
             rep2 = rep.at[jnp.arange(tok.shape[0]), tok].set(True)
             hit_eos = active & (tok == eos_ids)
+            if ctable is not None:
+                nstate = ctable[jnp.maximum(cstate, 0), tok]
+                cstate = jnp.where((cstate < 0) | hit_eos | ~active,
+                                   cstate, nstate)
             pos2 = pos + active.astype(jnp.int32)
             active2 = active & ~hit_eos & (pos2 < limit)
-            return (pools, last2, pos2, keys2, rep2, active2), emit
+            return (pools, last2, pos2, keys2, rep2, active2,
+                    cstate), emit
 
-        (pools, last, pos, keys, rep, active), toks = jax.lax.scan(
-            step, (pools, last, pos, keys, rep, active), None,
+        (pools, last, pos, keys, rep, active, cstate), toks = jax.lax.scan(
+            step, (pools, last, pos, keys, rep, active, cstate), None,
             length=n_steps)
-        return toks, pools, last, pos, keys, rep, active
+        return toks, pools, last, pos, keys, rep, active, cstate
 
     # -------------------------------------------------------------- blocks
     def _table_dev(self):
@@ -465,10 +501,14 @@ class PagedDecoderLM:
 
         mask_row = np.zeros(self.cfg.vocab_size, bool)
         mask_row[ids] = True   # repetition-penalty history = the prompt
-        (self._last, self._pos, self._keys, self._rep) = self._install_fn(
-            self._last, self._pos, self._keys, self._rep, last_row,
-            jnp.int32(slot), jnp.int32(len(ids)),
-            jax.random.PRNGKey(st.seed), jnp.asarray(mask_row))
+        jc = self.json_constraint
+        cs0 = jnp.int32(jc.start if (jc is not None and st.constrained)
+                        else -2)
+        (self._last, self._pos, self._keys, self._rep,
+         self._cstate) = self._install_fn(
+            self._last, self._pos, self._keys, self._rep, self._cstate,
+            last_row, jnp.int32(slot), jnp.int32(len(ids)),
+            jax.random.PRNGKey(st.seed), jnp.asarray(mask_row), cs0)
         self._slots[slot] = st
         return True
 
@@ -581,12 +621,15 @@ class PagedDecoderLM:
          active) = self._control_vectors()
         occ = sum(s is not None for s in self._slots)
         METRICS.inc("legalrag_gen_launches", engine="paged", occupancy=occ)
+        jc = self.json_constraint
+        ctable = None if jc is None else jc.table
+        cacc = None if jc is None else jc.accepting
         (toks, self._pools, self._last, self._pos, self._keys, self._rep,
-         _) = self._decode_fn(self.params, self._pools, self._last,
-                              self._pos, self._keys, self._rep,
-                              self._table_dev(), temp, top_p, topk, minp,
-                              pen, eos, limit, active,
-                              n_steps=self.decode_chunk)
+         _, self._cstate) = self._decode_fn(
+            self.params, self._pools, self._last, self._pos, self._keys,
+            self._rep, self._cstate, self._table_dev(), temp, top_p, topk,
+            minp, pen, eos, limit, active, ctable, cacc,
+            n_steps=self.decode_chunk)
         toks_host = np.asarray(toks)                         # [n_steps, S]
         n_launch_toks = 0
         for i, st in enumerate(self._slots):
@@ -606,6 +649,12 @@ class PagedDecoderLM:
                     self._finish(i)
                     break
         METRICS.inc("legalrag_gen_tokens", n_launch_toks, engine="paged")
+        r = self.radix
+        METRICS.set_gauge("legalrag_paged_free_blocks", len(r.free))
+        METRICS.set_gauge("legalrag_paged_cached_blocks", r.evictable)
+        METRICS.set_gauge("legalrag_paged_reserved_blocks", r.reserved)
+        METRICS.set_gauge("legalrag_paged_pending_streams",
+                          len(self._pending))
 
     # ------------------------------------------------------------------ API
     def paged_stats(self) -> Dict[str, int]:
@@ -624,12 +673,12 @@ class PagedDecoderLM:
                         top_k: int = 0, min_p: float = 0.0,
                         constrain: bool = False) -> Iterator[int]:
         """Same contract as ``BatchedDecoderLM.generate_stream``.
-        Schema-DFA constraints live in the contiguous engines; requesting
-        one here is a config error, not a silent no-op."""
-        if constrain:
-            raise ValueError("constrain=True is not supported by the "
-                             "paged engine; use llm.batch_slots without "
-                             "llm.paged_kv for schema-constrained output")
+        ``constrain=True`` applies the engine's schema-DFA JSON
+        constraint to this stream (per-slot DFA states; unconstrained
+        streams share the batch untouched)."""
+        if constrain and self.json_constraint is None:
+            raise ValueError("constrain=True but the engine was built "
+                             "without a json_constraint")
         t = len(prompt_ids)
         if t >= self.max_len:
             raise ValueError(
@@ -643,6 +692,7 @@ class PagedDecoderLM:
             max_new_tokens = budget
         st = _Stream(list(prompt_ids), max_new_tokens, eos_id, temperature,
                      top_p, seed, repetition_penalty, top_k, min_p)
+        st.constrained = bool(constrain)
         with self._cond:
             if self._closed:
                 raise RuntimeError("PagedDecoderLM is closed")

@@ -145,11 +145,21 @@ def apply_tp_to_engine(engine, mesh: Mesh) -> None:
     the axis that produces it. Cache layers are generic tuples (dense
     (k, v) / quantized (kq, vq, ks, vs)); every member is [S, T, Hkv, *],
     so one head-axis spec covers all. Single-stream engines create their
-    cache inside the jitted prefill — nothing to place there."""
+    cache inside the jitted prefill — nothing to place there. The paged
+    engine's block pools ([NB, BS, Hkv, *] per layer, models/
+    paged_decoder.py) carry the head axis in the same position, so the
+    same spec places them."""
     engine.params = shard_decoder_params(engine.params, engine.cfg, mesh)
     sharding = tp_kv_cache_sharding(engine.cfg, mesh)
-    if sharding is not None and getattr(engine, "_cache", None) is not None:
+    if sharding is None:
+        return
+    if getattr(engine, "_cache", None) is not None:
         engine._cache = [
             tuple(jax.device_put(a, sharding) for a in layer)
             for layer in engine._cache]
         log.info("engine slot cache placed kv-head-parallel")
+    if getattr(engine, "_pools", None) is not None:
+        engine._pools = [
+            tuple(jax.device_put(a, sharding) for a in layer)
+            for layer in engine._pools]
+        log.info("paged block pools placed kv-head-parallel")

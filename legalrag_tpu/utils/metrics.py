@@ -20,6 +20,7 @@ class Metrics:
     def __init__(self) -> None:
         self._lock = threading.Lock()
         self._counters: Dict[Tuple[str, Tuple], float] = defaultdict(float)
+        self._gauges: Dict[Tuple[str, Tuple], float] = {}
         self._hist: Dict[Tuple[str, Tuple], List] = {}
 
     # ------------------------------------------------------------- counters
@@ -27,6 +28,14 @@ class Metrics:
         key = (name, tuple(sorted(labels.items())))
         with self._lock:
             self._counters[key] += value
+
+    # --------------------------------------------------------------- gauges
+    def set_gauge(self, name: str, value: float, **labels) -> None:
+        """Last-write-wins point-in-time value (pool occupancy, queue
+        depth) — rendered without the counter ``_total`` suffix."""
+        key = (name, tuple(sorted(labels.items())))
+        with self._lock:
+            self._gauges[key] = value
 
     # ------------------------------------------------------------ histogram
     def observe(self, name: str, seconds: float, **labels) -> None:
@@ -71,6 +80,8 @@ class Metrics:
         with self._lock:
             for (name, labels), value in sorted(self._counters.items()):
                 lines.append(f"{name}_total{fmt_labels(labels)} {value:g}")
+            for (name, labels), value in sorted(self._gauges.items()):
+                lines.append(f"{name}{fmt_labels(labels)} {value:g}")
             for (name, labels), (buckets, total, count) in sorted(
                     self._hist.items()):
                 cum = 0

@@ -326,3 +326,72 @@ def test_batched_spec_constrained_mixed_slots(tiny_constrained):
         assert got["f"] == free_want
     finally:
         engine.close()
+
+
+def test_paged_matches_single_constrained_greedy(tiny_constrained):
+    """Constraint wired into the PAGED engine's decode scan (per-slot
+    DFA state, same token-table mask): greedy constrained output is
+    token-identical to the plain single-stream engine."""
+    from legalrag_tpu.models.paged_decoder import PagedDecoderLM
+
+    cfg, params, jc, texts = tiny_constrained
+    plain = JaxDecoderLM(params, cfg, max_len=96, decode_chunk=1,
+                         json_constraint=jc)
+    want = list(plain.generate_stream([12, 14, 12], max_new_tokens=40,
+                                      eos_id=EOS, constrain=True))
+    engine = PagedDecoderLM(params, cfg, max_len=96, n_slots=2,
+                            decode_chunk=4, block_size=8,
+                            json_constraint=jc)
+    try:
+        got = list(engine.generate_stream([12, 14, 12], max_new_tokens=40,
+                                          eos_id=EOS, constrain=True))
+    finally:
+        engine.close()
+    assert got == want
+
+
+def test_paged_constrained_and_mixed(tiny_constrained):
+    """A constrained and an unconstrained stream share the paged batch:
+    the constrained one emits only schema-valid prefixes (sampled), the
+    unconstrained one is bit-identical to the single-stream engine."""
+    import threading
+
+    from legalrag_tpu.models.paged_decoder import PagedDecoderLM
+
+    cfg, params, jc, texts = tiny_constrained
+    plain_ref = JaxDecoderLM(params, cfg, max_len=96, decode_chunk=1)
+    free_want = list(plain_ref.generate_stream([12, 14], max_new_tokens=12))
+    engine = PagedDecoderLM(params, cfg, max_len=96, n_slots=2,
+                            decode_chunk=4, block_size=8,
+                            json_constraint=jc)
+    try:
+        got = {}
+        ts = [threading.Thread(target=lambda: got.__setitem__(
+                  "c", list(engine.generate_stream(
+                      [12, 14, 12], max_new_tokens=36, temperature=0.9,
+                      seed=5, eos_id=EOS, constrain=True)))),
+              threading.Thread(target=lambda: got.__setitem__(
+                  "f", list(engine.generate_stream(
+                      [12, 14], max_new_tokens=12))))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=180)
+        _check_valid_prefix_or_doc(texts, got["c"], len(got["c"]) < 36)
+        assert got["f"] == free_want
+    finally:
+        engine.close()
+
+
+def test_paged_constrain_requires_constraint(tiny_constrained):
+    from legalrag_tpu.models.paged_decoder import PagedDecoderLM
+
+    cfg, params, jc, texts = tiny_constrained
+    engine = PagedDecoderLM(params, cfg, max_len=96, n_slots=2,
+                            decode_chunk=4, block_size=8)
+    try:
+        with pytest.raises(ValueError):
+            next(engine.generate_stream([1, 2], max_new_tokens=4,
+                                        constrain=True))
+    finally:
+        engine.close()

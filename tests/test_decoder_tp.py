@@ -222,3 +222,44 @@ def test_apply_tp_to_engine_single_stream_noop_cache(cpu8):
     apply_tp_to_engine(lm, make_mesh(cpu8[:2], data=1, model=2))
     got = list(lm.generate_stream(prompt, max_new_tokens=6))
     assert got == want
+
+
+def test_apply_tp_to_engine_places_paged_pools(cpu8):
+    """apply_tp_to_engine places the paged engine's block POOLS
+    kv-head-parallel ([NB, BS, Hkv, *] per layer); radix-reused and
+    freshly prefilled streams stay token-identical to the unsharded
+    single-stream engine (dense and int8-quantized pools)."""
+    from legalrag_tpu.models.paged_decoder import PagedDecoderLM
+    from legalrag_tpu.parallel.decoder_tp import apply_tp_to_engine
+
+    cfg = DecoderConfig(vocab_size=97, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        intermediate_size=64, max_position_embeddings=64)
+    params = _tiny_params(cfg, seed=3)
+    rng = np.random.default_rng(23)
+    shared = list(rng.integers(1, 90, 8))
+    a = shared + list(rng.integers(1, 90, 4))
+    b = shared + list(rng.integers(1, 90, 5))
+    mesh = make_mesh(cpu8[:2], data=1, model=2)
+    for kv_quant in (False, True):
+        ref = JaxDecoderLM(params, cfg, max_len=48, kv_quant=kv_quant)
+        want_a = list(ref.generate_stream(a, max_new_tokens=8))
+        want_b = list(ref.generate_stream(b, max_new_tokens=8))
+        engine = PagedDecoderLM(params, cfg, max_len=48, n_slots=2,
+                                decode_chunk=4, block_size=8,
+                                kv_quant=kv_quant)
+        try:
+            apply_tp_to_engine(engine, mesh)
+            for arr in engine._pools[0]:
+                assert not arr.sharding.is_fully_replicated, arr.shape
+            got_a = list(engine.generate_stream(a, max_new_tokens=8))
+            s = engine.paged_stats()
+            got_b = list(engine.generate_stream(b, max_new_tokens=8))
+            # stream B attached A's published full prefix block by
+            # reference — reuse survives the sharded pool
+            assert engine.paged_stats()["reused_blocks"] \
+                > s["reused_blocks"]
+        finally:
+            engine.close()
+        assert got_a == want_a, f"kv_quant={kv_quant}"
+        assert got_b == want_b, f"kv_quant={kv_quant}"
