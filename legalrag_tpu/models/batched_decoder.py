@@ -650,7 +650,11 @@ class BatchedDecoderLM:
             rep2 = rep.at[jnp.arange(tok.shape[0]), tok].set(True)
             hit_eos = active & (tok == eos_ids)
             if ctable is not None:
-                nstate = ctable[jnp.maximum(cstate, 0), tok]
+                # clamp like _advance_first: compile_token_table prunes
+                # dead states, so a -1 transition is unreachable — the
+                # clamp keeps a malformed table from silently flipping
+                # the slot to unconstrained
+                nstate = jnp.maximum(ctable[jnp.maximum(cstate, 0), tok], 0)
                 cstate = jnp.where((cstate < 0) | hit_eos | ~active,
                                    cstate, nstate)
             pos2 = pos + active.astype(jnp.int32)

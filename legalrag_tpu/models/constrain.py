@@ -244,6 +244,14 @@ def compile_token_table(trans: np.ndarray, accepting: np.ndarray,
             "schema is unreachable with this vocabulary (every path hits "
             "a token-level dead end) — check token_bytes coverage")
     table = np.where((table >= 0) & live[np.maximum(table, 0)], table, -1)
+    # post-condition the engines rely on (their in-scan advance clamps a
+    # -1 transition to state 0 only as defense-in-depth): every state the
+    # table can transition INTO is live — accepting, or with at least one
+    # outgoing token transition — so a constrained slot can never face an
+    # all-masked logits row / dead state at decode time.
+    reached = np.unique(table[table >= 0])
+    dead = reached[~(accepting[reached] | (table[reached] >= 0).any(axis=1))]
+    assert dead.size == 0, f"token DFA kept dead states {dead.tolist()}"
     return table.astype(np.int32), accepting
 
 

@@ -399,7 +399,10 @@ class PagedDecoderLM:
             rep2 = rep.at[jnp.arange(tok.shape[0]), tok].set(True)
             hit_eos = active & (tok == eos_ids)
             if ctable is not None:
-                nstate = ctable[jnp.maximum(cstate, 0), tok]
+                # clamp like _advance_first (see batched_decoder): dead
+                # states are pruned at compile time; never silently drop
+                # the constraint on a malformed table
+                nstate = jnp.maximum(ctable[jnp.maximum(cstate, 0), tok], 0)
                 cstate = jnp.where((cstate < 0) | hit_eos | ~active,
                                    cstate, nstate)
             pos2 = pos + active.astype(jnp.int32)

@@ -148,7 +148,17 @@ def apply_tp_to_engine(engine, mesh: Mesh) -> None:
     cache inside the jitted prefill — nothing to place there. The paged
     engine's block pools ([NB, BS, Hkv, *] per layer, models/
     paged_decoder.py) carry the head axis in the same position, so the
-    same spec places them."""
+    same spec places them.
+
+    Must run BEFORE the first stream is admitted: the cache/pool arrays
+    are donated into the engine's jitted prefill/decode programs, so
+    swapping them while streams are in flight would race with the
+    donation of the old buffers (the engine lock is not taken here)."""
+    slots = getattr(engine, "_slots", None)
+    if slots is not None and any(s is not None for s in slots):
+        raise RuntimeError(
+            "apply_tp_to_engine must run before any stream is admitted "
+            f"({sum(s is not None for s in slots)} active slots)")
     engine.params = shard_decoder_params(engine.params, engine.cfg, mesh)
     sharding = tp_kv_cache_sharding(engine.cfg, mesh)
     if sharding is None:

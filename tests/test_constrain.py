@@ -395,3 +395,62 @@ def test_paged_constrain_requires_constraint(tiny_constrained):
                                         constrain=True))
     finally:
         engine.close()
+
+
+def test_tp_paged_constrained_matches_unsharded(tiny_constrained):
+    """TP × json_constraint (ADVICE r3 #4): the constraint table and
+    accepting arrays ride as plain replicated arrays inside the SHARDED
+    paged decode program — greedy constrained output under
+    apply_tp_to_engine must be token-identical to the unsharded
+    constrained single-stream engine."""
+    import jax
+
+    from legalrag_tpu.models.paged_decoder import PagedDecoderLM
+    from legalrag_tpu.parallel.decoder_tp import apply_tp_to_engine
+    from legalrag_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices("cpu")
+    if len(devs) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    cfg, params, jc, texts = tiny_constrained
+    plain = JaxDecoderLM(params, cfg, max_len=96, decode_chunk=1,
+                         json_constraint=jc)
+    want = list(plain.generate_stream([12, 14, 12], max_new_tokens=40,
+                                      eos_id=EOS, constrain=True))
+    engine = PagedDecoderLM(params, cfg, max_len=96, n_slots=2,
+                            decode_chunk=4, block_size=8,
+                            json_constraint=jc)
+    try:
+        apply_tp_to_engine(engine, make_mesh(devs[:2], data=1, model=2))
+        got = list(engine.generate_stream([12, 14, 12], max_new_tokens=40,
+                                          eos_id=EOS, constrain=True))
+    finally:
+        engine.close()
+    assert got == want
+    _check_valid_prefix_or_doc(texts, got, len(got) < 40)
+
+
+def test_apply_tp_rejects_active_streams(tiny_constrained):
+    """apply_tp_to_engine swaps donated cache/pool buffers; it must
+    refuse to run once a stream holds a slot (ADVICE r3 #3)."""
+    import jax
+
+    from legalrag_tpu.models.paged_decoder import PagedDecoderLM
+    from legalrag_tpu.parallel.decoder_tp import apply_tp_to_engine
+    from legalrag_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices("cpu")
+    if len(devs) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    cfg, params, jc, texts = tiny_constrained
+    engine = PagedDecoderLM(params, cfg, max_len=96, n_slots=2,
+                            decode_chunk=4, block_size=8)
+    try:
+        gen = engine.generate_stream([12, 14], max_new_tokens=8)
+        next(gen)  # admit the stream: a slot is now active
+        with pytest.raises(RuntimeError, match="before any stream"):
+            apply_tp_to_engine(engine, make_mesh(devs[:2], data=1,
+                                                 model=2))
+        list(gen)  # drain so close() has no live stream
+    finally:
+        engine.close()

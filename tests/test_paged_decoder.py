@@ -281,3 +281,42 @@ def test_validation_and_close(tiny):
     engine.close()
     with pytest.raises(RuntimeError):
         next(engine.generate_stream([1, 2], max_new_tokens=2))
+
+
+def test_sentinel_blocks_never_cover_attended_positions(tiny,
+                                                        reference_outputs):
+    """The mode="clip" gather in decoder_forward makes sentinel (NB)
+    table entries read block NB-1 — possibly another live stream's real
+    KV rows (ADVICE r3 #2). Correctness relies on the invariant that a
+    sentinel entry only ever covers positions >= the slot's filled
+    horizon, which the filled/causal mask zeroes. Check it at EVERY
+    decode launch: for each active slot, blocks covering positions below
+    pos + decode_chunk are real; outputs stay token-identical."""
+    cfg, params = tiny
+    engine = PagedDecoderLM(params, cfg, max_len=48, n_slots=3,
+                            decode_chunk=4, block_size=8)
+    violations = []
+    orig = engine._top_up_tables
+
+    def checked():
+        orig()
+        nb, bs = engine.n_blocks, engine.block_size
+        for i, st in enumerate(engine._slots):
+            if st is None:
+                continue
+            horizon = min(len(st.prompt_ids) + st.produced
+                          + engine.decode_chunk, st.limit, engine.max_len)
+            # every block index whose FIRST position is attended this
+            # launch (j*bs < horizon) must hold a real block id
+            need = (horizon + bs - 1) // bs
+            row = engine._tables[i, :need]
+            if (row >= nb).any():
+                violations.append((i, horizon, row.copy()))
+
+    engine._top_up_tables = checked
+    try:
+        got = _collect_concurrently(engine, PROMPTS, max_new_tokens=10)
+    finally:
+        engine.close()
+    assert not violations, violations[:3]
+    assert got == reference_outputs

@@ -437,14 +437,65 @@ def test_int4_engines_token_identical(tiny):
         eng.close()
 
 
-def test_int4_moe_stacks_stay_int8(tiny_moe):
+def test_int4_moe_stacks_int4(tiny_moe):
+    """bits=4 quantizes MoE expert stacks to grouped int4 (per-(expert,
+    group, channel) scales) and the forward stays faithful."""
     from legalrag_tpu.models.decoder import quantize_weights
 
     cfg, params = tiny_moe
-    qp = quantize_weights(params, bits=4, group=16)
+    g = 16
+    qp = quantize_weights(params, bits=4, group=g)
     moe = qp["layers"][0]["moe"]
-    assert moe["gate_q"].dtype == jnp.int8
+    m = params["layers"][0]["moe"]
     assert qp["layers"][0]["q"]["kernel_q"].dtype == jnp.int4
+    e = cfg.num_experts
+    for name in ("gate", "up", "down"):
+        w = m[name]                                         # [E, I, O]
+        assert moe[name + "_q"].dtype == jnp.int4
+        assert moe[name + "_q"].shape == w.shape
+        assert moe[name + "_scale"].shape == (e, w.shape[1] // g,
+                                              w.shape[2])
+        # grouped symmetric dequant error bound: group-amax/14
+        wf = np.asarray(w, np.float64).reshape(e, -1, g, w.shape[2])
+        deq = (np.asarray(moe[name + "_q"], np.float64)
+               .reshape(e, -1, g, w.shape[2])
+               * np.asarray(moe[name + "_scale"], np.float64)[:, :, None])
+        bound = np.abs(wf).max(axis=2, keepdims=True) / 14.0 + 1e-12
+        assert (np.abs(wf - deq) <= bound + 1e-9).all(), name
+        assert name not in moe
+    # implementation check: the stacked int4 fast path must equal the
+    # mathematically-dequantized dense-float MoE up to int8 ACTIVATION
+    # quantization (same contract as test_int4_forward_fidelity)
+    def deq_stack(name):
+        q = np.asarray(moe[name + "_q"], np.float64)        # [E, I, O]
+        s = np.asarray(moe[name + "_scale"], np.float64)    # [E, I/g, O]
+        w = (q.reshape(e, -1, g, q.shape[2]) * s[:, :, None]
+             ).reshape(q.shape)
+        return jnp.asarray(w, jnp.float32)
+
+    dq = dict(qp)
+    dq["layers"] = [dict(layer) for layer in qp["layers"]]
+    dmoe = {k: v for k, v in moe.items()
+            if not (k.endswith("_q") or k.endswith("_scale"))}
+    for name in ("gate", "up", "down"):
+        dmoe[name] = deq_stack(name)
+    dq["layers"][0]["moe"] = dmoe
+    ids = jnp.asarray([[5, 6, 7, 5, 6, 7, 12, 41, 3, 9]], jnp.int32)
+    pos = jnp.arange(ids.shape[1])[None, :]
+    full, _ = decoder_forward(params, cfg, ids, pos)
+    deqo, _ = decoder_forward(dq, cfg, ids, pos)
+    quant, _ = decoder_forward(qp, cfg, ids, pos)
+
+    def cosines(a, b):
+        a = np.asarray(a[0], np.float64)
+        b = np.asarray(b[0], np.float64)
+        return (a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
+                                  * np.linalg.norm(b, axis=-1) + 1e-9)
+
+    impl = cosines(quant, deqo)         # implementation vs the math
+    assert impl.min() > 0.995, impl.min()
+    sanity = cosines(quant, full)       # int4 loss on N(0,1) weights:
+    assert sanity.mean() > 0.85, sanity.mean()  # worst-case, loose
 
 
 def test_int4_tp_rules_and_forward(tiny):
