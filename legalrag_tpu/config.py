@@ -79,6 +79,11 @@ class EngineConfig(BaseModel):
     # colbert_builder.py:119-134 nbits=4)
     token_dtype: str = ""
     late_candidates: int = 128  # dense-prefiltered candidate count for MaxSim
+    # large-corpus mode only: write the [B, N] dense score map in bf16 —
+    # half the program's dominant HBM stream; winners are rescored
+    # exactly in f32 (ops/fused_query.py). "float32" keeps the exact
+    # selection contract (parity gate); "bfloat16" is the perf knob.
+    dense_map_dtype: str = "float32"
     # query batching for the serving engine
     max_query_batch: int = 64
     max_query_tokens: int = 64

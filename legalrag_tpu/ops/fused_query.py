@@ -41,6 +41,10 @@ class FusedParams(NamedTuple):
     late_candidates: int = 0
     # sparse BM25 gather budget (used when impact arrives as CSR arrays)
     max_postings: int = 16384
+    # large-corpus mode: write the [B, N] dense score map in bf16 (half
+    # the dominant HBM stream); winners are rescored exactly in f32
+    # (ops/topk.py dense_topk_2pass map_bf16 semantics)
+    dense_map_bf16: bool = False
 
 
 def _channel_components(scores: jax.Array, eff_k: int, weight: float,
@@ -112,15 +116,23 @@ def fused_hybrid_topk(emb: jax.Array, impact: jax.Array,
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         return jnp.where(col < valid_n, s, NEG_INF)
 
-    dense_s = mask_invalid(dense_scores(emb, qvec))
-
     if sparse_bm25:
         # large-corpus mode: CSR postings + candidate-LIST fusion — no
         # [B, N] fusion maps and NO scatters (XLA scatter-add serializes on
         # TPU and dominated this program; measured). qtf must be the
-        # (term_ids, term_counts) pair.
-        return _fused_lists(dense_s, impact, doc_tok, doc_mask, qtf,
-                            q_tok, q_mask, params)
+        # (term_ids, term_counts) pair. The dense map stays RAW here — the
+        # full-map validity mask is an extra read+write of the program's
+        # biggest tensor; selection masks at block granularity instead
+        # (ops/topk.py topk_2pass_masked).
+        if params.dense_map_bf16 and emb.dtype != jnp.int8:
+            raw = jnp.dot(qvec.astype(jnp.bfloat16),
+                          emb.astype(jnp.bfloat16).T,
+                          preferred_element_type=jnp.bfloat16)
+        else:
+            raw = dense_scores(emb, qvec)
+        return _fused_lists(raw, valid_n, emb, qvec, impact, doc_tok,
+                            doc_mask, qtf, q_tok, q_mask, params)
+    dense_s = mask_invalid(dense_scores(emb, qvec))
     bm25_s = mask_invalid(jnp.dot(qtf.astype(impact.dtype), impact,
                                   preferred_element_type=jnp.float32))
 
@@ -232,8 +244,8 @@ def fuse_candidate_lists(per, rrf_k: float, alpha: float, final_k: int):
             "rrf_n": rrf_n, "wsum_m": wsum_m}
 
 
-def _fused_lists(dense_s, sparse_impact, doc_tok, doc_mask, qtf_pair,
-                 q_tok, q_mask, params: FusedParams):
+def _fused_lists(dense_s, valid_n, emb, qvec, sparse_impact, doc_tok,
+                 doc_mask, qtf_pair, q_tok, q_mask, params: FusedParams):
     """Candidate-list fusion for the large-corpus mode: every channel
     contributes a top-eff_k (scores, ids) LIST; fusion (RRF + min-max blend)
     runs over the concatenated lists per query — the only [B, N]-sized
@@ -245,13 +257,40 @@ def _fused_lists(dense_s, sparse_impact, doc_tok, doc_mask, qtf_pair,
     pads with arbitrary zero-score docs, which shifts min-max statistics by
     ~1e-3 in that starved regime and never occurs at production scale."""
     from legalrag_tpu.ops.bm25_sparse import bm25_sparse_topk_auto
+    from legalrag_tpu.ops.topk import TWO_PASS_MIN_N, topk_2pass_masked
 
     n = dense_s.shape[1]
     eff_k = min(params.eff_k, n)
     offsets, post_docs, post_w = sparse_impact
     term_ids, term_counts = qtf_pair
 
-    d_s, d_i = topk_large(dense_s, eff_k)
+    wide = n >= TWO_PASS_MIN_N
+    if not wide:
+        col = jax.lax.broadcasted_iota(jnp.int32, dense_s.shape, 1)
+        dense_masked = jnp.where(col < valid_n, dense_s,
+                                 jnp.asarray(NEG_INF, dense_s.dtype))
+
+    def dsel(kk):
+        if wide:
+            return topk_2pass_masked(dense_s, valid_n, kk)
+        return jax.lax.top_k(dense_masked, kk)
+
+    d_s, d_i = dsel(eff_k)
+    if dense_s.dtype == jnp.bfloat16:
+        # bf16 map: rescore the winners exactly in f32 (B·eff_k·d gather
+        # — trivial next to the map itself) so fusion min-max statistics
+        # stay full precision
+        rows = jnp.take(emb, d_i, axis=0).astype(jnp.float32)
+        # same operand rounding as dense_scores (q cast to the storage
+        # dtype before the product) so rescored values match the f32-map
+        # program bit-for-bit up to accumulation order
+        qf = qvec.astype(emb.dtype).astype(jnp.float32)
+        exact = jnp.einsum("bd,bkd->bk", qf, rows)
+        d_s = jnp.where(d_s.astype(jnp.float32) > NEG_INF / 2, exact,
+                        NEG_INF)
+        order = jnp.argsort(-d_s, axis=1)
+        d_s = jnp.take_along_axis(d_s, order, axis=1)
+        d_i = jnp.take_along_axis(d_i, order, axis=1)
     b_s, b_i = bm25_sparse_topk_auto(
         term_ids, term_counts.astype(jnp.int32), offsets, post_docs, post_w,
         eff_k, max_postings=params.max_postings)
@@ -260,7 +299,7 @@ def _fused_lists(dense_s, sparse_impact, doc_tok, doc_mask, qtf_pair,
         from legalrag_tpu.ops.maxsim import maxsim_candidates
 
         c = min(params.late_candidates or 128, n)
-        cand = d_i[:, :c] if c <= eff_k else topk_large(dense_s, c)[1]
+        cand = d_i[:, :c] if c <= eff_k else dsel(c)[1]
         cand_scores = maxsim_candidates(doc_tok, doc_mask, q_tok, q_mask,
                                         cand)
         l_s, pos = jax.lax.top_k(cand_scores, min(eff_k, c))

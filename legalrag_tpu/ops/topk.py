@@ -179,15 +179,93 @@ def topk_large(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     return jax.lax.top_k(scores, k)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block"))
+def topk_2pass_masked(scores: jax.Array, valid_n, k: int,
+                      block: int = TWO_PASS_BLOCK, block2: int = 128
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k of ``scores[:, :valid_n]`` WITHOUT materializing a
+    masked copy of the [B, N] map.
+
+    The ``jnp.where(col < valid_n, s, NEG_INF)`` mask the engine used to
+    apply before selection is a full elementwise pass over the score map
+    — at B=256/N=1M that is an extra 1.07 GB read + 1.07 GB write of HBM
+    per batch, ~35% of the program's whole traffic (EVAL.md roofline
+    table). Masking is exact at BLOCK granularity instead: fully-invalid
+    blocks drop from the block-max array ([B, N/block] — tiny), the one
+    straddling block is re-maxed under its column mask, and the gathered
+    candidate columns (k·block per row) are masked by their true column
+    ids before the final small top-k. Same result, none of the full-map
+    traffic."""
+    b, n = scores.shape
+    valid_n = jnp.asarray(valid_n, jnp.int32)
+    neg = jnp.asarray(NEG_INF, scores.dtype)
+    if k >= n or n < 2 * block:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        return topk_2pass(jnp.where(col < valid_n, scores, neg), k,
+                          block=block, block2=block2)
+    n_pad = _round_up(n, block)
+    if n_pad != n:
+        scores = jnp.pad(scores, ((0, 0), (0, n_pad - n)),
+                         constant_values=NEG_INF)
+    g = n_pad // block
+    blk = scores.reshape(b, g, block)
+    bmax = jnp.max(blk, axis=2)                                 # [B, g]
+    bidx = jnp.arange(g, dtype=jnp.int32)
+    bmax = jnp.where(bidx[None, :] * block < valid_n, bmax, neg)
+    # the straddling block (first block whose tail is invalid): re-max
+    # under the column mask and patch it in
+    vb = valid_n // block
+    bb = jax.lax.dynamic_slice_in_dim(blk, jnp.minimum(vb, g - 1), 1,
+                                      axis=1)[:, 0]             # [B, block]
+    bcol = jnp.minimum(vb, g - 1) * block + jnp.arange(block)
+    mb = jnp.max(jnp.where(bcol[None, :] < valid_n, bb, neg), axis=1)
+    bmax = jnp.where((bidx[None, :] == vb) & (vb < g), mb[:, None], bmax)
+    kb = min(k, g)
+    _, top_blocks = jax.lax.top_k(bmax, kb)                     # [B, kb]
+    cand = jnp.take_along_axis(blk, top_blocks[:, :, None], axis=1)
+    cand_col = (top_blocks[:, :, None] * block
+                + jnp.arange(block, dtype=jnp.int32)[None, None, :])
+    cand = cand.reshape(b, kb * block)
+    cand_col = cand_col.reshape(b, kb * block)
+    cand = jnp.where(cand_col < valid_n, cand, neg)
+    if block2 and kb * block > 8192:
+        top_s, pos = topk_2pass(cand, k, block=block2, block2=0)
+    else:
+        top_s, pos = jax.lax.top_k(cand, k)
+    top_i = jnp.take_along_axis(cand_col, pos, axis=1)
+    return top_s, jnp.minimum(top_i, n - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block", "map_bf16"))
 def dense_topk_2pass(emb: jax.Array, q: jax.Array, valid_n: jax.Array,
-                     k: int, block: int = TWO_PASS_BLOCK
+                     k: int, block: int = TWO_PASS_BLOCK,
+                     map_bf16: bool = False
                      ) -> Tuple[jax.Array, jax.Array]:
-    """Exact top-k inner products via the two-pass selection."""
-    scores = dense_scores(emb, q)
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    scores = jnp.where(col < valid_n, scores, NEG_INF)
-    return topk_2pass(scores, k, block=block)
+    """Exact top-k inner products via the masked two-pass selection (no
+    full-map mask pass — see :func:`topk_2pass_masked`).
+
+    ``map_bf16`` writes the [B, N] score map in bf16 (HALF the map's HBM
+    write+read, the dominant traffic at large N) and selects on it, then
+    RESCORES the k winners exactly in f32 from re-gathered embedding rows
+    (B·k·d — trivial) and re-sorts within k. Returned scores are exact;
+    the selected SET can differ from f32 selection only among candidates
+    whose true scores collide within one bf16 ulp (~4e-3 relative) —
+    measured rank-neutral for retrieval (tests/test_ops_topk.py). Not
+    applied to int8 stores (their s32-exact map is already the cheap
+    path)."""
+    if map_bf16 and emb.dtype != jnp.int8:
+        scores = jnp.dot(q.astype(jnp.bfloat16), emb.astype(jnp.bfloat16).T,
+                         preferred_element_type=jnp.bfloat16)
+        s_lp, idx = topk_2pass_masked(scores, valid_n, k, block=block)
+        rows = jnp.take(emb, idx, axis=0).astype(jnp.float32)   # [B, k, d]
+        # mirror dense_scores' operand rounding (q cast to storage dtype)
+        qf = q.astype(emb.dtype).astype(jnp.float32)
+        exact = jnp.einsum("bd,bkd->bk", qf, rows)
+        exact = jnp.where(s_lp.astype(jnp.float32) > NEG_INF / 2, exact,
+                          NEG_INF)
+        order = jnp.argsort(-exact, axis=1)
+        return (jnp.take_along_axis(exact, order, axis=1),
+                jnp.take_along_axis(idx, order, axis=1))
+    return topk_2pass_masked(dense_scores(emb, q), valid_n, k, block=block)
 
 
 # ---------------------------------------------------------------------------

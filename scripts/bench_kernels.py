@@ -79,6 +79,13 @@ def main() -> None:
     ap.add_argument("--skip-maxsim", action="store_true",
                     help="dense-only (the >=1M memory-capped regime: the "
                     "token store would not fit beside the dense matrix)")
+    ap.add_argument("--variants", default="",
+                    help="comma list of two-pass selection variants to "
+                    "measure instead of the backend sweep: 'mask' (round-3 "
+                    "baseline — full [B,N] where-mask then topk_2pass), "
+                    "'masked' (block-granular masking, no full-map pass), "
+                    "'bf16' (bf16 score map + exact f32 rescore). "
+                    "VERDICT r3 #3.")
     args = ap.parse_args()
 
     import jax
@@ -104,6 +111,40 @@ def main() -> None:
         q = jnp.asarray(rng.standard_normal(
             (args.batch, args.dim)).astype(np.float32))
         valid = jnp.int32(n - 7)
+
+        if args.variants:
+            import functools
+
+            from legalrag_tpu.ops.topk import (dense_scores,
+                                               dense_topk_2pass, topk_2pass)
+
+            @functools.partial(jax.jit, static_argnames=("k",))
+            def full_mask_2pass(emb, q, valid_n, k):
+                # the round-3 baseline: mask the whole [B, N] map first
+                s = dense_scores(emb, q)
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < valid_n, s, -1e30)
+                return topk_2pass(s, k)
+
+            variants = {
+                "mask": lambda: full_mask_2pass(emb, q, valid, args.k),
+                "masked": lambda: dense_topk_2pass(emb, q, valid, args.k),
+                "bf16": lambda: dense_topk_2pass(emb, q, valid, args.k,
+                                                 map_bf16=True),
+            }
+            for name in args.variants.split(","):
+                fn = variants[name.strip()]
+                try:
+                    dt = timeit(fn, args.iters)
+                    row = {"op": "dense_select", "n_docs": n,
+                           "variant": name, "batch": args.batch,
+                           "ms_per_batch": round(dt * 1e3, 3)}
+                except Exception as e:
+                    row = {"op": "dense_select", "n_docs": n,
+                           "variant": name, "error": str(e)[:200]}
+                results.append(row)
+                log(row)
+            continue
 
         for kb in ("xla", "xla2", "pallas"):
             try:

@@ -37,6 +37,11 @@ def main() -> None:
                     default="int8",
                     help="token-store storage (nbit4 = PLAID-class "
                     "residual compression)")
+    ap.add_argument("--dense-map", choices=("float32", "bfloat16"),
+                    default="float32",
+                    help="dtype of the [B, N] dense score map (bfloat16 "
+                    "halves the dominant HBM stream; winners rescored "
+                    "exactly in f32 — ops/fused_query.py)")
     ap.add_argument("--recall-queries", type=int, default=0,
                     help="also measure late-channel self-retrieval "
                     "Recall@10 with this many noisy queries (quantifies "
@@ -142,7 +147,8 @@ def main() -> None:
     params = FusedParams(eff_k=64, final_k=10, rrf_k=60.0, alpha=0.5,
                          w_dense=0.6, w_bm25=0.4, w_late=0.35,
                          late_candidates=args.candidates,
-                         max_postings=32 * 2048)
+                         max_postings=32 * 2048,
+                         dense_map_bf16=(args.dense_map == "bfloat16"))
     run = lambda: fused_hybrid_topk(emb, sparse, doc_tok, doc_mask, qvec,
                                     (term_ids, term_counts), q_tok, q_mask,
                                     jnp.int32(n), params)
@@ -304,6 +310,7 @@ def main() -> None:
     print(f'{{"metric": "scale_hybrid_qps", "n_docs": {n}, '
           f'"value": {b / dt:.1f}, "unit": "queries/s", '
           f'"dense_dtype": "{args.dense_dtype}", '
+          f'"dense_map": "{args.dense_map}", '
           f'"token_dtype": "{args.token_dtype}", '
           f'"token_store_gb": {store_bytes / 1e9:.3f}{extra}}}')
 

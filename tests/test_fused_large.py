@@ -174,3 +174,47 @@ def test_candidate_mode_eff_k_exceeds_late_candidates(setup):
     assert (rows < bundle.dense.n).all()
     scores = np.asarray(out["packed"])[..., 0]
     assert (np.diff(scores[0]) <= 1e-6).all()
+
+
+def test_bf16_dense_map_recall_parity(setup):
+    """dense_map_bf16: same program with a bf16 score map must return
+    near-identical rankings (winners are rescored exactly in f32; only
+    sub-ulp near-ties may swap) on the real corpus slice."""
+    bundle, cfg = setup
+    queries = ["buyer in ordinary course of business",
+               "negotiable instrument payable to bearer",
+               "security interest attaches when value is given",
+               "warranty of merchantability goods"]
+    qvec, ids, mask, qt, qm = _query_inputs(bundle, cfg, queries)
+    offsets, post_docs, post_w = build_postings(
+        bundle.bm25.doc_term_ids, bundle.bm25.doc_term_freqs,
+        len(bundle.bm25.vocab))
+
+    def run(bf16):
+        params = FusedParams(eff_k=32, final_k=10, rrf_k=60.0, alpha=0.5,
+                             w_dense=0.6, w_bm25=0.4, w_late=0.35,
+                             late_candidates=32, max_postings=32 * 256,
+                             dense_map_bf16=bf16)
+        return fused_hybrid_topk(
+            bundle.dense.emb,
+            (jnp.asarray(offsets), jnp.asarray(post_docs),
+             jnp.asarray(post_w)),
+            bundle.tokens.tok, bundle.tokens.mask, qvec,
+            (jnp.asarray(ids), jnp.asarray(mask)), qt, qm,
+            jnp.int32(bundle.dense.n), params)
+
+    f32 = run(False)
+    b16 = run(True)
+    rf, rb = np.asarray(f32["rows"]), np.asarray(b16["rows"])
+    for r in range(len(queries)):
+        overlap = len(set(rf[r].tolist()) & set(rb[r].tolist()))
+        assert overlap >= 9, (r, overlap)           # ≥9/10 identical
+        assert rf[r][0] == rb[r][0], r              # top-1 stable
+    # dense components of common hits are exact f32 (rescored)
+    pf, pb = np.asarray(f32["packed"]), np.asarray(b16["packed"])
+    for r in range(len(queries)):
+        common = np.intersect1d(rf[r], rb[r])
+        for doc in common.tolist():
+            i, j = list(rf[r]).index(doc), list(rb[r]).index(doc)
+            np.testing.assert_allclose(pf[r, i, 1], pb[r, j, 1],
+                                       rtol=1e-5, atol=1e-5)

@@ -225,3 +225,63 @@ def test_dense_index_int8_end_to_end(tmp_path):
     assert c.emb.dtype == jnp.int8 and c.n == 256
     sc, ic = c.topk(q, 5)
     assert (ic[:, 0] == ib[:, 0]).all()
+
+
+@pytest.mark.parametrize("n,k,valid,block", [
+    (4096, 16, 4096, 128),      # full validity
+    (4096, 16, 3000, 128),      # valid_n straddles a block
+    (4096, 16, 3968, 128),      # valid_n exactly block-aligned
+    (4100, 16, 4100, 128),      # n not a block multiple
+    (4096, 64, 40, 128),        # fewer valid docs than k
+    (1024, 8, 1000, 512),       # small-n fallback path (n < 2*block)
+    (65536, 64, 50001, 512),    # wide row, recursion engaged
+])
+def test_topk_2pass_masked_matches_masked_oracle(n, k, valid, block):
+    from legalrag_tpu.ops.topk import NEG_INF, topk_2pass_masked
+
+    rng = np.random.default_rng(n + k + valid)
+    scores = rng.standard_normal((4, n)).astype(np.float32)
+    masked = scores.copy()
+    masked[:, valid:] = NEG_INF
+    want_s, _ = jax.lax.top_k(jnp.asarray(masked), k)
+    got_s, got_i = topk_2pass_masked(jnp.asarray(scores),
+                                     jnp.int32(valid), k, block=block)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=0, atol=0)
+    gi, gs = np.asarray(got_i), np.asarray(got_s)
+    real = gs > NEG_INF / 2
+    assert (gi[real] < valid).all()          # never an invalid row id
+    assert (gi < n).all()                    # clamped into range
+    # returned scores really are the scores at the returned ids
+    for r in range(4):
+        np.testing.assert_array_equal(gs[r][real[r]],
+                                      scores[r][gi[r][real[r]]])
+
+
+def test_dense_topk_2pass_bf16_map_exact_scores():
+    """map_bf16 selection: returned scores are EXACT f32 inner products
+    and the selected set matches f32 selection wherever scores are
+    separated by more than a bf16 ulp."""
+    from legalrag_tpu.ops.topk import dense_topk_2pass
+
+    rng = np.random.default_rng(7)
+    n, d, k, b = 4096, 64, 16, 4
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    want_s, want_i = dense_topk_2pass(jnp.asarray(emb), jnp.asarray(q),
+                                      jnp.int32(n), k, block=128)
+    got_s, got_i = dense_topk_2pass(jnp.asarray(emb), jnp.asarray(q),
+                                    jnp.int32(n), k, block=128,
+                                    map_bf16=True)
+    ws, wi = np.asarray(want_s), np.asarray(want_i)
+    gs, gi = np.asarray(got_s), np.asarray(got_i)
+    for r in range(b):
+        common = set(wi[r].tolist()) & set(gi[r].tolist())
+        assert len(common) >= k - 2, (r, len(common))  # near-tie swaps only
+        # exact rescoring: every returned score equals the f32 product
+        exact = emb[gi[r]] @ q[r]
+        np.testing.assert_allclose(gs[r], exact, rtol=0, atol=1e-6)
+        # descending order after the re-sort
+        assert (np.diff(gs[r]) <= 1e-7).all()
