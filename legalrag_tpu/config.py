@@ -211,9 +211,10 @@ class LLMConfig(BaseModel):
     # 0/1 keeps the single-stream engine
     batch_slots: int = 0
     # local-jax: >0 enables prompt-lookup speculative decoding with this
-    # draft length (models/spec_decode.py) — RAG answers quote retrieved
-    # provisions, so prompt n-gram drafts hit often; greedy output is
-    # token-identical to plain decoding. Single-stream engine only.
+    # draft length — RAG answers quote retrieved provisions, so prompt
+    # n-gram drafts hit often; greedy output is token-identical to plain
+    # decoding. Single-stream (models/spec_decode.py), batched
+    # (batch_slots > 1), and paged (paged_kv) engines all support it.
     spec_k: int = 0
     # local-jax: int8 weight quantization of the decoder projections +
     # LM head (models/decoder.py quantize_weights_int8, W8A8) — decode
@@ -276,8 +277,9 @@ class LLMConfig(BaseModel):
     # reference, finished prompts stay cached until evicted, and HBM is
     # bounded by the pool, not slots × max_len. Subsumes
     # shared_prefix_text and prefix_cache (ignore those when set);
-    # constrain_json is supported; spec_k streams need the contiguous
-    # engine.
+    # constrain_json is supported, and spec_k > 0 runs the batched
+    # speculation rounds (lookup + ngram_draft_path + draft_model) over
+    # block tables.
     paged_kv: bool = False
     # paged_kv: tokens per KV block (sharing granularity; max_len must
     # be a multiple) and total pool blocks (0 = (slots+1) * max_len/BS)

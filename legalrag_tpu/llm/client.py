@@ -296,25 +296,30 @@ class LLMClient:
                 if pc:
                     kw["prefill_chunk"] = pc
                 paged = getattr(self.cfg, "paged_kv", False)
-                if slots and slots > 1 and paged and not spec_k:
+                if slots and slots > 1 and paged:
                     # paged KV pool + radix prefix reuse
                     # (models/paged_decoder.py): cross-request prefix KV
                     # shared by REFERENCE, HBM bounded by the pool. The
                     # radix tree subsumes prefix_cache/shared_prefix, so
                     # those knobs are dropped here rather than forwarded;
                     # constrain_json is supported (same schema-DFA mask
-                    # as the contiguous engines).
+                    # as the contiguous engines), and spec_k > 0 runs the
+                    # batched speculation rounds over block tables
+                    # (lookup + n-gram table + optional draft model).
                     from legalrag_tpu.models.paged_decoder import \
                         PagedDecoderLM
 
                     engine_cls = PagedDecoderLM
                     kw.pop("prefix_cache", None)
-                    kw.pop("ngram_draft", None)
                     bs_blk = getattr(self.cfg, "kv_block_size", 64)
                     kw["max_len"] = -(-kw["max_len"] // bs_blk) * bs_blk
-                    kw.update(n_slots=slots, block_size=bs_blk,
+                    kw.update(n_slots=slots, spec_k=max(spec_k, 0),
+                              block_size=bs_blk,
                               pool_blocks=getattr(self.cfg,
                                                   "kv_pool_blocks", 0))
+                    dm = getattr(self.cfg, "draft_model", "")
+                    if dm and spec_k:
+                        kw["draft_model"] = dm
                 elif slots and slots > 1:
                     # continuous batching: concurrent answer streams share
                     # one batched decode loop (models/batched_decoder.py);
@@ -322,10 +327,6 @@ class LLMClient:
                     from legalrag_tpu.models.batched_decoder import \
                         BatchedDecoderLM
 
-                    if paged:
-                        log.warning(
-                            "paged_kv ignored: spec_k requires the "
-                            "contiguous batched engine")
                     engine_cls = BatchedDecoderLM
                     kw.update(n_slots=slots, spec_k=max(spec_k, 0),
                               shared_prefix_text=getattr(

@@ -1115,19 +1115,25 @@ class JaxDecoderLM:
             hidden, (0, true_len - 1, 0), (1, 1, hidden.shape[-1]))
         return lm_logits(params, self.cfg, hrow)[:, 0], cache
 
-    def _prefill_with_prefix(self, params, prefix_rows, p_len, ids,
+    def _prefill_with_prefix(self, params, prefix_stacks, p_len, ids,
                              true_len):
         """Suffix prefill over reused prefix KV rows: install the cached
         rows into a fresh cache, forward the [1, SB] right-padded suffix
         at positions p_len.., return the last real suffix token's logits.
         Donor rows beyond p_len (the donor prompt's own suffix) are
         overwritten by this suffix prefill / later decode steps before
-        they can ever be attended — the usual invariant."""
+        they can ever be attended — the usual invariant.
+
+        ``prefix_stacks`` is one layer-stacked [L, 1, tb, ...] array per
+        cache component (see ``_extract_rows``): the hit crosses the
+        dispatch boundary as 2 (dense) / 4 (kv-quant) buffers instead of
+        2L/4L — per-buffer argument cost on remote-relay backends made
+        the warm path SLOWER than cold at 24 layers before this."""
         cache = self._empty_cache(ids.shape[0])
         cache = [  # generic over dense (k, v) / quantized (kq, vq, ks, vs)
-            tuple(jax.lax.dynamic_update_slice(a, p, (0, 0, 0, 0))
-                  for a, p in zip(layer, prows))
-            for layer, prows in zip(cache, prefix_rows)]
+            tuple(jax.lax.dynamic_update_slice(a, stack[i], (0, 0, 0, 0))
+                  for a, stack in zip(layer, prefix_stacks))
+            for i, layer in enumerate(cache)]
         sb = ids.shape[1]
         positions = (p_len + jnp.arange(sb, dtype=jnp.int32))[None, :]
         hidden, cache = decoder_forward(params, self.cfg, ids, positions,
@@ -1151,11 +1157,15 @@ class JaxDecoderLM:
         return lm_logits(params, self.cfg, hrow)[:, 0], cache
 
     def _extract_rows(self, cache, tb: int):
-        return [  # generic over dense (k, v) / quantized (kq, vq, ks, vs)
-            tuple(jax.lax.dynamic_slice(a, (0, 0, 0, 0),
-                                        (1, tb) + a.shape[2:])
-                  for a in layer)
-            for layer in cache]
+        # one layer-stacked [L, 1, tb, ...] array per cache component
+        # (dense (k, v) / quantized (kq, vq, ks, vs)): the stored hit is
+        # len(layer) device buffers, not L × len(layer) — buffer-count
+        # overhead dominates the warm path on remote-relay backends
+        return tuple(
+            jnp.stack([jax.lax.dynamic_slice(layer[c], (0, 0, 0, 0),
+                                             (1, tb) + layer[c].shape[2:])
+                       for layer in cache])
+            for c in range(len(cache[0])))
 
     @property
     def prefix_stats(self):

@@ -47,6 +47,21 @@ HF-exact repetition penalty, per-slot EOS/budget freezing inside the
 ``json_constraint`` — the same token-table mask as the contiguous
 engines, carried as a per-slot DFA state through the decode scan).
 
+**Speculation over block tables** (``spec_k > 0``): the batched
+speculative rounds (models/batched_decoder.py ``_spec_decode`` — per-
+slot trigram-preferred prompt lookup, optional corpus n-gram table,
+optional draft MODEL, one [S, k+1] verify forward, per-slot acceptance)
+run unchanged through the paged pools: the verify forward writes the
+k+1 candidate KV rows through each slot's block table (vector
+``cache_len`` + ``block_tables``), and rejected rows are simply
+rewritten by the next round — the same trust rule as the contiguous
+engine, no block-level bookkeeping needed. Admission reserves
+``ceil((limit + spec_k) / block_size)`` blocks so verify writes never
+cross a slot's table coverage, and the host tops tables up to the
+launch's worst-case write horizon before every spec launch. Output is
+token-identical to the plain paged engine (draft quality only affects
+acceptance) — the parity contract in tests/test_paged_spec.py.
+
 Reference being replaced: HF ``model.generate`` per request (reference
 ``llm/client.py:306-369``) — which re-prefills the full prompt every
 request and holds per-request contiguous caches. Paged attention +
@@ -67,8 +82,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from legalrag_tpu.models.batched_decoder import _sample_top_p_per_slot
-from legalrag_tpu.models.decoder import (DecoderConfig,
+from legalrag_tpu.models.batched_decoder import (BatchedDecoderLM,
+                                                 _sample_top_p_per_slot)
+from legalrag_tpu.models.decoder import (DecoderConfig, _warp_filter,
                                          apply_repetition_penalty,
                                          decoder_forward, lm_logits,
                                          pad_bucket)
@@ -229,7 +245,9 @@ class PagedDecoderLM:
                  device=None, max_len: int = 4096, n_slots: int = 4,
                  decode_chunk: int = 8, block_size: int = 64,
                  pool_blocks: int = 0, prefill_chunk: int = 1024,
-                 kv_quant: bool = False, json_constraint=None):
+                 kv_quant: bool = False, json_constraint=None,
+                 spec_k: int = 0, spec_steps: int = 4, ngram_draft=None,
+                 draft=None):
         if max_len % block_size:
             raise ValueError(f"max_len {max_len} must be a multiple of "
                              f"block_size {block_size}")
@@ -254,6 +272,30 @@ class PagedDecoderLM:
         # (generate_stream(constrain=True)); per-slot DFA state, −2 =
         # unconstrained slot (mask passes through)
         self.json_constraint = json_constraint
+        # spec_k > 0: batched speculation over block tables (module
+        # docstring) — streams end spec_k tokens short of max_len (each
+        # verify writes k rows past the last accepted position) and
+        # admission reserves blocks through limit + spec_k
+        self.spec_k = spec_k
+        self.spec_steps = spec_steps
+        from legalrag_tpu.models.ngram_draft import resolve_ngram_draft
+
+        self.ngram_draft = resolve_ngram_draft(ngram_draft) if spec_k \
+            else None
+        if draft is not None:
+            if not spec_k:
+                raise ValueError("draft model requires spec_k > 0")
+            dparams, dcfg = draft
+            if dcfg.vocab_size != cfg.vocab_size:
+                raise ValueError(
+                    f"draft model vocab {dcfg.vocab_size} != target "
+                    f"vocab {cfg.vocab_size}")
+            self.draft_params, self.draft_cfg = dparams, dcfg
+        else:
+            self.draft_params = self.draft_cfg = None
+        if spec_k and max_len - spec_k < block_size:
+            raise ValueError(f"spec_k {spec_k} leaves no stream budget "
+                             f"in max_len {max_len}")
         self.radix = _RadixIndex(self.n_blocks, block_size)
 
         with on_device(device):
@@ -263,6 +305,19 @@ class PagedDecoderLM:
             self._keys = jnp.zeros((n_slots, 2), jnp.uint32)
             self._rep = jnp.zeros((n_slots, cfg.vocab_size), bool)
             self._cstate = jnp.full((n_slots,), -2, jnp.int32)
+            if spec_k:
+                self._tokens = jnp.zeros((n_slots, max_len), jnp.int32)
+                self._pend_tok = jnp.zeros((n_slots,), jnp.int32)
+            if self.draft_params is not None:
+                # the draft model keeps a plain contiguous [S, max_len]
+                # slot cache (it is small; paging it buys nothing)
+                dcfg = self.draft_cfg
+                dt = self.draft_params["embed"].dtype
+                hkv_d, dd = dcfg.num_key_value_heads, dcfg.head_dim
+                self._dcache = [
+                    (jnp.zeros((n_slots, max_len, hkv_d, dd), dt),
+                     jnp.zeros((n_slots, max_len, hkv_d, dd), dt))
+                    for _ in range(dcfg.num_hidden_layers)]
         # host-authoritative block tables; sentinel NB = "no block":
         # writes drop, gathers clamp into masked garbage
         self._tables = np.full((n_slots, self.maxb), self.n_blocks,
@@ -274,8 +329,18 @@ class PagedDecoderLM:
         self._decode_fn = jax.jit(self._decode_chunk,
                                   static_argnames=("n_steps",),
                                   donate_argnums=(1, 2, 3, 4, 5, 6))
+        if spec_k:
+            self._spec_install_fn = jax.jit(self._spec_install,
+                                            donate_argnums=(0, 1, 2, 3, 4))
+            don = (1, 2, 3, 4, 5, 6) + ((23,) if draft is not None else ())
+            self._spec_decode_fn = jax.jit(self._spec_decode,
+                                           donate_argnums=don)
+            if draft is not None:
+                self._draft_admit_fn = jax.jit(self._draft_admit_chunk,
+                                               donate_argnums=(1,))
 
         self._slots: List[Optional[_Stream]] = [None] * n_slots
+        self._admitted_firsts: List = []  # spec-mode deferred first tokens
         self._pending: "deque[_Stream]" = deque()
         self._cond = threading.Condition()
         self._closed = False
@@ -306,6 +371,17 @@ class PagedDecoderLM:
             from legalrag_tpu.models.decoder import quantize_weights
 
             params = quantize_weights(params, bits=wb)
+        dm = kw.pop("draft_model", "")
+        if dm:  # draft-MODEL speculation: load the small decoder too
+            dparams, dcfg = load_hf_decoder_params(
+                Path(resolve_model_dir(dm)))
+            if wq:
+                from legalrag_tpu.models.decoder import quantize_weights
+
+                dparams = quantize_weights(dparams, bits=wb)
+            if device is not None:
+                dparams = jax.device_put(dparams, device)
+            kw["draft"] = (dparams, dcfg)
         if device is not None:
             params = jax.device_put(params, device)
         lm = cls(params, cfg, tokenizer, device=device, **kw)
@@ -415,6 +491,227 @@ class PagedDecoderLM:
             length=n_steps)
         return toks, pools, last, pos, keys, rep, active, cstate
 
+    # --------------------------------------------- speculative (spec_k > 0)
+    # the admission-time first-token helpers are engine-agnostic (they
+    # touch only self.json_constraint) — share the batched engine's so
+    # the semantics cannot diverge
+    _constrain_first = BatchedDecoderLM._constrain_first
+    _advance_first = BatchedDecoderLM._advance_first
+    _first_token = BatchedDecoderLM._first_token
+    # the draft model's cache is contiguous in both engines
+    _draft_admit_chunk = BatchedDecoderLM._draft_admit_chunk
+    _draft_admit = BatchedDecoderLM._draft_admit
+
+    def _spec_install(self, tokens, pos, keys, pending, rep, cstate,
+                      last_row, full_ids, slot, total, key_row, mask_row,
+                      temp, top_p, top_k, min_p, pen, cs0, eos_j):
+        """Final step of a spec admission (the table prefill already ran
+        via ``_prefill_fn``): record the prompt in the slot's token-
+        history row and sample the first token under the prompt-mask
+        repetition penalty and the slot's DFA constraint."""
+        scored = apply_repetition_penalty(last_row[0], mask_row, pen)
+        scored = self._constrain_first(scored, cs0, eos_j)
+        tok, key_adv = self._first_token(scored, key_row, temp, top_p,
+                                         top_k, min_p)
+        tokens = jax.lax.dynamic_update_slice(tokens, full_ids, (slot, 0))
+        tokens = tokens.at[slot, total].set(tok)
+        pos = pos.at[slot].set(total)
+        keys = keys.at[slot].set(key_adv)
+        pending = pending.at[slot].set(tok)
+        rep = rep.at[slot].set(mask_row)
+        rep = rep.at[slot, tok].set(True)
+        cstate = self._advance_first(cstate, cs0, eos_j, slot, tok)
+        return tokens, pos, keys, pending, rep, cstate, tok
+
+    def _spec_decode(self, params, pools, tokens, pos, keys, pending, rep,
+                     tables, temp, top_p, topk, minp, pen, eos_ids, limit,
+                     active, cstate, ctable, cacc, nka, nkb, nvals,
+                     dparams=None, dcache=None):
+        """``spec_steps`` speculation rounds in ONE program — the paged
+        twin of ``BatchedDecoderLM._spec_decode``. The [S, k+1] verify
+        forward writes candidate KV rows through each slot's block table
+        (vector ``cache_len``); rejected rows are rewritten by the next
+        round, exactly like the contiguous engine. The host guarantees
+        every active slot's table covers the launch's worst-case write
+        horizon (``_top_up_tables``), so verify writes never hit the
+        drop sentinel while a row can still be attended."""
+        k = self.spec_k
+        s = self.n_slots
+        nsize = nka.shape[0] if nvals is not None else 0
+        iota = jnp.arange(k + 1)
+        idx_row = jnp.arange(self.max_len)[None, :]
+        sidx = jnp.arange(s)
+
+        def step(carry, _):
+            if dparams is not None:
+                (pools, dcache_c, tokens, pos, keys, pending, active,
+                 hit_eos, rep, cstate) = carry
+            else:
+                (pools, tokens, pos, keys, pending, active, hit_eos, rep,
+                 cstate) = carry
+                dcache_c = None
+            # trigram-preferred prompt lookup, source 1 (spec_decode.py —
+            # draft quality only affects acceptance, never output)
+            a_tok = tokens[sidx, jnp.maximum(pos - 1, 0)]
+            a2_tok = tokens[sidx, jnp.maximum(pos - 2, 0)]
+            prev = jnp.concatenate([tokens[:, :1], tokens[:, :-1]],
+                                   axis=1)
+            prev2 = jnp.concatenate([tokens[:, :2], tokens[:, :-2]],
+                                    axis=1)
+            hit2 = ((idx_row >= 1) & (idx_row < pos[:, None])
+                    & (prev == a_tok[:, None])
+                    & (tokens == pending[:, None]))
+            hit3 = (hit2 & (idx_row >= 2) & (prev2 == a2_tok[:, None])
+                    & (pos >= 2)[:, None])
+            j3 = jnp.max(jnp.where(hit3, idx_row, -1), axis=1)
+            j2 = jnp.max(jnp.where(hit2, idx_row, -1), axis=1)
+            j = jnp.where(j3 >= 0, j3, j2)
+            draft = jax.vmap(
+                lambda row, jj: jax.lax.dynamic_slice(row, (jj + 1,),
+                                                      (k,))
+            )(tokens, j)
+            if nvals is not None:
+                # source 2, corpus-table fallback (same uint32 Knuth hash
+                # as the host builder; mismatches keep the sliced draft)
+                h = ((a_tok.astype(jnp.uint32)
+                      * jnp.uint32(2654435761)
+                      + pending.astype(jnp.uint32))
+                     & jnp.uint32(nsize - 1)).astype(jnp.int32)
+                ok = (j < 0) & (nka[h] == a_tok) & (nkb[h] == pending)
+                draft = jnp.where(ok[:, None], nvals[h], draft)
+                j = jnp.where(ok, jnp.int32(0), j)  # table hit = a hit
+            if dparams is not None:
+                # source 3, DRAFT MODEL for slots whose lookup missed
+                # (see batched_decoder._spec_decode for the trust rule:
+                # the round-end catch-up below rewrites the draft's rows
+                # from the true verify targets)
+                def dstep(dc, i):
+                    dcache_i, tok_i = dc
+                    lgd, dcache_i = decoder_forward(
+                        dparams, self.draft_cfg, tok_i[:, None],
+                        (pos + i)[:, None], kv_cache=dcache_i,
+                        cache_len=pos + i)
+                    nxt = jnp.argmax(lgd[:, -1], axis=-1).astype(jnp.int32)
+                    return (dcache_i, nxt), nxt
+                (dcache_c, _), draft_t = jax.lax.scan(
+                    dstep, (dcache_c, pending), iota[:k])
+                draft = jnp.where((j < 0)[:, None], draft_t.T, draft)
+            seq = jnp.concatenate([pending[:, None], draft], axis=1)
+            positions = pos[:, None] + iota[None, :]
+            logits, pools = decoder_forward(params, self.cfg, seq,
+                                            positions, kv_cache=pools,
+                                            cache_len=pos,
+                                            block_tables=tables)
+            # HF-exact repetition penalty under speculation: position i's
+            # seen-set is rep[s] plus the slot's draft[0..i-1] (see
+            # batched_decoder._spec_decode)
+            v = logits.shape[-1]
+            draft_seen = jnp.cumsum(
+                jax.nn.one_hot(draft, v, dtype=jnp.int32), axis=1) > 0
+            masks = jnp.concatenate(
+                [jnp.zeros((s, 1, v), bool), draft_seen], axis=1) \
+                | rep[:, None, :]
+            logits = apply_repetition_penalty(logits, masks,
+                                              pen[:, None, None])
+            if ctable is not None:
+                # schema-DFA constraint under speculation: per-position
+                # state fold; positions past a DFA-invalid draft prefix
+                # are never used — pass them through (state −1)
+                sts = [cstate]
+                for i in range(k):
+                    prev_s = sts[-1]
+                    sts.append(jnp.where(
+                        prev_s >= 0,
+                        ctable[jnp.maximum(prev_s, 0), draft[:, i]],
+                        jnp.int32(-1)))
+                st_mat = jnp.stack(sts, axis=1)              # [S, k+1]
+                st_c = jnp.maximum(st_mat, 0)
+                allow = ctable[st_c] >= 0                    # [S, k+1, V]
+                allow = jnp.where(jnp.arange(v)[None, None, :]
+                                  == eos_ids[:, None, None],
+                                  cacc[st_c][:, :, None], allow)
+                allow = jnp.where((st_mat >= 0)[:, :, None], allow, True)
+                logits = jnp.where(allow, logits, -1e30)
+            gtok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            ks = jax.vmap(lambda kk: jax.random.split(kk, k + 2))(keys)
+            next_keys = ks[:, 0]
+            subs = ks[:, 1:].reshape(-1, 2)
+            scaled = (logits / jnp.maximum(temp, 1e-6)[:, None, None]
+                      ).reshape(-1, logits.shape[-1])
+            stok = jax.vmap(
+                lambda l, su, tp, tk, mp: jax.random.categorical(
+                    su, _warp_filter(l, tp, tk, mp)))(
+                scaled, subs, jnp.repeat(top_p, k + 1),
+                jnp.repeat(topk, k + 1), jnp.repeat(minp, k + 1)
+            ).astype(jnp.int32).reshape(s, k + 1)
+            targets = jnp.where((temp > 0)[:, None], stok, gtok)
+            if dparams is not None:
+                # round-end draft-cache catch-up (spec_decode.py)
+                seq_d = jnp.concatenate([pending[:, None],
+                                         targets[:, :k]], axis=1)
+                _, dcache_c = decoder_forward(dparams, self.draft_cfg,
+                                              seq_d, positions,
+                                              kv_cache=dcache_c,
+                                              cache_len=pos)
+            acc = jnp.cumprod((draft == targets[:, :k]).astype(jnp.int32),
+                              axis=1)
+            a = jnp.sum(acc, axis=1)                            # [S]
+            cand = iota[None, :] <= a[:, None]
+            ie = jnp.min(jnp.where(cand & (targets == eos_ids[:, None]),
+                                   iota[None, :], k + 1), axis=1)
+            emit_mask = (active[:, None] & cand
+                         & (iota[None, :] < ie[:, None])
+                         & (pos[:, None] + 1 + iota[None, :]
+                            < limit[:, None]))
+            emissions = jnp.where(emit_mask, targets, -1)
+            n_emit = jnp.sum(emit_mask.astype(jnp.int32), axis=1)
+            wr = jnp.where(emit_mask, pos[:, None] + 1 + iota[None, :],
+                           self.max_len)
+            tokens = tokens.at[sidx[:, None], wr].set(targets, mode="drop")
+            rep = rep | jnp.any(
+                jax.nn.one_hot(targets, rep.shape[-1], dtype=jnp.bool_)
+                & emit_mask[:, :, None], axis=1)
+            new_pending = jnp.take_along_axis(
+                targets, jnp.minimum(a, k)[:, None], axis=1)[:, 0]
+            pending = jnp.where(active & (ie > a), new_pending, pending)
+            keys = jnp.where(active[:, None], next_keys, keys)
+            pos = pos + jnp.where(active, n_emit, 0)
+            if ctable is not None:
+                # advance each slot's DFA over exactly its emitted tokens
+                cs = cstate
+                for i in range(k + 1):
+                    nxt = jnp.where(
+                        cs >= 0,
+                        ctable[jnp.maximum(cs, 0), targets[:, i]], cs)
+                    cs = jnp.where(emit_mask[:, i], nxt, cs)
+                cstate = cs
+            step_eos = active & (ie <= a)
+            hit_eos = hit_eos | step_eos
+            # no capacity freeze needed: limit <= max_len - spec_k (the
+            # generate_stream clamp) keeps every verify write inside the
+            # slot's reserved table coverage
+            active = active & ~step_eos & (pos + 1 < limit)
+            if dparams is not None:
+                return (pools, dcache_c, tokens, pos, keys, pending,
+                        active, hit_eos, rep, cstate), emissions
+            return (pools, tokens, pos, keys, pending, active,
+                    hit_eos, rep, cstate), emissions
+
+        if dparams is not None:
+            carry0 = (pools, dcache, tokens, pos, keys, pending, active,
+                      jnp.zeros((s,), bool), rep, cstate)
+            (pools, dcache, tokens, pos, keys, pending, active, hit_eos,
+             rep, cstate), emissions = \
+                jax.lax.scan(step, carry0, None, length=self.spec_steps)
+        else:
+            carry0 = (pools, tokens, pos, keys, pending, active,
+                      jnp.zeros((s,), bool), rep, cstate)
+            (pools, tokens, pos, keys, pending, active, hit_eos, rep,
+             cstate), emissions = \
+                jax.lax.scan(step, carry0, None, length=self.spec_steps)
+        return (emissions, pools, tokens, pos, keys, pending, hit_eos, rep,
+                cstate, dcache)
+
     # -------------------------------------------------------------- blocks
     def _table_dev(self):
         return jnp.asarray(self._tables)
@@ -448,10 +745,12 @@ class PagedDecoderLM:
         up as other streams finish)."""
         ids = st.prompt_ids
         bs = self.block_size
-        st.limit = min(len(ids) + st.max_new, self.max_len)
+        st.limit = min(len(ids) + st.max_new, self.max_len - self.spec_k)
         path = self.radix.match(ids)
         self.radix.incref(path)
-        need = -(-st.limit // bs) - len(path)      # ceil
+        # spec mode reserves through limit + spec_k: every verify writes
+        # k candidate rows past the last accepted position
+        need = -(-(st.limit + self.spec_k) // bs) - len(path)     # ceil
         if self.radix.available() < need:
             self.radix.decref(path)
             return False
@@ -507,6 +806,27 @@ class PagedDecoderLM:
         jc = self.json_constraint
         cs0 = jnp.int32(jc.start if (jc is not None and st.constrained)
                         else -2)
+        if self.spec_k:
+            eos_j = jnp.int32(-1 if st.eos_id is None else st.eos_id)
+            tb = pad_bucket(len(ids), hi=self.max_len)
+            full = ids + [0] * (tb - len(ids))
+            (self._tokens, self._pos, self._keys, self._pend_tok,
+             self._rep, self._cstate, tok) = self._spec_install_fn(
+                self._tokens, self._pos, self._keys, self._pend_tok,
+                self._rep, self._cstate, last_row,
+                jnp.asarray([full], jnp.int32), jnp.int32(slot),
+                jnp.int32(len(ids)), jax.random.PRNGKey(st.seed),
+                jnp.asarray(mask_row), jnp.float32(st.temperature),
+                jnp.float32(st.top_p), jnp.int32(st.top_k),
+                jnp.float32(st.min_p),
+                jnp.float32(st.repetition_penalty), cs0, eos_j)
+            if self.draft_params is not None:
+                self._draft_admit(ids, slot)
+            self._slots[slot] = st
+            # first-token fetch is deferred past the decode dispatch so
+            # the sync overlaps device execution (batched engine pattern)
+            self._admitted_firsts.append((st, slot, tok))
+            return True
         (self._last, self._pos, self._keys, self._rep,
          self._cstate) = self._install_fn(
             self._last, self._pos, self._keys, self._rep, self._cstate,
@@ -517,14 +837,27 @@ class PagedDecoderLM:
 
     def _top_up_tables(self) -> None:
         """Before a decode launch: every active slot's table must cover
-        positions up to pos + decode_chunk (drawn from its reservation).
-        The device position of an active slot is always
-        len(prompt) + produced, so no device fetch is needed here."""
+        the launch's worst-case write positions (drawn from its
+        reservation). Plain mode writes one row per step up to
+        pos + decode_chunk. Spec mode writes k+1 verify rows per round
+        at pos..pos+k with pos advancing ≤ k+1 per round, so the horizon
+        is pos + spec_steps·(k+1), capped at limit + spec_k (the freeze
+        keeps pos < limit). The device position of an active slot is
+        len(prompt) + produced in plain mode and len(prompt) + produced
+        − 1 in spec mode (the pending token's KV row is written by the
+        next verify), so no device fetch is needed here."""
+        k = self.spec_k
         for i, st in enumerate(self._slots):
             if st is None:
                 continue
-            pos = len(st.prompt_ids) + st.produced
-            horizon = min(pos + self.decode_chunk, st.limit, self.max_len)
+            if k:
+                pos = len(st.prompt_ids) + max(st.produced - 1, 0)
+                horizon = min(pos + self.spec_steps * (k + 1),
+                              st.limit + k, self.max_len)
+            else:
+                pos = len(st.prompt_ids) + st.produced
+                horizon = min(pos + self.decode_chunk, st.limit,
+                              self.max_len)
             while st.n_blocks * self.block_size < horizon:
                 self._alloc_into(st, i)
 
@@ -583,6 +916,7 @@ class PagedDecoderLM:
                 for st in list(pending):
                     st.error = e
                     st.out.put(None)
+                self._admitted_firsts.clear()
                 for i in range(self.n_slots):
                     st = self._slots[i]
                     if st is not None:
@@ -623,35 +957,90 @@ class PagedDecoderLM:
         (temp, top_p, topk, minp, pen, eos, limit,
          active) = self._control_vectors()
         occ = sum(s is not None for s in self._slots)
-        METRICS.inc("legalrag_gen_launches", engine="paged", occupancy=occ)
+        engine = "paged-spec" if self.spec_k else "paged"
+        METRICS.inc("legalrag_gen_launches", engine=engine, occupancy=occ)
         jc = self.json_constraint
         ctable = None if jc is None else jc.table
         cacc = None if jc is None else jc.accepting
-        (toks, self._pools, self._last, self._pos, self._keys, self._rep,
-         _, self._cstate) = self._decode_fn(
-            self.params, self._pools, self._last, self._pos, self._keys,
-            self._rep, self._cstate, self._table_dev(), temp, top_p, topk,
-            minp, pen, eos, limit, active, ctable, cacc,
-            n_steps=self.decode_chunk)
-        toks_host = np.asarray(toks)                         # [n_steps, S]
-        n_launch_toks = 0
-        for i, st in enumerate(self._slots):
-            if st is None:
-                continue
-            for t in toks_host[:, i].tolist():
-                if t < 0:
-                    break
-                if st.eos_id is not None and t == st.eos_id:
-                    self._finish(i)
-                    break
-                st.produced += 1
-                n_launch_toks += 1
+        if self.spec_k:
+            ng = (self.ngram_draft.device_arrays(self.spec_k)
+                  if self.ngram_draft is not None else (None, None, None))
+            (em, self._pools, self._tokens, self._pos, self._keys,
+             self._pend_tok, hit_eos, self._rep, self._cstate,
+             dcache) = self._spec_decode_fn(
+                self.params, self._pools, self._tokens, self._pos,
+                self._keys, self._pend_tok, self._rep, self._table_dev(),
+                temp, top_p, topk, minp, pen, eos, limit, active,
+                self._cstate, ctable, cacc, *ng, self.draft_params,
+                self._dcache if self.draft_params is not None else None)
+            if self.draft_params is not None:
+                self._dcache = dcache
+            # deferred admission first tokens: the int() syncs overlap
+            # the decode execution just dispatched above
+            for st, slot, tok_dev in self._admitted_firsts:
+                if self._slots[slot] is not st:
+                    continue
+                first = int(tok_dev)
+                if st.eos_id is not None and first == st.eos_id:
+                    self._finish(slot)   # discards this launch's row
+                    continue
+                st.produced = 1
+                METRICS.inc("legalrag_gen_tokens", 1, engine="paged-spec")
                 if not st.cancelled:
-                    st.out.put(int(t))
+                    st.out.put(first)
                 if st.produced >= st.max_new:
+                    self._finish(slot)
+            self._admitted_firsts.clear()
+            em_host = np.asarray(em)                 # [spec_steps, S, k+1]
+            eos_host = np.asarray(hit_eos)
+            n_launch_toks = 0
+            for i, st in enumerate(self._slots):
+                if st is None:
+                    continue
+                for r in range(em_host.shape[0]):
+                    emitted_row = False
+                    for t in em_host[r, i].tolist():
+                        if t < 0:
+                            break
+                        emitted_row = True
+                        st.produced += 1
+                        n_launch_toks += 1
+                        if not st.cancelled:
+                            st.out.put(int(t))
+                    if emitted_row:
+                        METRICS.inc("legalrag_gen_spec_rounds",
+                                    engine="paged-spec")
+                if bool(eos_host[i]) or st.produced >= st.max_new:
                     self._finish(i)
-                    break
-        METRICS.inc("legalrag_gen_tokens", n_launch_toks, engine="paged")
+            METRICS.inc("legalrag_gen_tokens", n_launch_toks,
+                        engine="paged-spec")
+        else:
+            (toks, self._pools, self._last, self._pos, self._keys,
+             self._rep, _, self._cstate) = self._decode_fn(
+                self.params, self._pools, self._last, self._pos,
+                self._keys, self._rep, self._cstate, self._table_dev(),
+                temp, top_p, topk, minp, pen, eos, limit, active, ctable,
+                cacc, n_steps=self.decode_chunk)
+            toks_host = np.asarray(toks)                     # [n_steps, S]
+            n_launch_toks = 0
+            for i, st in enumerate(self._slots):
+                if st is None:
+                    continue
+                for t in toks_host[:, i].tolist():
+                    if t < 0:
+                        break
+                    if st.eos_id is not None and t == st.eos_id:
+                        self._finish(i)
+                        break
+                    st.produced += 1
+                    n_launch_toks += 1
+                    if not st.cancelled:
+                        st.out.put(int(t))
+                    if st.produced >= st.max_new:
+                        self._finish(i)
+                        break
+            METRICS.inc("legalrag_gen_tokens", n_launch_toks,
+                        engine="paged")
         r = self.radix
         METRICS.set_gauge("legalrag_paged_free_blocks", len(r.free))
         METRICS.set_gauge("legalrag_paged_cached_blocks", r.evictable)
@@ -683,15 +1072,19 @@ class PagedDecoderLM:
             raise ValueError("constrain=True but the engine was built "
                              "without a json_constraint")
         t = len(prompt_ids)
-        if t >= self.max_len:
+        if t >= self.max_len - self.spec_k:
             raise ValueError(
                 f"prompt ({t} tokens) does not fit the {self.max_len}-token"
-                " budget; truncate the prompt before generation")
-        budget = self.max_len - t
+                f" budget (spec_k={self.spec_k}); truncate the prompt "
+                "before generation")
+        # spec mode reserves spec_k rows of KV headroom (every verify
+        # writes k rows past the last accepted position)
+        budget = self.max_len - t - self.spec_k
         if max_new_tokens > budget:
             log.warning("max_new_tokens %d exceeds cache budget %d "
-                        "(prompt %d / max_len %d); clamping",
-                        max_new_tokens, budget, t, self.max_len)
+                        "(prompt %d / max_len %d / spec_k %d); clamping",
+                        max_new_tokens, budget, t, self.max_len,
+                        self.spec_k)
             max_new_tokens = budget
         st = _Stream(list(prompt_ids), max_new_tokens, eos_id, temperature,
                      top_p, seed, repetition_penalty, top_k, min_p)

@@ -18,6 +18,15 @@ from typing import Iterable, List
 
 _EN_TOKEN = re.compile(r"[A-Za-z0-9]+(?:'[A-Za-z0-9]+)?")
 _ZH_CHAR = re.compile(r"[一-鿿]")
+# hyphenated statute section references ("2-306", "2A-201", "9-102a";
+# the same shapes whether written "§ 2-306", "Section 2-306" or bare).
+# The word regex above shreds them into high-df digit runs ("2", "306"),
+# which erases the only exact lexical route from a citation-shaped query
+# to its section — the dominant en retrieval failure (EVAL.md round-3 en
+# held split). Emitted as ONE canonical uppercase token alongside the
+# word tokens, giving BM25 a low-df exact term and the hash encoder an
+# exact-match feature.
+_EN_SECREF = re.compile(r"\b(\d{1,2}[A-Za-z]?)\s*[-–—]\s*(\d{1,4}[A-Za-z]?)\b")
 
 _FNV_OFFSET = 0xCBF29CE484222325
 _FNV_PRIME = 0x100000001B3
@@ -86,9 +95,22 @@ def _tokenize_zh_cached(text: str) -> tuple:
     return tuple(toks) + _tokenize_en_cached(text)
 
 
+@lru_cache(maxsize=8192)
+def _secrefs_en_cached(text: str) -> tuple:
+    return tuple(f"{m.group(1)}-{m.group(2)}".upper()
+                 for m in _EN_SECREF.finditer(text))
+
+
+def secrefs_en(text: str) -> List[str]:
+    """Canonical section-ref tokens found in ``text`` ("2A-201" style)."""
+    return list(_secrefs_en_cached(text))
+
+
 def tokenize_en(text: str) -> List[str]:
     # LRU'd: one query is tokenized by three encode paths per request
-    # (BM25 term ids, sketch features, token vectors)
+    # (BM25 term ids, sketch features, token vectors). Word tokens only —
+    # section-ref tokens are appended by :func:`tokenize` (keeps the
+    # native tokenize_ascii parity contract byte-for-byte).
     return list(_tokenize_en_cached(text))
 
 
@@ -104,7 +126,9 @@ def tokenize_zh(text: str) -> List[str]:
 
 
 def tokenize(text: str, lang: str) -> List[str]:
-    return tokenize_zh(text) if lang == "zh" else tokenize_en(text)
+    if lang == "zh":
+        return tokenize_zh(text)
+    return tokenize_en(text) + secrefs_en(text)
 
 
 def char_ngrams(token: str, n_min: int = 3, n_max: int = 4) -> Iterable[str]:
@@ -125,6 +149,9 @@ def hash_features(text: str, lang: str, *, with_ngrams: bool = True) -> List[str
         feats.extend(a + b for a, b in zip(chars, chars[1:]))
     if with_ngrams:
         for t in toks:
-            if lang != "zh" and len(t) > 3:
+            # section-ref tokens ("2-306") stay exact-match only: char
+            # ngrams would bleed similarity onto ADJACENT sections
+            # (2-305 vs 2-306 are different provisions)
+            if lang != "zh" and len(t) > 3 and "-" not in t:
                 feats.extend(char_ngrams(t))
     return feats

@@ -274,16 +274,34 @@ def bench_spec(args, cfg, params, rng) -> None:
                          decode_chunk=chunk, kv_quant=args.kv_quant)
     sum(1 for _ in plain.generate_stream(prompt,
                                          max_new_tokens=2 * chunk))  # warm
-    best = None
+    best, plain_out = None, []
     for _ in range(3):
         t0 = _time.perf_counter()
-        n_plain = sum(1 for _ in plain.generate_stream(
-            prompt, max_new_tokens=args.new))
+        plain_out = list(plain.generate_stream(prompt,
+                                               max_new_tokens=args.new))
         dt = _time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
+    n_plain = len(plain_out)
     plain_tps = n_plain / best
     log(f"[plain chunk={chunk}] {n_plain} tokens in {best:.2f}s -> "
         f"{plain_tps:.1f} tok/s")
+
+    oracle = None
+    if args.spec_oracle:
+        # --spec-oracle: build the corpus n-gram table FROM the plain
+        # run's own greedy output. Greedy decoding is deterministic, so
+        # table drafts now match the verify targets — this measures the
+        # speculation machinery's CEILING at near-full acceptance, the
+        # deployment case where answers quote provisions that are in the
+        # corpus draft table (random-init weights can't quote their
+        # prompt, so default acceptance is ~0 and says nothing about the
+        # machinery — see BENCH r04 notes).
+        from legalrag_tpu.models.ngram_draft import NgramDraftTable
+
+        oracle = NgramDraftTable.from_streams(
+            [list(prompt) + plain_out], k=k)
+        log(f"[oracle] n-gram table from the plain output: "
+            f"{oracle.stats()}")
 
     draft = None
     if args.draft_layers:
@@ -299,16 +317,21 @@ def bench_spec(args, cfg, params, rng) -> None:
             "acceptance is a floor)")
     spec = SpecLookupDecoderLM(params, cfg, max_len=args.max_len,
                                spec_k=k, spec_steps=4,
-                               kv_quant=args.kv_quant, draft=draft)
+                               kv_quant=args.kv_quant, draft=draft,
+                               ngram_draft=oracle)
     sum(1 for _ in spec.generate_stream(prompt, max_new_tokens=2 * k))
-    best, stats = None, None
+    best, stats, spec_out = None, None, []
     for _ in range(3):
         t0 = _time.perf_counter()
-        n_spec = sum(1 for _ in spec.generate_stream(
-            prompt, max_new_tokens=args.new))
+        spec_out = list(spec.generate_stream(prompt,
+                                             max_new_tokens=args.new))
         dt = _time.perf_counter() - t0
         if best is None or dt < best:
             best, stats = dt, dict(spec.last_stats)
+    n_spec = len(spec_out)
+    if spec_out != plain_out:  # greedy spec is token-identical by contract
+        log(f"WARNING: spec/plain output DIVERGED at "
+            f"{next(i for i, (a, b) in enumerate(zip(spec_out, plain_out)) if a != b)}")
     spec_tps = n_spec / best
     rounds = max(stats.get("spec_rounds", 1), 1)
     accept = (stats["tokens"] - 1) / rounds  # tokens per speculation round
@@ -323,6 +346,7 @@ def bench_spec(args, cfg, params, rng) -> None:
         "plain_tok_per_s": round(plain_tps, 1),
         "speedup_vs_plain": round(spec_tps / plain_tps, 2),
         "accepted_per_round": round(accept, 2),
+        "oracle_table": bool(args.spec_oracle),
         "launches": stats["launches"],
         "prompt_len": args.prompt_len,
         "new_tokens": args.new,
@@ -412,6 +436,12 @@ def main() -> None:
                     "(models/spec_decode.py) with draft length K vs plain "
                     "chunked decode; reports measured acceptance "
                     "(tokens per speculation round)")
+    ap.add_argument("--spec-oracle", action="store_true",
+                    help="with --spec: feed an n-gram draft table built "
+                    "from the plain run's own greedy output — measures "
+                    "the machinery's ceiling at near-full acceptance "
+                    "(random-init weights can't quote their prompt, so "
+                    "default acceptance is ~0)")
     ap.add_argument("--kv-quant", action="store_true",
                     help="int8 KV cache (models/decoder.py quantize_kv) "
                     "in every engine benchmarked — quantifies the "

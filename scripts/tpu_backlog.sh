@@ -71,4 +71,19 @@ timeout 3600 python -m scripts.bench_decode --weight-quant --weight-bits 4 \
   && note "bench_decode --weight-bits 4 ok: $(cat "$OUT/decode_wquant4.json")" \
   || note "bench_decode --weight-bits 4 FAILED"
 
+# 6. paged-KV engine: paging overhead vs contiguous batched at equal
+# occupancy + radix prefix-reuse TTFT (round-4 addition)
+timeout 3600 python -m scripts.bench_decode --paged 4 \
+  >"$OUT/decode_paged.json" 2>"$OUT/decode_paged.log" \
+  && note "bench_decode --paged 4 ok: $(cat "$OUT/decode_paged.json")" \
+  || note "bench_decode --paged FAILED"
+
+# 7. speculation ceiling: oracle n-gram table (near-full acceptance, the
+# deployment case where answers quote corpus provisions). Random-init
+# default acceptance ~0 says nothing about the machinery.
+timeout 3600 python -m scripts.bench_decode --spec 8 --spec-oracle \
+  >"$OUT/decode_spec_oracle.json" 2>"$OUT/decode_spec_oracle.log" \
+  && note "bench_decode --spec 8 --spec-oracle ok: $(cat "$OUT/decode_spec_oracle.json")" \
+  || note "bench_decode --spec-oracle FAILED"
+
 note "backlog done"

@@ -446,11 +446,14 @@ def test_apply_tp_rejects_active_streams(tiny_constrained):
     engine = PagedDecoderLM(params, cfg, max_len=96, n_slots=2,
                             decode_chunk=4, block_size=8)
     try:
-        gen = engine.generate_stream([12, 14], max_new_tokens=8)
-        next(gen)  # admit the stream: a slot is now active
+        # mark a slot occupied directly — driving a real stream here is
+        # racy (the worker thread can finish it and free the slot before
+        # the guard runs); the guard only inspects slot occupancy
+        engine._slots[0] = object()
         with pytest.raises(RuntimeError, match="before any stream"):
             apply_tp_to_engine(engine, make_mesh(devs[:2], data=1,
                                                  model=2))
-        list(gen)  # drain so close() has no live stream
+        engine._slots[0] = None
+        apply_tp_to_engine(engine, make_mesh(devs[:2], data=1, model=2))
     finally:
         engine.close()
