@@ -189,6 +189,10 @@ class LLMConfig(BaseModel):
     # sections schema the SSE scanner expects; EOS unlocks only when the
     # document is complete. Exact in EVERY engine, incl. the speculative
     # ones (a per-position DFA fold over the drafts inside the verify).
+    # Budget-forced completion: near max_new_tokens the mask restricts
+    # to transitions that can still finish, so streams whose budget
+    # covers the schema's shortest document END COMPLETE, never as a
+    # truncated prefix (constrain.py budget_force).
     constrain_json: bool = False
     # HF RepetitionPenaltyLogitsProcessor semantics (the reference's
     # qwen-local passes 1.05); 1.0 = off. Exact in EVERY engine, incl.

@@ -60,6 +60,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from legalrag_tpu.models.constrain import budget_force
 from legalrag_tpu.models.decoder import (DecoderConfig, PrefixKVCache,
                                          _warp_filter,
                                          apply_repetition_penalty,
@@ -391,7 +392,13 @@ class BatchedDecoderLM:
         """Schema-DFA mask for the admission-time first token: from state
         ``cs0`` (−2 = unconstrained stream, passes through) only tokens
         with a valid transition survive, EOS (``eos_j``) only if
-        accepting. No-op trace when the engine has no constraint."""
+        accepting. No-op trace when the engine has no constraint.
+
+        Budget forcing (models/constrain.py budget_force) starts at the
+        first IN-SCAN decode step, not here: at admission the full
+        ``max_new`` budget remains, so forcing could only matter for
+        budgets below the schema's shortest document (min_budget), which
+        fall back to best-effort valid-prefix output anyway."""
         jc = self.json_constraint
         if jc is None:
             return scored
@@ -602,7 +609,7 @@ class BatchedDecoderLM:
 
     def _decode_chunk(self, params, cache, last, pos, keys, rep, temp,
                       top_p, topk, minp, pen, eos_ids, limit, active,
-                      offv, shared_kv, cstate, ctable, cacc,
+                      offv, shared_kv, cstate, ctable, cacc, cdist,
                       n_steps: int):
         """``n_steps`` batched sample+decode steps in ONE program.
 
@@ -628,6 +635,12 @@ class BatchedDecoderLM:
                 allowed = jnp.where(eos_col,
                                     (cacc[st_] | (cstate < 0))[:, None],
                                     (row >= 0) | uncon)
+                # budget-forced completion per slot: `limit − pos` tokens
+                # remain (incl. this one); unconstrained slots (cstate<0)
+                # keep their all-open mask
+                forced = budget_force(allowed, row, cdist,
+                                      (limit - pos)[:, None], eos_col)
+                allowed = jnp.where(uncon, allowed, forced)
                 scored = jnp.where(allowed, scored, -1e30)
             gtok = jnp.argmax(scored, axis=-1).astype(jnp.int32)
             scaled = scored / jnp.maximum(temp, 1e-6)[:, None]
@@ -704,7 +717,8 @@ class BatchedDecoderLM:
     def _spec_decode(self, params, cache, tokens, pos, keys, pending, rep,
                      temp, top_p, topk, minp, pen, eos_ids, limit,
                      active, offv, shared_kv, cstate, ctable, cacc,
-                     nka, nkb, nvals, dparams=None, dcache=None):
+                     nka, nkb, nvals, dparams=None, dcache=None,
+                     cdist=None):
         """``spec_steps`` batched speculation rounds in ONE program.
 
         Vectorizes models/spec_decode.py over slots: per-slot bigram match
@@ -824,10 +838,17 @@ class BatchedDecoderLM:
                         jnp.int32(-1)))
                 st_mat = jnp.stack(sts, axis=1)              # [S, k+1]
                 st_c = jnp.maximum(st_mat, 0)
-                allow = ctable[st_c] >= 0                    # [S, k+1, V]
-                allow = jnp.where(jnp.arange(v)[None, None, :]
-                                  == eos_ids[:, None, None],
-                                  cacc[st_c][:, :, None], allow)
+                row_c = ctable[st_c]                         # [S, k+1, V]
+                eos_col = (jnp.arange(v)[None, None, :]
+                           == eos_ids[:, None, None])
+                allow = jnp.where(eos_col, cacc[st_c][:, :, None],
+                                  row_c >= 0)
+                # budget-forced completion: verify position i of slot s
+                # writes sequence position pos+1+i, so its remaining
+                # budget (incl. itself) is limit − pos − 1 − i
+                left = (limit[:, None] - pos[:, None] - 1 - iota[None, :])
+                allow = budget_force(allow, row_c, cdist,
+                                     left[:, :, None], eos_col)
                 allow = jnp.where((st_mat >= 0)[:, :, None], allow, True)
                 logits = jnp.where(allow, logits, -1e30)
             gtok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -1187,7 +1208,8 @@ class BatchedDecoderLM:
                 minp, pen, eos, limit, active, offv, skv, self._cstate,
                 jc.table if jc else None, jc.accepting if jc else None,
                 *ng, self.draft_params,
-                self._dcache if self.draft_params is not None else None)
+                self._dcache if self.draft_params is not None else None,
+                cdist=jc.dist if jc else None)
             if self.draft_params is not None:
                 self._dcache = dcache
             # deferred admission first tokens: the int() syncs overlap the
@@ -1239,6 +1261,7 @@ class BatchedDecoderLM:
                             self._cstate,
                             jc.table if jc else None,
                             jc.accepting if jc else None,
+                            jc.dist if jc else None,
                             n_steps=self.decode_chunk)
         toks_host = np.asarray(toks)                         # [n_steps, S]
         n_launch_toks = 0

@@ -22,6 +22,12 @@ Design (the outlines/jsonformer idea, expressed for XLA):
    apply ``table[state] >= 0`` as a hard logits mask (EOS allowed only in
    accepting states) — two gathers per step inside the jitted scan, no
    host round trips. State update: ``state = table[state, tok]``.
+4. ``token_dist_to_accept`` precomputes each state's minimum tokens to
+   acceptance; ``budget_force`` additionally masks to transitions that
+   can still finish within the stream's remaining budget, so constrained
+   streams END COMPLETE whenever ``max_new_tokens ≥ min_budget`` (the
+   jsonformer/outlines max-length guarantee), in every engine including
+   under speculation.
 
 The constraint is a logits *processor* (HF ``prefix_allowed_tokens_fn``
 altitude): it applies before the temperature/top-k/top-p/min-p warpers,
@@ -255,6 +261,54 @@ def compile_token_table(trans: np.ndarray, accepting: np.ndarray,
     return table.astype(np.int32), accepting
 
 
+def budget_force(allowed, row, cdist, left, eos_col):
+    """Budget-forced completion mask (shared by every engine's in-scan
+    constraint): restrict ``allowed`` ([..., V] bool) to transitions
+    whose ``dist[next] <= left − 1`` so the remaining budget always
+    suffices to finish the document. ``row`` is the DFA transition row
+    ([..., V] int32), ``left`` the remaining token budget INCLUDING the
+    token being sampled (broadcastable to [..., 1]), ``eos_col`` the EOS
+    column mask (EOS keeps its ``allowed`` value — legal only in
+    accepting states, where dist is already 0). When nothing fits (the
+    budget was infeasible from the start) the row falls back to plain
+    ``allowed``: best-effort valid prefix instead of an all-masked row."""
+    import jax.numpy as jnp
+
+    feas = allowed & (eos_col | (cdist[jnp.maximum(row, 0)] <= left - 1))
+    ok = jnp.any(feas, axis=-1, keepdims=True)
+    return jnp.where(ok, feas, allowed)
+
+
+def token_dist_to_accept(table: np.ndarray,
+                         accepting: np.ndarray) -> np.ndarray:
+    """Minimum number of TOKENS from each DFA state to an accepting
+    state, over the token-level table ([S, V] int32, −1 forbidden).
+
+    Powers budget-forced completion: near the end of a stream's token
+    budget the engines restrict the mask to transitions whose
+    ``dist[next] <= tokens_left − 1``, so a constrained stream ends as a
+    COMPLETE schema-valid document whenever the budget allows one (the
+    jsonformer/outlines max-length guarantee; the reference has no
+    structured output at all). ``compile_token_table`` prunes dead ends,
+    so every state has finite distance; unreachable is clamped large."""
+    big = np.int32(1 << 24)
+    s_n = table.shape[0]
+    # compact adjacency (unique successor states per state): the value
+    # iteration is then O(iters × total_edges), not O(iters × S × V)
+    nexts = [np.unique(table[s][table[s] >= 0]) for s in range(s_n)]
+    dist = np.where(accepting, 0, int(big)).astype(np.int64)
+    changed = True
+    while changed:
+        changed = False
+        for s in range(s_n):
+            if nexts[s].size:
+                nd = 1 + dist[nexts[s]].min()
+                if nd < dist[s]:
+                    dist[s] = nd
+                    changed = True
+    return np.minimum(dist, big).astype(np.int32)
+
+
 SECTIONS_SCHEMA = {"sections": [{"heading": "string",
                                  "items": ["string"]}]}
 
@@ -268,8 +322,15 @@ class JsonConstraint:
                  start: int = 0):
         import jax.numpy as jnp
 
+        dist = token_dist_to_accept(np.asarray(table),
+                                    np.asarray(accepting))
         self.table = jnp.asarray(table)
         self.accepting = jnp.asarray(accepting)
+        # [S] min tokens to acceptance (budget-forced completion)
+        self.dist = jnp.asarray(dist)
+        # smallest budget that can complete a document from the start
+        # state — callers can validate max_new_tokens up front
+        self.min_budget = int(dist[start])
         self.start = start
 
     @classmethod

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from legalrag_tpu.models.constrain import budget_force
 from legalrag_tpu.utils import get_logger
 from legalrag_tpu.utils.device import on_device
 
@@ -1221,7 +1222,7 @@ class JaxDecoderLM:
 
     def _chunk(self, params, last, pos0, cache, key, temperature, top_p,
                top_k, min_p, rep_mask, penalty, cstate, ctable, cacc, ceos,
-               n_steps: int, greedy: bool):
+               cdist, climit, n_steps: int, greedy: bool):
         """``n_steps`` sample+decode steps in ONE program (lax.scan):
         returns (tokens [n_steps, B], last logits, cache, key, rep_mask,
         cstate). Token semantics match the per-token loop exactly for
@@ -1237,8 +1238,13 @@ class JaxDecoderLM:
             scored = apply_repetition_penalty(last, rep_mask, penalty)
             if ctable is not None:
                 row = ctable[cstate]                            # [V]
-                allowed = jnp.where(jnp.arange(row.shape[0]) == ceos,
-                                    cacc[cstate], row >= 0)
+                eos_col = jnp.arange(row.shape[0]) == ceos
+                allowed = jnp.where(eos_col, cacc[cstate], row >= 0)
+                # budget-forced completion: with `left` tokens remaining
+                # (incl. this one), only transitions that can still reach
+                # acceptance stay open (models/constrain.py budget_force)
+                allowed = budget_force(allowed, row, cdist, climit - pos,
+                                       eos_col)
                 scored = jnp.where(allowed[None, :], scored, -1e30)
             if greedy:
                 tok = jnp.argmax(scored, axis=-1).astype(jnp.int32)
@@ -1311,7 +1317,15 @@ class JaxDecoderLM:
             cstate = jnp.int32(jc.start) if jc else jnp.int32(0)
             ctable = jc.table if jc else None
             cacc = jc.accepting if jc else None
+            cdist = jc.dist if jc else None
+            climit = jnp.int32(t + max_new_tokens)
             ceos = jnp.int32(-1 if eos_id is None else eos_id)
+            if jc is not None and max_new_tokens < jc.min_budget:
+                log.warning(
+                    "constrained stream budget %d < shortest valid "
+                    "document (%d tokens); output will be a valid "
+                    "prefix, not a complete document",
+                    max_new_tokens, jc.min_budget)
             pos, produced = t, 0
             # full chunks via ONE scan program per launch; the sub-chunk
             # tail falls back to per-token steps so the program set stays
@@ -1320,8 +1334,8 @@ class JaxDecoderLM:
                 (toks, last, cache, key, rep_mask,
                  cstate) = self._decode_chunk_fn(
                     self.params, last, pos, cache, key, temp, tp, tk, mp,
-                    rep_mask, pen, cstate, ctable, cacc, ceos,
-                    n_steps=self.decode_chunk, greedy=greedy)
+                    rep_mask, pen, cstate, ctable, cacc, ceos, cdist,
+                    climit, n_steps=self.decode_chunk, greedy=greedy)
                 pos += self.decode_chunk
                 produced += self.decode_chunk
                 for tok_host in np.asarray(toks)[:, 0].tolist():
@@ -1332,9 +1346,11 @@ class JaxDecoderLM:
                 scored = apply_repetition_penalty(last, rep_mask, pen)
                 if jc is not None:
                     row = jc.table[cstate]
-                    allowed = jnp.where(
-                        jnp.arange(row.shape[0]) == ceos,
-                        jc.accepting[cstate], row >= 0)
+                    eos_col = jnp.arange(row.shape[0]) == ceos
+                    allowed = jnp.where(eos_col, jc.accepting[cstate],
+                                        row >= 0)
+                    allowed = budget_force(allowed, row, cdist,
+                                           climit - (pos + i), eos_col)
                     scored = jnp.where(allowed[None, :], scored, -1e30)
                 if greedy:
                     tok = jnp.argmax(scored, axis=-1).astype(jnp.int32)

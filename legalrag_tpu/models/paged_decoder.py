@@ -82,6 +82,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from legalrag_tpu.models.constrain import budget_force
 from legalrag_tpu.models.batched_decoder import (BatchedDecoderLM,
                                                  _sample_top_p_per_slot)
 from legalrag_tpu.models.decoder import (DecoderConfig, _warp_filter,
@@ -432,7 +433,7 @@ class PagedDecoderLM:
 
     def _decode_chunk(self, params, pools, last, pos, keys, rep, cstate,
                       tables, temp, top_p, topk, minp, pen, eos_ids, limit,
-                      active, ctable, cacc, n_steps: int):
+                      active, ctable, cacc, cdist, n_steps: int):
         """``n_steps`` batched sample+decode steps in ONE program —
         the paged twin of BatchedDecoderLM._decode_chunk. Frozen slots
         keep scattering one k/v row at their frozen position, but only
@@ -459,6 +460,11 @@ class PagedDecoderLM:
                 allowed = jnp.where(eos_col,
                                     (cacc[st_] | (cstate < 0))[:, None],
                                     (row >= 0) | uncon)
+                # budget-forced completion per slot (same semantics as
+                # the contiguous engines): `limit − pos` tokens remain
+                forced = budget_force(allowed, row, cdist,
+                                      (limit - pos)[:, None], eos_col)
+                allowed = jnp.where(uncon, allowed, forced)
                 scored = jnp.where(allowed, scored, -1e30)
             gtok = jnp.argmax(scored, axis=-1).astype(jnp.int32)
             scaled = scored / jnp.maximum(temp, 1e-6)[:, None]
@@ -526,7 +532,7 @@ class PagedDecoderLM:
     def _spec_decode(self, params, pools, tokens, pos, keys, pending, rep,
                      tables, temp, top_p, topk, minp, pen, eos_ids, limit,
                      active, cstate, ctable, cacc, nka, nkb, nvals,
-                     dparams=None, dcache=None):
+                     dparams=None, dcache=None, cdist=None):
         """``spec_steps`` speculation rounds in ONE program — the paged
         twin of ``BatchedDecoderLM._spec_decode``. The [S, k+1] verify
         forward writes candidate KV rows through each slot's block table
@@ -626,10 +632,17 @@ class PagedDecoderLM:
                         jnp.int32(-1)))
                 st_mat = jnp.stack(sts, axis=1)              # [S, k+1]
                 st_c = jnp.maximum(st_mat, 0)
-                allow = ctable[st_c] >= 0                    # [S, k+1, V]
-                allow = jnp.where(jnp.arange(v)[None, None, :]
-                                  == eos_ids[:, None, None],
-                                  cacc[st_c][:, :, None], allow)
+                row_c = ctable[st_c]                         # [S, k+1, V]
+                eos_col = (jnp.arange(v)[None, None, :]
+                           == eos_ids[:, None, None])
+                allow = jnp.where(eos_col, cacc[st_c][:, :, None],
+                                  row_c >= 0)
+                # budget-forced completion (see batched_decoder): verify
+                # position i writes sequence position pos+1+i, so its
+                # remaining budget (incl. itself) is limit − pos − 1 − i
+                left = (limit[:, None] - pos[:, None] - 1 - iota[None, :])
+                allow = budget_force(allow, row_c, cdist,
+                                     left[:, :, None], eos_col)
                 allow = jnp.where((st_mat >= 0)[:, :, None], allow, True)
                 logits = jnp.where(allow, logits, -1e30)
             gtok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -972,7 +985,8 @@ class PagedDecoderLM:
                 self._keys, self._pend_tok, self._rep, self._table_dev(),
                 temp, top_p, topk, minp, pen, eos, limit, active,
                 self._cstate, ctable, cacc, *ng, self.draft_params,
-                self._dcache if self.draft_params is not None else None)
+                self._dcache if self.draft_params is not None else None,
+                cdist=None if jc is None else jc.dist)
             if self.draft_params is not None:
                 self._dcache = dcache
             # deferred admission first tokens: the int() syncs overlap
@@ -1020,7 +1034,8 @@ class PagedDecoderLM:
                 self.params, self._pools, self._last, self._pos,
                 self._keys, self._rep, self._cstate, self._table_dev(),
                 temp, top_p, topk, minp, pen, eos, limit, active, ctable,
-                cacc, n_steps=self.decode_chunk)
+                cacc, None if jc is None else jc.dist,
+                n_steps=self.decode_chunk)
             toks_host = np.asarray(toks)                     # [n_steps, S]
             n_launch_toks = 0
             for i, st in enumerate(self._slots):

@@ -457,3 +457,148 @@ def test_apply_tp_rejects_active_streams(tiny_constrained):
         apply_tp_to_engine(engine, make_mesh(devs[:2], data=1, model=2))
     finally:
         engine.close()
+
+
+# --------------------------------------------- budget-forced completion
+
+def test_token_dist_to_accept():
+    """dist[s] = min tokens to acceptance over the token table; the toy
+    vocab's shortest document is 3 tokens ({"sections" / : [ / ]})."""
+    from legalrag_tpu.models.constrain import token_dist_to_accept
+
+    trans, acc = build_schema_dfa(SECTIONS_SCHEMA)
+    texts = _toy_vocab()
+    tb = [t.encode("utf-8") if t else None for t in texts]
+    table, acc2 = compile_token_table(trans, acc, tb)
+    dist = token_dist_to_accept(table, acc2)
+    assert (dist[acc2] == 0).all()
+    assert dist[0] == 3
+    # dead-end pruning guarantees every state the table reaches is live
+    reached = np.unique(table[table >= 0])
+    assert (dist[reached] < (1 << 24)).all()
+
+
+def test_min_budget_exposed(tiny_constrained):
+    cfg, params, jc, texts = tiny_constrained
+    assert jc.min_budget == 3
+
+
+def _assert_complete(texts, toks):
+    text = _decode_text(texts, toks)
+    trans, acc = build_schema_dfa(SECTIONS_SCHEMA)
+    assert _accepts(trans, acc, text) is True, f"incomplete: {text!r}"
+    json.loads(text)
+
+
+@pytest.mark.parametrize("temperature", [0.0, 0.9])
+@pytest.mark.parametrize("budget", [3, 7, 14])
+def test_single_stream_budget_forced_complete(tiny_constrained,
+                                              temperature, budget):
+    """With budget forcing, every constrained stream whose budget covers
+    the schema's shortest document ends COMPLETE — even when sampling
+    would otherwise keep opening new sections/items past the budget."""
+    cfg, params, jc, texts = tiny_constrained
+    lm = JaxDecoderLM(params, cfg, max_len=96, decode_chunk=4,
+                      json_constraint=jc)
+    for seed in range(3):
+        toks = list(lm.generate_stream([12, 14, 12],
+                                       max_new_tokens=budget,
+                                       temperature=temperature, seed=seed,
+                                       eos_id=EOS, constrain=True))
+        assert len(toks) <= budget
+        _assert_complete(texts, toks)
+
+
+@pytest.mark.parametrize("temperature", [0.0, 0.9])
+def test_batched_budget_forced_complete(tiny_constrained, temperature):
+    """Batched engine: forcing starts at the first in-scan step (the
+    admission token keeps the full budget), so budgets with one token of
+    headroom over min_budget always complete."""
+    cfg, params, jc, texts = tiny_constrained
+    engine = BatchedDecoderLM(params, cfg, max_len=96, n_slots=2,
+                              decode_chunk=4, json_constraint=jc)
+    try:
+        for seed, budget in ((0, 8), (1, 8), (2, 13)):
+            toks = list(engine.generate_stream(
+                [12, 14, 12], max_new_tokens=budget, eos_id=EOS,
+                temperature=temperature, seed=seed, constrain=True))
+            assert len(toks) <= budget
+            _assert_complete(texts, toks)
+    finally:
+        engine.close()
+
+
+@pytest.mark.parametrize("temperature", [0.0, 0.9])
+def test_paged_budget_forced_complete(tiny_constrained, temperature):
+    from legalrag_tpu.models.paged_decoder import PagedDecoderLM
+
+    cfg, params, jc, texts = tiny_constrained
+    engine = PagedDecoderLM(params, cfg, max_len=96, n_slots=2,
+                            decode_chunk=4, block_size=8,
+                            json_constraint=jc)
+    try:
+        for seed, budget in ((0, 8), (1, 13)):
+            toks = list(engine.generate_stream(
+                [12, 14, 12], max_new_tokens=budget, eos_id=EOS,
+                temperature=temperature, seed=seed, constrain=True))
+            assert len(toks) <= budget
+            _assert_complete(texts, toks)
+    finally:
+        engine.close()
+
+
+def test_spec_budget_forced_complete(tiny_constrained):
+    """Speculative engine: forcing is applied per verify position with a
+    per-position budget (c_left − i), so accepted drafts can never
+    overshoot past a completable suffix."""
+    cfg, params, jc, texts = tiny_constrained
+    spec = SpecLookupDecoderLM(params, cfg, max_len=96, spec_k=4,
+                               spec_steps=2, json_constraint=jc)
+    for seed, budget in ((0, 7), (1, 12), (2, 16)):
+        toks = list(spec.generate_stream([12, 14, 12],
+                                         max_new_tokens=budget,
+                                         temperature=0.9, seed=seed,
+                                         eos_id=EOS, constrain=True))
+        assert len(toks) <= budget
+        _assert_complete(texts, toks)
+
+
+def test_budget_forced_greedy_parity_across_engines(tiny_constrained):
+    """Forcing preserves cross-engine greedy parity at tight budgets."""
+    from legalrag_tpu.models.paged_decoder import PagedDecoderLM
+
+    cfg, params, jc, texts = tiny_constrained
+    plain = JaxDecoderLM(params, cfg, max_len=96, decode_chunk=1,
+                         json_constraint=jc)
+    want = list(plain.generate_stream([12, 14, 12], max_new_tokens=9,
+                                      eos_id=EOS, constrain=True))
+    _assert_complete(texts, want)
+    batched = BatchedDecoderLM(params, cfg, max_len=96, n_slots=2,
+                               decode_chunk=4, json_constraint=jc)
+    try:
+        got_b = list(batched.generate_stream([12, 14, 12],
+                                             max_new_tokens=9,
+                                             eos_id=EOS, constrain=True))
+    finally:
+        batched.close()
+    paged = PagedDecoderLM(params, cfg, max_len=96, n_slots=2,
+                           decode_chunk=4, block_size=8,
+                           json_constraint=jc)
+    try:
+        got_p = list(paged.generate_stream([12, 14, 12], max_new_tokens=9,
+                                           eos_id=EOS, constrain=True))
+    finally:
+        paged.close()
+    assert got_b == want and got_p == want
+
+
+def test_infeasible_budget_still_valid_prefix(tiny_constrained):
+    """A budget below the shortest document can't complete; forcing
+    falls back to plain DFA masking (best-effort valid prefix)."""
+    cfg, params, jc, texts = tiny_constrained
+    lm = JaxDecoderLM(params, cfg, max_len=96, decode_chunk=4,
+                      json_constraint=jc)
+    toks = list(lm.generate_stream([12, 14, 12], max_new_tokens=2,
+                                   eos_id=EOS, constrain=True))
+    trans, acc = build_schema_dfa(SECTIONS_SCHEMA)
+    assert _accepts(trans, acc, _decode_text(texts, toks)) is not None
