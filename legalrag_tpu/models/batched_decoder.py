@@ -748,7 +748,10 @@ class BatchedDecoderLM:
                 dcache_c = None
             # trigram-preferred prompt lookup, source 1 (see
             # spec_decode.py — draft quality only affects acceptance,
-            # never output)
+            # never output). Full-window matches (j ≤ pos − k, the whole
+            # continuation already written) are preferred per slot;
+            # partial windows draft unwritten buffer beyond the overlap
+            # and are kept only as a last resort (spec_decode.py).
             a_tok = tokens[sidx, jnp.maximum(pos - 1, 0)]
             a2_tok = tokens[sidx, jnp.maximum(pos - 2, 0)]
             prev = jnp.concatenate([tokens[:, :1], tokens[:, :-1]],
@@ -760,26 +763,32 @@ class BatchedDecoderLM:
                     & (tokens == pending[:, None]))
             hit3 = (hit2 & (idx_row >= 2) & (prev2 == a2_tok[:, None])
                     & (pos >= 2)[:, None])
+            full = idx_row <= (pos - k)[:, None]
+            j3f = jnp.max(jnp.where(hit3 & full, idx_row, -1), axis=1)
+            j2f = jnp.max(jnp.where(hit2 & full, idx_row, -1), axis=1)
+            jf = jnp.where(j3f >= 0, j3f, j2f)
             j3 = jnp.max(jnp.where(hit3, idx_row, -1), axis=1)
             j2 = jnp.max(jnp.where(hit2, idx_row, -1), axis=1)
-            j = jnp.where(j3 >= 0, j3, j2)
+            j = jnp.where(jf >= 0, jf, jnp.where(j3 >= 0, j3, j2))
             draft = jax.vmap(
                 lambda row, jj: jax.lax.dynamic_slice(row, (jj + 1,),
                                                       (k,))
             )(tokens, j)
+            havek = jf >= 0                # full-window draft per slot
             if nvals is not None:
-                # source 2, corpus-table fallback for slots whose
-                # in-sequence lookup missed: one vectorized hash probe of
-                # the direct-mapped bigram table (same uint32 Knuth hash
-                # as the host builder); mismatches keep the sliced draft
-                # — both paths only affect acceptance, never output
+                # source 2, corpus table for slots with no FULL
+                # in-sequence window (its k-token chain beats a partial
+                # window): one vectorized hash probe of the direct-mapped
+                # bigram table (same uint32 Knuth hash as the host
+                # builder); mismatches keep the sliced draft — both
+                # paths only affect acceptance, never output
                 h = ((a_tok.astype(jnp.uint32)
                       * jnp.uint32(2654435761)
                       + pending.astype(jnp.uint32))
                      & jnp.uint32(nsize - 1)).astype(jnp.int32)
-                ok = (j < 0) & (nka[h] == a_tok) & (nkb[h] == pending)
+                ok = (~havek) & (nka[h] == a_tok) & (nkb[h] == pending)
                 draft = jnp.where(ok[:, None], nvals[h], draft)
-                j = jnp.where(ok, jnp.int32(0), j)  # table hit = a hit
+                havek = havek | ok
             if dparams is not None:
                 # source 3, DRAFT MODEL for slots whose lookup missed: k
                 # greedy [S, 1] draft steps (inner lax.scan — one host
@@ -799,7 +808,7 @@ class BatchedDecoderLM:
                     return (dcache_i, nxt), nxt
                 (dcache_c, _), draft_t = jax.lax.scan(
                     dstep, (dcache_c, pending), iota[:k])
-                draft = jnp.where((j < 0)[:, None], draft_t.T, draft)
+                draft = jnp.where((~havek)[:, None], draft_t.T, draft)
             seq = jnp.concatenate([pending[:, None], draft], axis=1)
             positions = pos[:, None] + iota[None, :]
             logits, cache = decoder_forward(params, self.cfg, seq,

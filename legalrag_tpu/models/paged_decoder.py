@@ -557,7 +557,9 @@ class PagedDecoderLM:
                  cstate) = carry
                 dcache_c = None
             # trigram-preferred prompt lookup, source 1 (spec_decode.py —
-            # draft quality only affects acceptance, never output)
+            # draft quality only affects acceptance, never output);
+            # full-window matches preferred, partial windows last resort
+            # (spec_decode.py)
             a_tok = tokens[sidx, jnp.maximum(pos - 1, 0)]
             a2_tok = tokens[sidx, jnp.maximum(pos - 2, 0)]
             prev = jnp.concatenate([tokens[:, :1], tokens[:, :-1]],
@@ -569,23 +571,29 @@ class PagedDecoderLM:
                     & (tokens == pending[:, None]))
             hit3 = (hit2 & (idx_row >= 2) & (prev2 == a2_tok[:, None])
                     & (pos >= 2)[:, None])
+            full = idx_row <= (pos - k)[:, None]
+            j3f = jnp.max(jnp.where(hit3 & full, idx_row, -1), axis=1)
+            j2f = jnp.max(jnp.where(hit2 & full, idx_row, -1), axis=1)
+            jf = jnp.where(j3f >= 0, j3f, j2f)
             j3 = jnp.max(jnp.where(hit3, idx_row, -1), axis=1)
             j2 = jnp.max(jnp.where(hit2, idx_row, -1), axis=1)
-            j = jnp.where(j3 >= 0, j3, j2)
+            j = jnp.where(jf >= 0, jf, jnp.where(j3 >= 0, j3, j2))
             draft = jax.vmap(
                 lambda row, jj: jax.lax.dynamic_slice(row, (jj + 1,),
                                                       (k,))
             )(tokens, j)
+            havek = jf >= 0
             if nvals is not None:
-                # source 2, corpus-table fallback (same uint32 Knuth hash
-                # as the host builder; mismatches keep the sliced draft)
+                # source 2, corpus table when no full window (same uint32
+                # Knuth hash as the host builder; mismatches keep the
+                # sliced draft)
                 h = ((a_tok.astype(jnp.uint32)
                       * jnp.uint32(2654435761)
                       + pending.astype(jnp.uint32))
                      & jnp.uint32(nsize - 1)).astype(jnp.int32)
-                ok = (j < 0) & (nka[h] == a_tok) & (nkb[h] == pending)
+                ok = (~havek) & (nka[h] == a_tok) & (nkb[h] == pending)
                 draft = jnp.where(ok[:, None], nvals[h], draft)
-                j = jnp.where(ok, jnp.int32(0), j)  # table hit = a hit
+                havek = havek | ok
             if dparams is not None:
                 # source 3, DRAFT MODEL for slots whose lookup missed
                 # (see batched_decoder._spec_decode for the trust rule:
@@ -601,7 +609,7 @@ class PagedDecoderLM:
                     return (dcache_i, nxt), nxt
                 (dcache_c, _), draft_t = jax.lax.scan(
                     dstep, (dcache_c, pending), iota[:k])
-                draft = jnp.where((j < 0)[:, None], draft_t.T, draft)
+                draft = jnp.where((~havek)[:, None], draft_t.T, draft)
             seq = jnp.concatenate([pending[:, None], draft], axis=1)
             positions = pos[:, None] + iota[None, :]
             logits, pools = decoder_forward(params, self.cfg, seq,

@@ -330,8 +330,9 @@ def bench_spec(args, cfg, params, rng) -> None:
             best, stats = dt, dict(spec.last_stats)
     n_spec = len(spec_out)
     if spec_out != plain_out:  # greedy spec is token-identical by contract
-        log(f"WARNING: spec/plain output DIVERGED at "
-            f"{next(i for i, (a, b) in enumerate(zip(spec_out, plain_out)) if a != b)}")
+        div = next((i for i, (a, b) in enumerate(zip(spec_out, plain_out))
+                    if a != b), min(len(spec_out), len(plain_out)))
+        log(f"WARNING: spec/plain output DIVERGED at {div}")
     spec_tps = n_spec / best
     rounds = max(stats.get("spec_rounds", 1), 1)
     accept = (stats["tokens"] - 1) / rounds  # tokens per speculation round

@@ -161,3 +161,71 @@ def test_sampled_spec_is_distribution_exact(tiny):
     # total-variation noise floor for n=300 is ~0.1; a broken acceptance
     # rule (e.g. biased toward drafts) shifts mass far more than 0.2
     assert tv < 0.2, (tv, cp, cs)
+
+
+def test_full_window_acceptance_near_k():
+    """Round-5 regression for the round-4 on-chip finding (VERDICT r4 #2:
+    oracle acceptance 1.27/round vs ~k expected).
+
+    Root cause: the in-sequence lookup took the MOST RECENT bigram match,
+    which in self-repetitive text sits at pos-1 — its draft window runs
+    past the filled region into unwritten buffer, so drafts were
+    [good, 0, 0, ...] and acceptance capped near 1. The fix prefers the
+    most recent match whose whole k-token continuation is already
+    written (j <= pos - k).
+
+    A weak-init tiny model collapses to a constant/cyclic greedy stream
+    (the most speculation-friendly case); with the fix, accepted
+    tokens/round must be >= 0.8*k. Also covers the --spec-oracle framing:
+    an n-gram table built from the plain run's own output keeps the same
+    bound when the in-sequence window is preferred correctly."""
+    from legalrag_tpu.models.ngram_draft import NgramDraftTable
+
+    cfg = DecoderConfig(vocab_size=97, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        intermediate_size=64, max_position_embeddings=256,
+                        tie_word_embeddings=True)
+    rng = np.random.default_rng(3)
+
+    def mat(i, o, scale=0.04):  # weak init -> repetitive greedy stream
+        return jnp.asarray(rng.standard_normal((i, o)) * scale, jnp.float32)
+
+    h, ff, d = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim
+    hkv = cfg.num_key_value_heads
+    embed = mat(cfg.vocab_size, h, 0.1)
+    params = {
+        "embed": embed, "lm_head": embed.T,
+        "final_norm": jnp.ones(h, jnp.float32),
+        "layers": [
+            {"input_norm": jnp.ones(h, jnp.float32),
+             "q": {"kernel": mat(h, h), "bias": jnp.zeros(h)},
+             "k": {"kernel": mat(h, hkv * d), "bias": jnp.zeros(hkv * d)},
+             "v": {"kernel": mat(h, hkv * d), "bias": jnp.zeros(hkv * d)},
+             "o": {"kernel": mat(h, h)},
+             "post_norm": jnp.ones(h, jnp.float32),
+             "gate": {"kernel": mat(h, ff)},
+             "up": {"kernel": mat(h, ff)},
+             "down": {"kernel": mat(ff, h)}}
+            for _ in range(cfg.num_hidden_layers)
+        ],
+    }
+    prompt = rng.integers(1, cfg.vocab_size - 1, 24).tolist()
+    k, new = 8, 64
+    plain = JaxDecoderLM(params, cfg, max_len=256, decode_chunk=8)
+    plain_out = list(plain.generate_stream(prompt, max_new_tokens=new))
+    # the premise: the greedy stream really is self-repetitive
+    assert len(set(plain_out[16:])) <= 4, plain_out
+
+    oracle = NgramDraftTable.from_streams([prompt + plain_out], k=k)
+    # without the table the first rounds (repetition not yet established
+    # in-sequence) draft blind, so the bar is lower; WITH the oracle
+    # table every round has a correct draft source -> near-full k
+    for table, bar in ((None, 0.55 * k), (oracle, 0.8 * k)):
+        spec = SpecLookupDecoderLM(params, cfg, max_len=256, spec_k=k,
+                                   spec_steps=4, ngram_draft=table)
+        out = list(spec.generate_stream(prompt, max_new_tokens=new))
+        assert out == plain_out
+        st = spec.last_stats
+        rounds = max(st["spec_rounds"], 1)
+        accepted = (st["tokens"] - 1) / rounds
+        assert accepted >= bar, (table is not None, st, accepted)
