@@ -580,7 +580,7 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
                     kv_cache: Optional[List[Tuple[jax.Array, jax.Array]]] = None,
                     cache_len: Optional[jax.Array] = None,
                     return_hidden: bool = False,
-                    shared_kv=None, kv_offset=None, block_tables=None):
+                    shared_kv=None, kv_offset=None):
     """[B, T] ids (+ positions [B, T]) → logits [B, T, V].
 
     With ``kv_cache`` (list of ([B, S, Hkv, D], [B, S, Hkv, D]) per layer)
@@ -613,17 +613,12 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
     stays ABSOLUTE. One copy of the prefix serves all slots — S× less
     prefix HBM than per-slot installs.
 
-    ``block_tables`` ([B, MAXB] int32) selects the PAGED cache path
-    (models/paged_decoder.py): ``kv_cache`` layer entries are then batch-
-    free block POOLS ([NB, BS, Hkv, D], same dense 2-tuple / quantized
-    4-tuple format) and row ``b``'s cache row for absolute position ``p``
-    is pool[block_tables[b, p // BS], p % BS]. Writes scatter into the
-    pool (a table entry of NB — one past the last block — is a sentinel
-    whose writes DROP); reads gather the row's table into a contiguous
-    [B, MAXB*BS] view and mask exactly like the contiguous path, so
-    position semantics (causality, filled_to, sliding windows) are
-    unchanged. Mutually exclusive with ``shared_kv``/``kv_offset`` —
-    paged sharing happens at the block-table level instead.
+    The paged engine (models/paged_decoder.py) also runs through the two
+    contiguous write paths above: it gathers each slot's block table
+    into a contiguous [S, MAXB*BS, ...] view once per LAUNCH, forwards
+    through this function on that view, and scatters the written block
+    window back — per-step per-layer table indirection here measured
+    0.06x of the contiguous engine on TPU and was removed in round 5.
     """
     b, t = input_ids.shape
     h, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
@@ -661,42 +656,17 @@ def decoder_forward(params: Dict, cfg: DecoderConfig, input_ids: jax.Array,
             # prefix offset (0 when no shared segment is in play)
             row0 = cache_len if kv_offset is None else cache_len - kv_offset
 
-            if block_tables is not None:
-                # paged pools: absolute row p of batch row b lives at
-                # pool[table[b, p // BS], p % BS]; sentinel NB writes drop
-                assert shared_kv is None and kv_offset is None
-                bs_blk = kv_cache[0][0].shape[1]
-                rows_p = (jnp.broadcast_to(jnp.asarray(row0), (b,))[:, None]
-                          + jnp.arange(t)[None, :])              # [B, T]
-                blk = jnp.take_along_axis(
-                    block_tables, jnp.minimum(rows_p // bs_blk,
-                                              block_tables.shape[1] - 1),
-                    axis=1)
-                inner = rows_p % bs_blk
+            def cache_write(dst, upd):
+                if jnp.ndim(cache_len) == 0:
+                    return jax.lax.dynamic_update_slice(
+                        dst, upd, (0, row0, 0, 0))
+                # per-row offsets: row b's T new entries land at
+                # row0[b]..row0[b]+T-1 (scatter; OOB rows drop)
+                rows = row0[:, None] + jnp.arange(t)[None, :]
+                return dst.at[jnp.arange(b)[:, None], rows].set(upd)
 
-                def cache_write(dst, upd):
-                    return dst.at[blk, inner].set(upd, mode="drop")
-
-                def cache_read(pool):
-                    # mode="clip": sentinel (NB) entries must gather SOME
-                    # real block — jnp.take's default fill mode yields NaN
-                    # rows, and 0-masked × NaN = NaN through the softmax;
-                    # clipped garbage is finite and exactly zeroed by the
-                    # filled/causal mask
-                    g = jnp.take(pool, block_tables, axis=0, mode="clip")
-                    return g.reshape(b, -1, *pool.shape[2:])
-            else:
-                def cache_write(dst, upd):
-                    if jnp.ndim(cache_len) == 0:
-                        return jax.lax.dynamic_update_slice(
-                            dst, upd, (0, row0, 0, 0))
-                    # per-row offsets: row b's T new entries land at
-                    # row0[b]..row0[b]+T-1 (scatter; OOB rows drop)
-                    rows = row0[:, None] + jnp.arange(t)[None, :]
-                    return dst.at[jnp.arange(b)[:, None], rows].set(upd)
-
-                def cache_read(arr):
-                    return arr
+            def cache_read(arr):
+                return arr
 
             entry = kv_cache[li]
             if len(entry) == 4:

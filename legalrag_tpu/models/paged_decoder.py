@@ -12,12 +12,14 @@ single block POOL and subsumes both mechanisms:
 - **Block pool.** Per layer, one batch-free ``[NB, BS, Hkv, D]`` k/v
   pool (``BS`` = block_size tokens). A stream's cache is a per-slot
   block TABLE ``[MAXB]`` of pool indices; absolute position ``p`` lives
-  at ``pool[table[p // BS], p % BS]``. ``decoder_forward`` gained a
-  ``block_tables`` path: writes scatter into the pool (a sentinel table
-  entry of NB drops writes), reads gather the table into a contiguous
-  ``[B, MAXB*BS]`` view with unchanged mask semantics — so the
-  attention math, sliding windows, and the int8 KV-quant path are
-  shared with every other engine, not re-implemented.
+  at ``pool[table[p // BS], p % BS]``. Each LAUNCH gathers every slot's
+  table into a contiguous ``[S, MAXB*BS]`` view once, runs the plain
+  contiguous decode/verify scan over it (so the attention math, sliding
+  windows, and the int8 KV-quant path are shared with every other
+  engine, not re-implemented), and scatters only the written block
+  window back (a sentinel table entry of NB drops writes) — see the
+  gather/compute/scatter note at ``_gather_pools``; per-step table
+  indirection measured 0.06x of contiguous on TPU and was removed.
 - **Radix tree.** Full blocks of PROMPT tokens are published to a host-
   side radix tree keyed by BS-token chunks. Admission walks the tree:
   every matched block is attached to the new stream's table by
@@ -52,8 +54,8 @@ speculative rounds (models/batched_decoder.py ``_spec_decode`` — per-
 slot trigram-preferred prompt lookup, optional corpus n-gram table,
 optional draft MODEL, one [S, k+1] verify forward, per-slot acceptance)
 run unchanged through the paged pools: the verify forward writes the
-k+1 candidate KV rows through each slot's block table (vector
-``cache_len`` + ``block_tables``), and rejected rows are simply
+k+1 candidate KV rows into the launch's contiguous gathered view
+(vector ``cache_len``), and rejected rows are simply
 rewritten by the next round — the same trust rule as the contiguous
 engine, no block-level bookkeeping needed. Admission reserves
 ``ceil((limit + spec_k) / block_size)`` blocks so verify writes never
@@ -333,7 +335,7 @@ class PagedDecoderLM:
         if spec_k:
             self._spec_install_fn = jax.jit(self._spec_install,
                                             donate_argnums=(0, 1, 2, 3, 4))
-            don = (1, 2, 3, 4, 5, 6) + ((23,) if draft is not None else ())
+            don = (1, 2, 3, 4, 5, 6) + ((24,) if draft is not None else ())
             self._spec_decode_fn = jax.jit(self._spec_decode,
                                            donate_argnums=don)
             if draft is not None:
@@ -392,6 +394,61 @@ class PagedDecoderLM:
         return lm
 
     # ------------------------------------------------------------- programs
+    # Launch-level gather/compute/scatter (round-5 redesign): the first
+    # formulation routed EVERY cache touch through the block table — a
+    # per-step, per-layer pool gather for attention plus a scatter per KV
+    # write — and measured 0.06x of the contiguous engine on the real
+    # chip (TPU scatter/gather with computed indices defeats the fused
+    # attention pipeline XLA builds for plain dynamic-slice caches).
+    # Now each LAUNCH (a) gathers every slot's block table into a
+    # contiguous [S, maxb*bs, ...] view once, (b) runs the SAME
+    # contiguous decode/verify scan as models/batched_decoder.py over
+    # that view, and (c) scatters back only the block window each slot
+    # could have written. Steady-state per-step cost is identical to the
+    # contiguous engine; the gather/scatter pair amortizes over the
+    # launch's decode_chunk (resp. spec_steps*(k+1)) tokens. Writes
+    # during decode land only in blocks the slot owns outright (published
+    # radix blocks hold full PROMPT chunks; decode writes at
+    # pos >= len(prompt) hit the private tail), so write-back never
+    # mutates a shared block with anything but its own gathered bytes.
+
+    def _gather_pools(self, pools, tables):
+        """Block pools -> per-slot contiguous caches [S, maxb*bs, ...].
+
+        mode="clip": sentinel (NB) table entries must gather SOME real
+        block — garbage rows are finite and exactly zeroed by the
+        filled/causal mask, while a fill-mode NaN row would poison the
+        softmax."""
+        s = tables.shape[0]
+        return [tuple(jnp.take(p, tables, axis=0, mode="clip")
+                      .reshape(s, -1, *p.shape[2:])
+                      for p in entry)
+                for entry in pools]
+
+    def _scatter_pools(self, pools, caches, tables, blk_lo, w: int):
+        """Write blocks ``blk_lo[s] .. blk_lo[s]+w-1`` of each slot's
+        contiguous cache back into the pools. ``w`` is static (sized for
+        the launch's worst-case write span); the host clamps ``blk_lo``
+        to ``[0, maxb-w]`` so the window is always in bounds — window
+        blocks below the first written row are rewritten with their own
+        gathered bytes (a no-op). Sentinel table entries drop."""
+        s, bs = tables.shape[0], self.block_size
+        win = blk_lo[:, None] + jnp.arange(w)[None, :]          # [S, w]
+        idx = jnp.take_along_axis(tables, win, axis=1)          # [S, w]
+        row0 = blk_lo * bs
+        out = []
+        for entry, centry in zip(pools, caches):
+            new_entry = []
+            for p, c in zip(entry, centry):
+                upd = jax.vmap(
+                    lambda row, lo: jax.lax.dynamic_slice(
+                        row, (lo,) + (0,) * (row.ndim - 1),
+                        (w * bs,) + row.shape[1:]))(c, row0)
+                upd = upd.reshape(s, w, bs, *p.shape[2:])
+                new_entry.append(p.at[idx].set(upd, mode="drop"))
+            out.append(tuple(new_entry))
+        return out
+
     def _empty_pools(self):
         hkv, d = self.cfg.num_key_value_heads, self.cfg.head_dim
         nb, bs = self.n_blocks, self.block_size
@@ -406,17 +463,21 @@ class PagedDecoderLM:
                  jnp.zeros((nb, bs, hkv, d), dt))
                 for _ in range(self.cfg.num_hidden_layers)]
 
-    def _prefill_chunk(self, params, pools, table_row, ids, p_len,
+    def _prefill_chunk(self, params, pools, table_row, blk_lo, ids, p_len,
                        true_len):
         """Forward one right-padded [1, C] prompt chunk at absolute
-        offset ``p_len`` through the slot's block table; returns
+        offset ``p_len``: gather the slot's table into a contiguous
+        [1, maxb*bs] cache view, run the plain contiguous prefill
+        forward, scatter the written block window back. Returns
         (pools, last real chunk token's logits [1, V])."""
         c = ids.shape[1]
+        w = min(self.maxb, (c - 1) // self.block_size + 2)
+        caches = self._gather_pools(pools, table_row)
         positions = (p_len + jnp.arange(c, dtype=jnp.int32))[None, :]
-        hidden, pools = decoder_forward(params, self.cfg, ids, positions,
-                                        kv_cache=pools, cache_len=p_len,
-                                        return_hidden=True,
-                                        block_tables=table_row)
+        hidden, caches = decoder_forward(params, self.cfg, ids, positions,
+                                         kv_cache=caches, cache_len=p_len,
+                                         return_hidden=True)
+        pools = self._scatter_pools(pools, caches, table_row, blk_lo, w)
         hrow = jax.lax.dynamic_slice(
             hidden, (0, true_len - 1, 0), (1, 1, hidden.shape[-1]))
         return pools, lm_logits(params, self.cfg, hrow)[:, 0]
@@ -432,18 +493,24 @@ class PagedDecoderLM:
         return last, pos, keys, rep, cstate
 
     def _decode_chunk(self, params, pools, last, pos, keys, rep, cstate,
-                      tables, temp, top_p, topk, minp, pen, eos_ids, limit,
-                      active, ctable, cacc, cdist, n_steps: int):
-        """``n_steps`` batched sample+decode steps in ONE program —
-        the paged twin of BatchedDecoderLM._decode_chunk. Frozen slots
-        keep scattering one k/v row at their frozen position, but only
-        into blocks their own table still owns (the host rewrites a
-        finished slot's table row to the drop sentinel before the next
-        launch), so a freed-and-reused block can never be corrupted."""
+                      tables, blk_lo, temp, top_p, topk, minp, pen,
+                      eos_ids, limit, active, ctable, cacc, cdist,
+                      n_steps: int):
+        """``n_steps`` batched sample+decode steps in ONE program — the
+        paged twin of BatchedDecoderLM._decode_chunk, run over the
+        launch-level contiguous gather of every slot's block table (see
+        the gather/compute/scatter note above). Frozen slots keep
+        writing one k/v row at their frozen position into their own
+        contiguous view; write-back only touches blocks each slot's
+        table still owns (the host rewrites a finished slot's table row
+        to the drop sentinel before the next launch), so a
+        freed-and-reused block can never be corrupted."""
         max_len = self.max_len
+        w = min(self.maxb, (n_steps - 1) // self.block_size + 2)
+        caches = self._gather_pools(pools, tables)
 
         def step(carry, _):
-            pools, last, pos, keys, rep, active, cstate = carry
+            caches, last, pos, keys, rep, active, cstate = carry
             splits = jax.vmap(jax.random.split)(keys)
             next_keys, subs = splits[:, 0], splits[:, 1]
             scored = apply_repetition_penalty(last, rep, pen[:, None])
@@ -472,9 +539,9 @@ class PagedDecoderLM:
             tok = jnp.where(temp > 0, stok, gtok)
             emit = jnp.where(active, tok, -1)
             safe = jnp.minimum(pos, max_len - 1)
-            logits, pools = decoder_forward(
+            logits, caches = decoder_forward(
                 params, self.cfg, tok[:, None], safe[:, None],
-                kv_cache=pools, cache_len=safe, block_tables=tables)
+                kv_cache=caches, cache_len=safe)
             keep = active[:, None]
             last2 = jnp.where(keep, logits[:, -1], last)
             keys2 = jnp.where(keep, next_keys, keys)
@@ -489,12 +556,13 @@ class PagedDecoderLM:
                                    cstate, nstate)
             pos2 = pos + active.astype(jnp.int32)
             active2 = active & ~hit_eos & (pos2 < limit)
-            return (pools, last2, pos2, keys2, rep2, active2,
+            return (caches, last2, pos2, keys2, rep2, active2,
                     cstate), emit
 
-        (pools, last, pos, keys, rep, active, cstate), toks = jax.lax.scan(
-            step, (pools, last, pos, keys, rep, active, cstate), None,
+        (caches, last, pos, keys, rep, active, cstate), toks = jax.lax.scan(
+            step, (caches, last, pos, keys, rep, active, cstate), None,
             length=n_steps)
+        pools = self._scatter_pools(pools, caches, tables, blk_lo, w)
         return toks, pools, last, pos, keys, rep, active, cstate
 
     # --------------------------------------------- speculative (spec_k > 0)
@@ -530,30 +598,35 @@ class PagedDecoderLM:
         return tokens, pos, keys, pending, rep, cstate, tok
 
     def _spec_decode(self, params, pools, tokens, pos, keys, pending, rep,
-                     tables, temp, top_p, topk, minp, pen, eos_ids, limit,
-                     active, cstate, ctable, cacc, nka, nkb, nvals,
+                     tables, blk_lo, temp, top_p, topk, minp, pen, eos_ids,
+                     limit, active, cstate, ctable, cacc, nka, nkb, nvals,
                      dparams=None, dcache=None, cdist=None):
         """``spec_steps`` speculation rounds in ONE program — the paged
-        twin of ``BatchedDecoderLM._spec_decode``. The [S, k+1] verify
-        forward writes candidate KV rows through each slot's block table
+        twin of ``BatchedDecoderLM._spec_decode``, run over the
+        launch-level contiguous gather of every slot's block table (see
+        the gather/compute/scatter note above). The [S, k+1] verify
+        forward writes candidate KV rows into the contiguous view
         (vector ``cache_len``); rejected rows are rewritten by the next
         round, exactly like the contiguous engine. The host guarantees
         every active slot's table covers the launch's worst-case write
-        horizon (``_top_up_tables``), so verify writes never hit the
-        drop sentinel while a row can still be attended."""
+        horizon (``_top_up_tables``), and ``blk_lo``/w size the
+        write-back window to that same horizon."""
         k = self.spec_k
         s = self.n_slots
         nsize = nka.shape[0] if nvals is not None else 0
         iota = jnp.arange(k + 1)
         idx_row = jnp.arange(self.max_len)[None, :]
         sidx = jnp.arange(s)
+        span = self.spec_steps * (k + 1)
+        w = min(self.maxb, (span - 1) // self.block_size + 2)
+        caches = self._gather_pools(pools, tables)
 
         def step(carry, _):
             if dparams is not None:
-                (pools, dcache_c, tokens, pos, keys, pending, active,
+                (caches, dcache_c, tokens, pos, keys, pending, active,
                  hit_eos, rep, cstate) = carry
             else:
-                (pools, tokens, pos, keys, pending, active, hit_eos, rep,
+                (caches, tokens, pos, keys, pending, active, hit_eos, rep,
                  cstate) = carry
                 dcache_c = None
             # trigram-preferred prompt lookup, source 1 (spec_decode.py —
@@ -612,10 +685,9 @@ class PagedDecoderLM:
                 draft = jnp.where((~havek)[:, None], draft_t.T, draft)
             seq = jnp.concatenate([pending[:, None], draft], axis=1)
             positions = pos[:, None] + iota[None, :]
-            logits, pools = decoder_forward(params, self.cfg, seq,
-                                            positions, kv_cache=pools,
-                                            cache_len=pos,
-                                            block_tables=tables)
+            logits, caches = decoder_forward(params, self.cfg, seq,
+                                             positions, kv_cache=caches,
+                                             cache_len=pos)
             # HF-exact repetition penalty under speculation: position i's
             # seen-set is rep[s] plus the slot's draft[0..i-1] (see
             # batched_decoder._spec_decode)
@@ -713,23 +785,24 @@ class PagedDecoderLM:
             # slot's reserved table coverage
             active = active & ~step_eos & (pos + 1 < limit)
             if dparams is not None:
-                return (pools, dcache_c, tokens, pos, keys, pending,
+                return (caches, dcache_c, tokens, pos, keys, pending,
                         active, hit_eos, rep, cstate), emissions
-            return (pools, tokens, pos, keys, pending, active,
+            return (caches, tokens, pos, keys, pending, active,
                     hit_eos, rep, cstate), emissions
 
         if dparams is not None:
-            carry0 = (pools, dcache, tokens, pos, keys, pending, active,
+            carry0 = (caches, dcache, tokens, pos, keys, pending, active,
                       jnp.zeros((s,), bool), rep, cstate)
-            (pools, dcache, tokens, pos, keys, pending, active, hit_eos,
+            (caches, dcache, tokens, pos, keys, pending, active, hit_eos,
              rep, cstate), emissions = \
                 jax.lax.scan(step, carry0, None, length=self.spec_steps)
         else:
-            carry0 = (pools, tokens, pos, keys, pending, active,
+            carry0 = (caches, tokens, pos, keys, pending, active,
                       jnp.zeros((s,), bool), rep, cstate)
-            (pools, tokens, pos, keys, pending, active, hit_eos, rep,
+            (caches, tokens, pos, keys, pending, active, hit_eos, rep,
              cstate), emissions = \
                 jax.lax.scan(step, carry0, None, length=self.spec_steps)
+        pools = self._scatter_pools(pools, caches, tables, blk_lo, w)
         return (emissions, pools, tokens, pos, keys, pending, hit_eos, rep,
                 cstate, dcache)
 
@@ -799,8 +872,14 @@ class PagedDecoderLM:
             cb = c if n == c else pad_bucket(n, lo=self._PAD_BUCKET_MIN,
                                              hi=self.max_len - (m + off))
             piece += [0] * (cb - n)
+            # write-back window: the chunk's touched blocks (static width
+            # matching _prefill_chunk's w; clamp keeps it in bounds —
+            # below-window blocks rewrite their own gathered bytes)
+            w_p = min(self.maxb, (cb - 1) // bs + 2)
+            lo = min(max((m + off) // bs, 0), self.maxb - w_p)
             self._pools, last_row = self._prefill_fn(
                 self.params, self._pools, table_row,
+                jnp.asarray([lo], jnp.int32),
                 jnp.asarray([piece], jnp.int32), jnp.int32(m + off),
                 jnp.int32(n))
         METRICS.inc("legalrag_paged_prefill_tokens", len(sfx),
@@ -881,6 +960,26 @@ class PagedDecoderLM:
                               self.max_len)
             while st.n_blocks * self.block_size < horizon:
                 self._alloc_into(st, i)
+
+    def _blk_lo(self) -> np.ndarray:
+        """Per-slot first write-back block for the next launch (the
+        device position math mirrors ``_top_up_tables``); clamped so the
+        static-width window of ``_decode_chunk``/``_spec_decode`` stays
+        in bounds. Empty slots stay 0 — their sentinel table drops."""
+        k = self.spec_k
+        bs = self.block_size
+        span = self.spec_steps * (k + 1) if k else self.decode_chunk
+        w = min(self.maxb, (span - 1) // bs + 2)
+        lo = np.zeros(self.n_slots, np.int32)
+        for i, st in enumerate(self._slots):
+            if st is None:
+                continue
+            if k:
+                pos = len(st.prompt_ids) + max(st.produced - 1, 0)
+            else:
+                pos = len(st.prompt_ids) + st.produced
+            lo[i] = min(max(pos // bs, 0), self.maxb - w)
+        return lo
 
     # --------------------------------------------------------------- worker
     def _control_vectors(self):
@@ -991,6 +1090,7 @@ class PagedDecoderLM:
              dcache) = self._spec_decode_fn(
                 self.params, self._pools, self._tokens, self._pos,
                 self._keys, self._pend_tok, self._rep, self._table_dev(),
+                jnp.asarray(self._blk_lo()),
                 temp, top_p, topk, minp, pen, eos, limit, active,
                 self._cstate, ctable, cacc, *ng, self.draft_params,
                 self._dcache if self.draft_params is not None else None,
@@ -1041,6 +1141,7 @@ class PagedDecoderLM:
              self._rep, _, self._cstate) = self._decode_fn(
                 self.params, self._pools, self._last, self._pos,
                 self._keys, self._rep, self._cstate, self._table_dev(),
+                jnp.asarray(self._blk_lo()),
                 temp, top_p, topk, minp, pen, eos, limit, active, ctable,
                 cacc, None if jc is None else jc.dist,
                 n_steps=self.decode_chunk)
