@@ -65,7 +65,7 @@ from legalrag_tpu.models.decoder import (DecoderConfig, PrefixKVCache,
                                          _warp_filter,
                                          apply_repetition_penalty,
                                          decoder_forward, lm_logits,
-                                         pad_bucket)
+                                         pad_bucket, unpack_weights4)
 from legalrag_tpu.utils import get_logger
 from legalrag_tpu.utils.device import on_device
 from legalrag_tpu.utils.metrics import METRICS
@@ -349,6 +349,7 @@ class BatchedDecoderLM:
         logits (index true_len-1) seed the slot's sampling state. Pad rows
         are left in the cache — see the module invariant.
         """
+        params = unpack_weights4(params)
         t = ids.shape[1]
         row_cache = self._slot_rows(cache, slot)
         positions = jnp.arange(t, dtype=jnp.int32)[None, :]
@@ -432,6 +433,7 @@ class BatchedDecoderLM:
     def _shared_chunk(self, params, cache, ids, off):
         """One init-time chunk forward of the shared prefix into its own
         [1, P_pad] cache at absolute offset ``off``."""
+        params = unpack_weights4(params)
         positions = (off + jnp.arange(ids.shape[1], dtype=jnp.int32))[None, :]
         _, cache = decoder_forward(params, self.cfg, ids, positions,
                                    kv_cache=cache, cache_len=off,
@@ -539,6 +541,7 @@ class BatchedDecoderLM:
         exactly a 'suffix' over rows the previous chunk filled. With
         ``shared_kv`` the chunk also attends the pinned shared-prefix
         segment and slot rows sit at position − shared_len."""
+        params = unpack_weights4(params)
         row_cache = self._slot_rows(cache, slot)
         sb = ids_sfx.shape[1]
         positions = (p_len + jnp.arange(sb, dtype=jnp.int32))[None, :]
@@ -574,6 +577,7 @@ class BatchedDecoderLM:
     def _prefill_prefix(self, params, cache, last, pos, keys, rep,
                         prefix_rows, p_len, ids_sfx, slot, true_sfx,
                         key_row, mask_row, shared_kv=None):
+        params = unpack_weights4(params)
         cache, last_row = self._prefix_forward(params, cache, prefix_rows,
                                                p_len, ids_sfx, slot,
                                                true_sfx, shared_kv)
@@ -589,6 +593,7 @@ class BatchedDecoderLM:
                              full_ids, slot, true_sfx, key_row, mask_row,
                              temp, top_p, top_k, min_p, pen, cstate, cs0,
                              eos_j, shared_kv=None):
+        params = unpack_weights4(params)
         cache, last_row = self._prefix_forward(params, cache, prefix_rows,
                                                p_len, ids_sfx, slot,
                                                true_sfx, shared_kv)
@@ -619,6 +624,7 @@ class BatchedDecoderLM:
         EOS id or their ``limit`` position. Frozen slots stop advancing —
         their state is bit-frozen so join/leave between launches is exact.
         """
+        params = unpack_weights4(params)
         max_len = self.max_len
 
         def step(carry, _):
@@ -689,6 +695,7 @@ class BatchedDecoderLM:
         in-program (emitted by the host at admission time). The first
         token samples under the prompt-mask repetition penalty, exactly
         like the plain engine's first decode step."""
+        params = unpack_weights4(params)
         t = ids.shape[1]
         row_cache = self._slot_rows(cache, slot)
         positions = jnp.arange(t, dtype=jnp.int32)[None, :]
@@ -728,6 +735,8 @@ class BatchedDecoderLM:
         last allowed token position + 1 (admission reserves spec_k rows of
         KV headroom, so writes never clamp).
         """
+        params = unpack_weights4(params)
+        dparams = unpack_weights4(dparams)
         k = self.spec_k
         s, max_len = self.n_slots, self.max_len
         nsize = nka.shape[0] if nvals is not None else 0
@@ -946,6 +955,7 @@ class BatchedDecoderLM:
 
     def _draft_admit_chunk(self, dparams, dcache, ids, slot, off, n):
         """Prefill one chunk of a slot's DRAFT-model cache rows."""
+        dparams = unpack_weights4(dparams)
         row = [tuple(jax.lax.dynamic_slice(a, (slot, 0, 0, 0),
                                            (1,) + a.shape[1:])
                      for a in layer) for layer in dcache]

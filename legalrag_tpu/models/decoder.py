@@ -393,9 +393,65 @@ def _quant_stack(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return jnp.round(wf / scale[:, None, :]).astype(jnp.int8), scale
 
 
+def _pack_nibbles(q: jax.Array) -> jax.Array:
+    """int32 values in [-8, 7], shape [..., I, O] → packed int8
+    [..., I/2, O]: row 2j in the low nibble, row 2j+1 in the high.
+
+    Why a carrier at all: XLA-native s4 arrays cannot cross the
+    host↔device boundary on every backend (the axon relay's re-layout
+    ``device_put`` of an S4 jit argument recursed fatally — the round-4
+    ``--weight-bits 4`` crash). Packed int8 transfers everywhere;
+    :func:`unpack_weights4` converts to s4 INSIDE each jitted program
+    (outside its scan), so the steady-state weight stream is still
+    4 bits/element."""
+    i = q.shape[-2]
+    if i % 2:
+        raise ValueError(f"int4 packing needs an even contraction dim, "
+                         f"got {i}")
+    lo = q[..., 0::2, :] & 0xF
+    hi = q[..., 1::2, :] & 0xF
+    p = lo | (hi << 4)                       # [0, 255] in int32
+    return jnp.where(p > 127, p - 256, p).astype(jnp.int8)
+
+
+def _unpack_nibbles4(p: jax.Array) -> jax.Array:
+    """Packed int8 [..., I/2, O] → XLA-native s4 [..., I, O] (the exact
+    inverse of :func:`_pack_nibbles`; arithmetic shifts sign-extend each
+    nibble)."""
+    lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
+    hi = jnp.right_shift(p, 4)
+    w = jnp.stack([lo, hi], axis=-2)         # [..., I/2, 2, O]
+    return w.reshape(*p.shape[:-2], p.shape[-2] * 2,
+                     p.shape[-1]).astype(jnp.int4)
+
+
+def unpack_weights4(tree):
+    """Replace every packed-int4 leaf (key suffix ``_q4p``) with its
+    XLA-native s4 form (key suffix ``_q``), recursively; identity when
+    the tree holds no packed leaves.
+
+    MUST be called INSIDE a jitted program (and outside its
+    ``lax.scan``): the s4 buffers then live only inside the executable —
+    written once per launch, streamed at 4 bits/element by every scan
+    step — and never cross the host↔device boundary, which the axon
+    relay cannot do for S4 (see :func:`_pack_nibbles`). Engines call
+    this at the top of each program that takes model params."""
+    if isinstance(tree, dict):
+        out = {}
+        for k, v in tree.items():
+            if k.endswith("_q4p"):
+                out[k[:-2]] = _unpack_nibbles4(v)
+            else:
+                out[k] = unpack_weights4(v)
+        return out
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(unpack_weights4(v) for v in tree)
+    return tree
+
+
 def _quant_stack4(w: jax.Array, group: int) -> Tuple[jax.Array, jax.Array]:
     """Grouped symmetric int4 for stacked expert weights: w [E, I, O] →
-    (q int4 [E, I, O], scale [E, I/g, O]). Groups run along the
+    (q packed int8 [E, I/2, O], scale [E, I/g, O]). Groups run along the
     contraction dim I per expert; when ``group`` does not divide I the
     whole column is one group (mirrors :func:`_quant_group4`)."""
     e, i = w.shape[0], w.shape[1]
@@ -404,24 +460,26 @@ def _quant_stack4(w: jax.Array, group: int) -> Tuple[jax.Array, jax.Array]:
     amax = jnp.max(jnp.abs(wf), axis=2)
     scale = jnp.maximum(amax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(wf / scale[:, :, None]), -8, 7)
-    return q.reshape(w.shape).astype(jnp.int4), scale
+    return _pack_nibbles(q.reshape(w.shape).astype(jnp.int32)), scale
 
 
 def _quant_group4(w: jax.Array, group: int) -> Tuple[jax.Array, jax.Array]:
-    """Symmetric grouped int4: w [I, O] → (q int4 [I, O], scale [I/g, O]).
+    """Symmetric grouped int4: w [I, O] → (q packed int8 [I/2, O],
+    scale [I/g, O]).
 
-    Stored as XLA's native ``int4`` dtype — the compiler owns the nibble
-    packing in HBM and fuses the widening convert into the consumer, so
-    the weight stream is 4 bits/element without hand-rolled shift/mask
-    unpacking. Groups run along the input (contraction) dim; when
-    ``group`` does not divide I the whole column is one group."""
+    Device-resident form is XLA's native ``int4`` (the compiler owns the
+    nibble packing in HBM, so the weight stream is 4 bits/element); the
+    PYTREE stores the nibble-packed int8 carrier and each program
+    converts on entry (:func:`unpack_weights4`). Groups run along the
+    input (contraction) dim; when ``group`` does not divide I the whole
+    column is one group."""
     i = w.shape[0]
     g = group if i % group == 0 else i
     wf = w.astype(jnp.float32).reshape(i // g, g, *w.shape[1:])
     amax = jnp.max(jnp.abs(wf), axis=1)
     scale = jnp.maximum(amax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(wf / scale[:, None]), -8, 7)
-    return q.reshape(w.shape).astype(jnp.int4), scale
+    return _pack_nibbles(q.reshape(w.shape).astype(jnp.int32)), scale
 
 
 def _quant_acts(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -463,10 +521,13 @@ def quantize_weights(params: Dict, bits: int = 8, group: int = 64) -> Dict:
     """Weight quantization at ``bits`` ∈ {8, 4} (see
     :func:`quantize_weights_int8` for the design).
 
-    bits=4 stores projection kernels and the LM head as XLA-native
-    ``int4`` (grouped symmetric, ``group`` along the contraction dim,
-    per-(group, channel) scales — error ≤ group-amax/14 per element):
-    the weight HBM stream drops to a quarter of bf16. MoE expert stacks
+    bits=4 stores projection kernels and the LM head as nibble-packed
+    int8 carriers (``*_q4p`` leaves; grouped symmetric, ``group`` along
+    the contraction dim, per-(group, channel) scales — error ≤
+    group-amax/14 per element) that every program converts to XLA-native
+    ``int4`` on entry (:func:`unpack_weights4` — s4 cannot cross the
+    host↔device boundary on the relay backend): the weight HBM stream
+    drops to a quarter of bf16. MoE expert stacks
     quantize to grouped int4 too (per-(expert, group, channel) scales,
     :func:`_quant_stack4`; ``_moe_block`` keeps expert AND group axes in
     the s32 accumulator so every rescale is exact), as does the Qwen2-MoE
@@ -475,13 +536,15 @@ def quantize_weights(params: Dict, bits: int = 8, group: int = 64) -> Dict:
     if bits not in (8, 4):
         raise ValueError(f"weight_bits must be 8 or 4, got {bits}")
 
+    qk = "_q4p" if bits == 4 else "_q"   # packed-int4 carrier vs int8
+
     def qnode(node: Dict) -> Dict:
         if bits == 4:
             q, s = _quant_group4(node["kernel"], group)
         else:
             q, s = _quant_channel(node["kernel"])
         out = {k: v for k, v in node.items() if k != "kernel"}
-        out["kernel_q"], out["kernel_scale"] = q, s
+        out["kernel" + qk], out["kernel_scale"] = q, s
         return out
 
     def qmoe(moe: Dict) -> Dict:
@@ -491,7 +554,7 @@ def quantize_weights(params: Dict, bits: int = 8, group: int = 64) -> Dict:
                 q, s = _quant_stack4(qm.pop(name), group)
             else:
                 q, s = _quant_stack(qm.pop(name))
-            qm[name + "_q"], qm[name + "_scale"] = q, s
+            qm[name + qk], qm[name + "_scale"] = q, s
         if "shared" in qm:  # Qwen2-MoE shared expert: flat quant leaves
             sh = {}
             for name, w in qm["shared"].items():
@@ -499,7 +562,7 @@ def quantize_weights(params: Dict, bits: int = 8, group: int = 64) -> Dict:
                     q, s = _quant_group4(w, group)
                 else:
                     q, s = _quant_channel(w)
-                sh[name + "_q"], sh[name + "_scale"] = q, s
+                sh[name + qk], sh[name + "_scale"] = q, s
             qm["shared"] = sh
         return qm
 
@@ -1075,6 +1138,7 @@ class JaxDecoderLM:
         overwritten by decode steps before they can be attended (each step
         writes row p before attending kv_pos ≤ p), so no pad masking is
         needed; the causal mask already hides pads from the real tokens."""
+        params = unpack_weights4(params)
         t = ids.shape[1]
         cache = self._empty_cache(ids.shape[0])
         positions = jnp.arange(t, dtype=jnp.int32)[None, :]
@@ -1100,6 +1164,7 @@ class JaxDecoderLM:
         dispatch boundary as 2 (dense) / 4 (kv-quant) buffers instead of
         2L/4L — per-buffer argument cost on remote-relay backends made
         the warm path SLOWER than cold at 24 layers before this."""
+        params = unpack_weights4(params)
         cache = self._empty_cache(ids.shape[0])
         cache = [  # generic over dense (k, v) / quantized (kq, vq, ks, vs)
             tuple(jax.lax.dynamic_update_slice(a, stack[i], (0, 0, 0, 0))
@@ -1118,6 +1183,7 @@ class JaxDecoderLM:
         """One prefill chunk at cache offset ``p_len``: forward the
         right-padded [1, C] chunk over the already-filled cache; returns
         (logits of chunk token true_len-1, cache)."""
+        params = unpack_weights4(params)
         c = ids.shape[1]
         positions = (p_len + jnp.arange(c, dtype=jnp.int32))[None, :]
         hidden, cache = decoder_forward(params, self.cfg, ids, positions,
@@ -1185,6 +1251,7 @@ class JaxDecoderLM:
         return last, cache
 
     def _step(self, params, token, pos, cache):
+        params = unpack_weights4(params)
         positions = jnp.full((token.shape[0], 1), pos, jnp.int32)
         logits, cache = decoder_forward(params, self.cfg, token, positions,
                                         kv_cache=cache, cache_len=pos)
@@ -1202,6 +1269,7 @@ class JaxDecoderLM:
         (None when unconstrained; B=1 path) apply the schema-DFA logits
         mask: only tokens with a valid DFA transition survive, EOS
         (``ceos``) only in accepting states."""
+        params = unpack_weights4(params)
 
         def step(carry, _):
             last, pos, cache, key, rep_mask, cstate = carry

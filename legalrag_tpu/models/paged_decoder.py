@@ -90,7 +90,7 @@ from legalrag_tpu.models.batched_decoder import (BatchedDecoderLM,
 from legalrag_tpu.models.decoder import (DecoderConfig, _warp_filter,
                                          apply_repetition_penalty,
                                          decoder_forward, lm_logits,
-                                         pad_bucket)
+                                         pad_bucket, unpack_weights4)
 from legalrag_tpu.utils import get_logger
 from legalrag_tpu.utils.device import on_device
 from legalrag_tpu.utils.metrics import METRICS
@@ -470,6 +470,7 @@ class PagedDecoderLM:
         [1, maxb*bs] cache view, run the plain contiguous prefill
         forward, scatter the written block window back. Returns
         (pools, last real chunk token's logits [1, V])."""
+        params = unpack_weights4(params)
         c = ids.shape[1]
         w = min(self.maxb, (c - 1) // self.block_size + 2)
         caches = self._gather_pools(pools, table_row)
@@ -505,6 +506,7 @@ class PagedDecoderLM:
         table still owns (the host rewrites a finished slot's table row
         to the drop sentinel before the next launch), so a
         freed-and-reused block can never be corrupted."""
+        params = unpack_weights4(params)
         max_len = self.max_len
         w = min(self.maxb, (n_steps - 1) // self.block_size + 2)
         caches = self._gather_pools(pools, tables)
@@ -611,6 +613,8 @@ class PagedDecoderLM:
         every active slot's table covers the launch's worst-case write
         horizon (``_top_up_tables``), and ``blk_lo``/w size the
         write-back window to that same horizon."""
+        params = unpack_weights4(params)
+        dparams = unpack_weights4(dparams)
         k = self.spec_k
         s = self.n_slots
         nsize = nka.shape[0] if nvals is not None else 0

@@ -48,8 +48,12 @@ def _spec_for(path: str, ndim: int, cfg: DecoderConfig, tp: int) -> P:
     # int8 weight quantization (decoder.quantize_weights_int8): kernel_q
     # shards exactly like kernel; the per-output-channel scale [O] shards
     # like a bias on column-parallel nodes and replicates on row-parallel
-    # ones (o/down, whose output dim is unsharded)
-    path = path.replace("kernel_q", "kernel")
+    # ones (o/down, whose output dim is unsharded). kernel_q4p (the
+    # nibble-packed int4 carrier, [I/2, O]) shards like kernel too: the
+    # packed axis is pairwise-local, so an axis-0 shard of the carrier
+    # unpacks to exactly the matching axis-0 shard of the s4 kernel.
+    path = path.replace("kernel_q4p", "kernel").replace("kernel_q",
+                                                        "kernel")
     # int4 grouped scales are ndim-2 [I/g, O]: the group axis follows the
     # kernel's input dim (row-parallel shards it), the channel axis
     # follows the output dim (column-parallel shards it)

@@ -516,7 +516,8 @@ def main() -> None:
 
         t0 = time.perf_counter()
         params = quantize_weights(params, bits=args.weight_bits)
-        jax.block_until_ready(params["lm_head"]["kernel_q"])
+        head = params["lm_head"]
+        jax.block_until_ready(head.get("kernel_q", head.get("kernel_q4p")))
         log(f"weight quantization (int{args.weight_bits}): "
             f"{time.perf_counter() - t0:.1f}s")
 

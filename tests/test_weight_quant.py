@@ -338,15 +338,23 @@ def test_tp_forward_matches_unsharded_moe_quant(tiny_moe):
 # ----------------------------------------------------------------- int4
 
 def test_int4_roundtrip_error_bound(tiny):
-    """Grouped int4: error ≤ group-amax/14 per element; kernels store as
-    XLA-native int4 (the compiler owns nibble packing)."""
-    from legalrag_tpu.models.decoder import quantize_weights
+    """Grouped int4: error ≤ group-amax/14 per element; the PYTREE holds
+    the nibble-packed int8 carrier (transfer-safe — the relay backend
+    cannot device_put s4) and every program unpacks to XLA-native int4
+    on entry (decoder.unpack_weights4)."""
+    from legalrag_tpu.models.decoder import quantize_weights, \
+        unpack_weights4
 
     cfg, params = tiny
     qp = quantize_weights(params, bits=4, group=16)
-    layer, qlayer = params["layers"][0], qp["layers"][0]
+    layer = params["layers"][0]
+    packed = qp["layers"][0]
+    qlayer = unpack_weights4(qp)["layers"][0]
     for name in ("q", "k", "v", "o", "gate", "up", "down"):
         w = np.asarray(layer[name]["kernel"], np.float64)   # [I, O]
+        pn = packed[name]
+        assert pn["kernel_q4p"].dtype == jnp.int8, name
+        assert pn["kernel_q4p"].shape == (w.shape[0] // 2, w.shape[1])
         qn = qlayer[name]
         assert qn["kernel_q"].dtype == jnp.int4, name
         i = w.shape[0]
@@ -362,14 +370,17 @@ def test_int4_roundtrip_error_bound(tiny):
 
 
 def test_qdot4_matches_dense_within_tolerance():
-    from legalrag_tpu.models.decoder import _qdot2, _quant_group4
+    from legalrag_tpu.models.decoder import (_qdot2, _quant_group4,
+                                             _unpack_nibbles4)
 
     rng = np.random.default_rng(11)
     x = jnp.asarray(rng.standard_normal((4, 48)), jnp.float32)
     w = jnp.asarray(rng.standard_normal((48, 32)), jnp.float32)
     q, s = _quant_group4(w, 16)
-    assert q.dtype == jnp.int4 and s.shape == (3, 32)
-    got = np.asarray(_qdot2(x, q, s))
+    assert q.dtype == jnp.int8 and q.shape == (24, 32)  # packed carrier
+    q4 = _unpack_nibbles4(q)
+    assert q4.dtype == jnp.int4 and s.shape == (3, 32)
+    got = np.asarray(_qdot2(x, q4, s))
     want = np.asarray(x @ w)
     rel = np.abs(got - want) / (np.abs(want).max() + 1e-9)
     assert rel.max() < 0.12, rel.max()  # int4: error ≤ group-amax/14
@@ -381,10 +392,11 @@ def test_int4_forward_fidelity(tiny):
     source); fidelity vs the full-precision model is sanity-checked
     loosely — an N(0,1)-random tiny model is the quantizer's worst case
     (real checkpoints have far lower per-group kurtosis)."""
-    from legalrag_tpu.models.decoder import quantize_weights
+    from legalrag_tpu.models.decoder import quantize_weights, \
+        unpack_weights4
 
     cfg, params = tiny
-    qp = quantize_weights(params, bits=4, group=16)
+    qp = unpack_weights4(quantize_weights(params, bits=4, group=16))
 
     def deq_node(qn):
         q = np.asarray(qn["kernel_q"], np.float64)
@@ -440,17 +452,24 @@ def test_int4_engines_token_identical(tiny):
 def test_int4_moe_stacks_int4(tiny_moe):
     """bits=4 quantizes MoE expert stacks to grouped int4 (per-(expert,
     group, channel) scales) and the forward stays faithful."""
-    from legalrag_tpu.models.decoder import quantize_weights
+    from legalrag_tpu.models.decoder import quantize_weights, \
+        unpack_weights4
 
     cfg, params = tiny_moe
     g = 16
-    qp = quantize_weights(params, bits=4, group=g)
+    packed = quantize_weights(params, bits=4, group=g)
+    pmoe = packed["layers"][0]["moe"]
+    qp = unpack_weights4(packed)
     moe = qp["layers"][0]["moe"]
     m = params["layers"][0]["moe"]
+    assert packed["layers"][0]["q"]["kernel_q4p"].dtype == jnp.int8
     assert qp["layers"][0]["q"]["kernel_q"].dtype == jnp.int4
     e = cfg.num_experts
     for name in ("gate", "up", "down"):
         w = m[name]                                         # [E, I, O]
+        assert pmoe[name + "_q4p"].dtype == jnp.int8
+        assert pmoe[name + "_q4p"].shape == (w.shape[0], w.shape[1] // 2,
+                                             w.shape[2])
         assert moe[name + "_q"].dtype == jnp.int4
         assert moe[name + "_q"].shape == w.shape
         assert moe[name + "_scale"].shape == (e, w.shape[1] // g,
@@ -501,7 +520,8 @@ def test_int4_moe_stacks_int4(tiny_moe):
 def test_int4_tp_rules_and_forward(tiny):
     from jax.sharding import PartitionSpec as P
 
-    from legalrag_tpu.models.decoder import quantize_weights
+    from legalrag_tpu.models.decoder import quantize_weights, \
+        unpack_weights4
     from legalrag_tpu.parallel.decoder_tp import (_spec_for,
                                                   shard_decoder_params)
     from legalrag_tpu.parallel.mesh import local_devices, make_mesh
@@ -516,6 +536,11 @@ def test_int4_tp_rules_and_forward(tiny):
         P("model", None)
     assert _spec_for("layers.0.down.kernel_scale", 2, cfg, tp) == \
         P("model", None)
+    # the packed carrier shards exactly like the kernel it unpacks to
+    assert _spec_for("layers.0.q.kernel_q4p", 2, cfg, tp) == \
+        P(None, "model")
+    assert _spec_for("layers.0.o.kernel_q4p", 2, cfg, tp) == \
+        P("model", None)
     devs = local_devices()
     if len(devs) < 2:
         pytest.skip("needs the multi-device CPU mesh")
@@ -524,8 +549,8 @@ def test_int4_tp_rules_and_forward(tiny):
     sp = shard_decoder_params(qp, cfg, mesh)
     ids = jnp.asarray([[5, 6, 7, 5, 6, 7]], jnp.int32)
     pos = jnp.arange(ids.shape[1])[None, :]
-    want, _ = decoder_forward(qp, cfg, ids, pos)
-    got, _ = decoder_forward(sp, cfg, ids, pos)
+    want, _ = decoder_forward(unpack_weights4(qp), cfg, ids, pos)
+    got, _ = decoder_forward(unpack_weights4(sp), cfg, ids, pos)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
 
@@ -554,3 +579,24 @@ def test_client_plumbs_weight_quant_bits(monkeypatch):
     c = LLMClient(LLMConfig(provider="local-jax", weight_quant=True))
     c._load_jax_lm()
     assert captured["weight_quant"] is True and captured["weight_bits"] == 8
+
+
+def test_int4_pack_roundtrip_and_transfer_safe_pytree(tiny):
+    """bits=4 pytrees must hold NO s4 leaves: the axon relay cannot
+    device_put an S4 jit argument (round-4 RecursionError), so the
+    carrier is nibble-packed int8 and unpack happens in-program. The
+    unpack must be the exact inverse of packing."""
+    import jax
+
+    from legalrag_tpu.models.decoder import (_pack_nibbles,
+                                             _unpack_nibbles4,
+                                             quantize_weights)
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.integers(-8, 8, (3, 10, 6)), jnp.int32)
+    assert (np.asarray(_unpack_nibbles4(_pack_nibbles(q)), np.int32)
+            == np.asarray(q)).all()
+    cfg, params = tiny
+    qp = quantize_weights(params, bits=4, group=16)
+    assert all(leaf.dtype != jnp.int4
+               for leaf in jax.tree_util.tree_leaves(qp))
