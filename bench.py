@@ -42,6 +42,7 @@ sys.path.insert(0, str(REPO))
 BATCH = 64
 N_QUERIES = 1024
 TOP_K = 10
+_START = time.monotonic()   # total-budget anchor (includes index load)
 
 
 def log(*a) -> None:
@@ -52,12 +53,15 @@ def ensure_index(cfg, lang: str):
     import jax
 
     from legalrag_tpu.corpus import load_chunks_from_dir, parse_auto, write_chunks_jsonl
-    from legalrag_tpu.index.bundle import IndexBundle
+    from legalrag_tpu.index.bundle import IndexBundle, StaleIndexError
 
     lang_cfg = cfg.with_lang(lang)
     index_dir = Path(lang_cfg.paths.lang_index_dir)
     if IndexBundle.exists(index_dir):
-        return IndexBundle.load(index_dir, lang_cfg, lang)
+        try:
+            return IndexBundle.load(index_dir, lang_cfg, lang)
+        except StaleIndexError as e:
+            log(f"stale index, rebuilding: {e}")
     processed = Path(cfg.paths.processed_dir)
     chunks = [c for c in load_chunks_from_dir(processed) if c.lang == lang]
     if not chunks:
@@ -117,7 +121,8 @@ class CpuBaseline:
         eff = top_k * r.oversample_factor
         qv = self.enc.encode_queries(questions)  # host encode (same cost)
         qtf = self.bm25.query_vectors(questions)[:, : self.impact.shape[0]]
-        qt, qm = self.enc.encode_tokens(questions, self.maxq)
+        qt, qm = self.enc.encode_tokens(questions, self.maxq,
+                                        query=True)
         dense_s = qv @ self.emb.T
         bm25_s = qtf @ self.impact
         out_rows = np.empty((len(questions), top_k), np.int64)
@@ -189,7 +194,8 @@ def main() -> None:
         log(f"warmup compile failed ({str(e)[:120]}); retrying once")
         time.sleep(10)
         engine.search_batch(batches[0], TOP_K)
-    log(f"tpu compile+warmup: {time.perf_counter() - t0:.1f}s")
+    warmup_s = time.perf_counter() - t0
+    log(f"tpu compile+warmup: {warmup_s:.1f}s")
 
     # phase-separated pipeline: (1) host encode + transfers for every batch,
     # (2) all executions back-to-back, (3) one sync + fetch. Remote backends
@@ -261,8 +267,24 @@ def main() -> None:
     # headline FIRST (flushed): secondaries below may take tens of minutes
     # and must never cost the round its machine-readable benchmark
     print(json.dumps(out), flush=True)
-    deadline = time.monotonic() + float(
-        os.environ.get("LEGALRAG_BENCH_SECONDARY_BUDGET", "2700"))
+    # Secondary budget, round-5 rules (rc=124 in rounds 3 AND 4 — the
+    # driver kills the process before the secondaries finish):
+    # - a COLD relay (warmup ≫ normal: the relay re-loads each big
+    #   program server-side, ~2.5-12 min per fresh process) means each
+    #   secondary subprocess will pay its own multi-minute load — skip
+    #   them entirely; their numbers come from the in-round
+    #   scripts/tpu_backlog.sh run, which commits BENCH_secondary.json.
+    # - otherwise budget what remains of a total wall-clock envelope
+    #   (default 1500 s) measured from process start.
+    if warmup_s > float(os.environ.get("LEGALRAG_BENCH_COLD_S", "180")):
+        log(f"cold relay (warmup {warmup_s:.0f}s): skipping secondaries "
+            "(see BENCH_secondary.json from the in-round backlog run)")
+        return
+    total = float(os.environ.get("LEGALRAG_BENCH_TOTAL_BUDGET", "1500"))
+    deadline = min(
+        _START + total,
+        time.monotonic() + float(
+            os.environ.get("LEGALRAG_BENCH_SECONDARY_BUDGET", "2700")))
     secondary = {}
     large = measure_large_n(deadline)
     if large:

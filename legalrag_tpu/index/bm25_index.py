@@ -97,7 +97,7 @@ class BM25Index:
         v_pad = self.impact.shape[0]
         ids_batch = []
         for q in queries:
-            toks = tokenize(q, self.lang)
+            toks = tokenize(q, self.lang, query=True)
             ids_batch.append([self.vocab[t] for t in toks if t in self.vocab])
         return query_term_counts(ids_batch, v_pad)
 
@@ -108,7 +108,8 @@ class BM25Index:
         ids = np.zeros((len(queries), maxlen), np.int32)
         mask = np.zeros((len(queries), maxlen), bool)
         for i, q in enumerate(queries):
-            toks = [self.vocab[t] for t in tokenize(q, self.lang)
+            toks = [self.vocab[t] for t in tokenize(q, self.lang,
+                                                    query=True)
                     if t in self.vocab][:maxlen]
             ids[i, : len(toks)] = toks
             mask[i, : len(toks)] = True

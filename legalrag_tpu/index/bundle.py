@@ -43,6 +43,15 @@ log = get_logger("index.bundle")
 SCHEMA_VERSION = 1
 
 
+class StaleIndexError(RuntimeError):
+    """The stored index was built with a different host featurization
+    (tokenize.TOKENIZE_FINGERPRINT) than this code emits at query time.
+    Serving it would silently skew every channel — query BM25 terms
+    missing from the stored vocab, hash-encoder query vectors diverging
+    from the stored doc vectors (ADVICE r4). Rebuild with
+    ``python -m scripts.build_index``."""
+
+
 def _make_token_index(token_dim: int, e, device):
     """Token store per ``engine.token_dtype``: bf16/int8 TokenIndex or the
     PLAID-class nbit4 residual store."""
@@ -256,8 +265,11 @@ class IndexBundle:
             self.tokens.save(d / "tokens.npz")
         if hasattr(self.encoder, "state"):
             np.savez_compressed(d / "encoder.npz", **self.encoder.state())
+        from legalrag_tpu.tokenize.tokenizers import TOKENIZE_FINGERPRINT
+
         manifest = {
             "schema_version": SCHEMA_VERSION,
+            "tokenize_fingerprint": TOKENIZE_FINGERPRINT,
             "lang": self.lang,
             "n_docs": self.n_docs,
             "dim": self.dense.dim,
@@ -275,8 +287,17 @@ class IndexBundle:
     @classmethod
     def load(cls, index_dir: str | Path, cfg: AppConfig, lang: str,
              device=None) -> "IndexBundle":
+        from legalrag_tpu.tokenize.tokenizers import TOKENIZE_FINGERPRINT
+
         d = Path(index_dir)
         manifest = json.loads((d / "manifest.json").read_text(encoding="utf-8"))
+        stored = manifest.get("tokenize_fingerprint", "v1")
+        if stored != TOKENIZE_FINGERPRINT:
+            raise StaleIndexError(
+                f"index {d} was built with tokenize fingerprint "
+                f"'{stored}' but this code emits '{TOKENIZE_FINGERPRINT}'"
+                " — query featurization would diverge from the stored "
+                "doc vectors; rebuild with scripts/build_index")
         b = cls(lang, cfg, device)
         b.generation = int(manifest.get("generation", 0))
         b.chunks = list(iter_chunks_from_file(d / "chunks.jsonl"))

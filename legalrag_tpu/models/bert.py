@@ -358,10 +358,13 @@ class FlaxBertEncoder:
         return (np.asarray(cls, np.float32), np.asarray(tok, np.float32),
                 np.asarray(mask_t).astype(bool))
 
-    def encode_tokens(self, texts: List[str], maxlen: int
+    def encode_tokens(self, texts: List[str], maxlen: int,
+                      query: bool = False
                       ) -> Tuple[np.ndarray, np.ndarray]:
         """Per-token embeddings for late interaction: final hidden states,
-        optionally projected by a ColBERT linear head, L2-normalized."""
+        optionally projected by a ColBERT linear head, L2-normalized.
+        ``query`` is part of the EncoderBackend contract; subword
+        tokenization does not branch on it."""
         ids, mask = self._tokenize(texts, maxlen)
         with on_device(self.device):
             h = bert_forward(self.params, self.cfg, ids, mask)

@@ -32,9 +32,13 @@ class EncoderBackend(Protocol):
         """[n, dim], L2-normalized; may apply a query instruction."""
         ...
 
-    def encode_tokens(self, texts: List[str], maxlen: int
+    def encode_tokens(self, texts: List[str], maxlen: int,
+                      query: bool = False
                       ) -> Tuple[np.ndarray, np.ndarray]:
-        """([n, maxlen, token_dim] f32 per-token L2-normed, [n, maxlen] bool mask)."""
+        """([n, maxlen, token_dim] f32 per-token L2-normed, [n, maxlen] bool mask).
+        ``query=True`` marks query-side featurization (the hash encoder
+        emits bare section-ref tokens liberally there; subword encoders
+        ignore it)."""
         ...
 
 

@@ -77,7 +77,7 @@ class HashEncoder:
         return np.log1p((n - self.df + 0.5) / (self.df + 0.5)).astype(np.float32)
 
     # ---------------------------------------------------------------- sketch
-    def _sketch(self, texts: List[str]) -> np.ndarray:
+    def _sketch(self, texts: List[str], query: bool = False) -> np.ndarray:
         """Signed-count sketch with sublinear tf and bucket idf:
         ``s[b] = Σ_occurrences sign(feature)`` then
         ``out[b] = sign(s) · (1 + ln|s|) · idf[b]``.
@@ -91,7 +91,7 @@ class HashEncoder:
         feats: List[str] = []
         rows: List[int] = []
         for i, text in enumerate(texts):
-            fs = hash_features(text, self.lang)
+            fs = hash_features(text, self.lang, query=query)
             feats.extend(fs)
             rows.extend([i] * len(fs))
         h = fnv1a64_batch(feats, self.seed)
@@ -132,24 +132,27 @@ class HashEncoder:
         return self._project(self._sketch(texts))
 
     def encode_queries(self, texts: List[str]) -> np.ndarray:
-        return self._project(self._sketch(texts))
+        # query=True: liberal section-ref emission (tokenizers.py) — a
+        # bare citation query must reach the cue-gated doc-side term
+        return self._project(self._sketch(texts, query=True))
 
     def encode_queries_device(self, texts: List[str]) -> jax.Array:
         """Device-resident query embeddings — no host round trip (serving
         path: the result feeds the fused program directly)."""
         proj = self._projection()
         with on_device(self.device):
-            x = jnp.asarray(self._sketch(texts))
+            x = jnp.asarray(self._sketch(texts, query=True))
             if self.device is not None:
                 x = jax.device_put(x, self.device)
             return _project_norm(x, proj)
 
-    def encode_tokens(self, texts: List[str], maxlen: int
+    def encode_tokens(self, texts: List[str], maxlen: int,
+                      query: bool = False
                       ) -> Tuple[np.ndarray, np.ndarray]:
         emb = np.zeros((len(texts), maxlen, self.token_dim), np.float32)
         mask = np.zeros((len(texts), maxlen), bool)
         for i, text in enumerate(texts):
-            toks = tokenize(text, self.lang)[:maxlen]
+            toks = tokenize(text, self.lang, query)[:maxlen]
             for j, tok in enumerate(toks):
                 emb[i, j] = self._token_vec(tok)
                 mask[i, j] = True

@@ -77,7 +77,8 @@ class LateInteractionRetriever:
 
     def _encode_queries(self, questions: Sequence[str]):
         maxlen = self.bundle.cfg.engine.max_query_tokens
-        return self.bundle.encoder.encode_tokens(list(questions), maxlen)
+        return self.bundle.encoder.encode_tokens(list(questions), maxlen,
+                                                 query=True)
 
     def search_rows(self, questions: Sequence[str], top_k: int
                     ) -> Tuple[np.ndarray, np.ndarray]:

@@ -109,12 +109,13 @@ class FusedQueryEngine:
             if hasattr(enc, "_sketch"):
                 # hash backend: ship the raw sketch; the fused program
                 # projects + normalizes on device (one execution per batch)
-                qvec = (jnp.asarray(enc._sketch(qs)), enc._projection())
+                qvec = (jnp.asarray(enc._sketch(qs, query=True)),
+                        enc._projection())
             else:
                 qvec = jnp.asarray(enc.encode_queries(qs))
             q_tok = q_mask = None
             if use_late:
-                qt, qm = enc.encode_tokens(qs, maxq)
+                qt, qm = enc.encode_tokens(qs, maxq, query=True)
                 q_tok = jnp.asarray(qt, self.bundle.tokens._query_dtype)
                 q_mask = jnp.asarray(qm)
             inputs = ("plain", qvec,

@@ -198,9 +198,10 @@ class HybridRetriever:
         with on_device(bundle.device):
             q_tok = q_mask = None
             if hasattr(enc, "_sketch"):
-                qvec = (jnp.asarray(enc._sketch(qs)), enc._projection())
+                qvec = (jnp.asarray(enc._sketch(qs, query=True)),
+                        enc._projection())
                 if use_late:
-                    qt, qm = enc.encode_tokens(qs, maxlen)
+                    qt, qm = enc.encode_tokens(qs, maxlen, query=True)
             elif use_late and hasattr(enc, "encode_query_bundle"):
                 # one encoder execution for BOTH query views (bert backend)
                 qv, qt, qm = enc.encode_query_bundle(qs, maxlen)
@@ -208,7 +209,7 @@ class HybridRetriever:
             else:
                 qvec = jnp.asarray(enc.encode_queries(qs))
                 if use_late:
-                    qt, qm = enc.encode_tokens(qs, maxlen)
+                    qt, qm = enc.encode_tokens(qs, maxlen, query=True)
             ids, mask = bundle.bm25.query_term_ids(qs, maxlen)
             if use_late:
                 q_tok = jnp.asarray(qt, bundle.tokens._query_dtype)

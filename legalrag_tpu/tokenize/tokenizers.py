@@ -25,8 +25,22 @@ _ZH_CHAR = re.compile(r"[一-鿿]")
 # to its section — the dominant en retrieval failure (EVAL.md round-3 en
 # held split). Emitted as ONE canonical uppercase token alongside the
 # word tokens, giving BM25 a low-df exact term and the hash encoder an
-# exact-match feature.
+# exact-match feature. A bare all-digit match ("12-31") also fits dates
+# and ranges (ADVICE r4), so those emit only with a citation cue just
+# before the match; article-letter shapes ("2A-201", "9-102a") are
+# unambiguous and always emit.
 _EN_SECREF = re.compile(r"\b(\d{1,2}[A-Za-z]?)\s*[-–—]\s*(\d{1,4}[A-Za-z]?)\b")
+_EN_SECREF_CUE = re.compile(r"(?:§§?|\bsections?\b|\bsecs?\.?\b"
+                            r"|\barticles?\b)\s*$", re.IGNORECASE)
+
+# Doc-side featurization version, recorded in every index manifest
+# (index/bundle.py) and checked on load: bump this whenever tokenization
+# or hash-feature emission changes shape, so stale indexes REFUSE to
+# load instead of silently serving query featurization that diverges
+# from the stored doc vectors (ADVICE r4: the round-4 secref tokens were
+# inert against round-3 indexes). History: v1 = pre-secref, v2 =
+# round-4 unconditional secrefs, v3 = cue-gated bare secrefs.
+TOKENIZE_FINGERPRINT = "secref-cued-v3"
 
 _FNV_OFFSET = 0xCBF29CE484222325
 _FNV_PRIME = 0x100000001B3
@@ -96,14 +110,28 @@ def _tokenize_zh_cached(text: str) -> tuple:
 
 
 @lru_cache(maxsize=8192)
-def _secrefs_en_cached(text: str) -> tuple:
-    return tuple(f"{m.group(1)}-{m.group(2)}".upper()
-                 for m in _EN_SECREF.finditer(text))
+def _secrefs_en_cached(text: str, query: bool) -> tuple:
+    out = []
+    for m in _EN_SECREF.finditer(text):
+        lettered = any(c.isalpha() for c in m.group(1) + m.group(2))
+        if not lettered and not query:
+            # DOC side, bare digits: require a citation cue just before
+            # the match ("§ 2-306", "Section 2-306") so dates/ranges
+            # ("12-31", "10-15 days") stay out of the stored term
+            # stream. QUERY side stays liberal: a bare citation query
+            # ("what does 2-306 cover") must still reach the cued doc
+            # term, and a spurious query token merely misses the vocab.
+            prefix = text[max(0, m.start() - 12):m.start()]
+            if _EN_SECREF_CUE.search(prefix) is None:
+                continue
+        out.append(f"{m.group(1)}-{m.group(2)}".upper())
+    return tuple(out)
 
 
-def secrefs_en(text: str) -> List[str]:
-    """Canonical section-ref tokens found in ``text`` ("2A-201" style)."""
-    return list(_secrefs_en_cached(text))
+def secrefs_en(text: str, query: bool = False) -> List[str]:
+    """Canonical section-ref tokens found in ``text`` ("2A-201" style);
+    ``query=True`` = liberal emission (see _secrefs_en_cached)."""
+    return list(_secrefs_en_cached(text, query))
 
 
 def tokenize_en(text: str) -> List[str]:
@@ -125,10 +153,10 @@ def tokenize_zh(text: str) -> List[str]:
     return list(_tokenize_zh_cached(text))
 
 
-def tokenize(text: str, lang: str) -> List[str]:
+def tokenize(text: str, lang: str, query: bool = False) -> List[str]:
     if lang == "zh":
         return tokenize_zh(text)
-    return tokenize_en(text) + secrefs_en(text)
+    return tokenize_en(text) + secrefs_en(text, query)
 
 
 def char_ngrams(token: str, n_min: int = 3, n_max: int = 4) -> Iterable[str]:
@@ -138,10 +166,11 @@ def char_ngrams(token: str, n_min: int = 3, n_max: int = 4) -> Iterable[str]:
             yield t[i:i + n]
 
 
-def hash_features(text: str, lang: str, *, with_ngrams: bool = True) -> List[str]:
+def hash_features(text: str, lang: str, *, with_ngrams: bool = True,
+                  query: bool = False) -> List[str]:
     """Feature strings for the hashed encoder: word tokens plus subword /
     char-level context features for fuzzy matching."""
-    toks = tokenize(text, lang)
+    toks = tokenize(text, lang, query)
     feats: List[str] = list(toks)
     if lang == "zh":
         # char bigrams across the raw CJK stream add cross-word context

@@ -64,3 +64,28 @@ def test_incremental_add(cfg, en_chunks):
     assert b.generation > n0
     # re-adding the same chunks is a no-op
     assert b.add_chunks(en_chunks[40:70]) == 0
+
+
+def test_stale_fingerprint_refuses_load(tmp_path, cfg, en_chunks):
+    """ADVICE r4: featurization changes must force a rebuild — an index
+    whose manifest carries a different tokenize fingerprint (or none:
+    pre-fingerprint artifacts) must refuse to load."""
+    import json
+
+    import pytest
+
+    from legalrag_tpu.index.bundle import IndexBundle, StaleIndexError
+
+    b = IndexBundle.build_from_chunks(en_chunks[:20], cfg, "en")
+    d = tmp_path / "idx"
+    b.save(d)
+    IndexBundle.load(d, cfg, "en")  # fresh: loads fine
+    m = json.loads((d / "manifest.json").read_text())
+    m["tokenize_fingerprint"] = "secref-v2-stale"
+    (d / "manifest.json").write_text(json.dumps(m))
+    with pytest.raises(StaleIndexError):
+        IndexBundle.load(d, cfg, "en")
+    del m["tokenize_fingerprint"]   # pre-fingerprint manifest
+    (d / "manifest.json").write_text(json.dumps(m))
+    with pytest.raises(StaleIndexError):
+        IndexBundle.load(d, cfg, "en")

@@ -7,11 +7,24 @@ from legalrag_tpu.tokenize import hash_features, secrefs_en, tokenize
 
 
 def test_secref_shapes_agree():
-    # the three surface forms all yield the same canonical token
+    # cued surface forms yield the same canonical token on BOTH sides
     for text in ("see § 2-306 for output terms",
-                 "see Section 2-306 for output terms",
-                 "under 2-306, requirements contracts"):
+                 "see Section 2-306 for output terms"):
         assert secrefs_en(text) == ["2-306"]
+        assert secrefs_en(text, query=True) == ["2-306"]
+    # bare all-digit refs: QUERY side emits (a bare citation query must
+    # reach the cued doc term), DOC side requires the cue so dates and
+    # ranges stay out of the stored term stream (ADVICE r4)
+    bare = "under 2-306, requirements contracts"
+    assert secrefs_en(bare, query=True) == ["2-306"]
+    assert secrefs_en(bare) == []
+
+
+def test_secref_dates_and_ranges_stay_out_of_docs():
+    assert secrefs_en("effective 12-31 of each year") == []
+    assert secrefs_en("within 10-15 days of delivery") == []
+    # article-letter shapes are unambiguous: always emit
+    assert secrefs_en("a lease under 2A-201") == ["2A-201"]
 
 
 def test_secref_article_letters_and_dashes():
@@ -36,6 +49,8 @@ def test_tokenize_en_emits_canonical_token():
 
 def test_hash_features_secref_exact_only():
     feats = hash_features("output under § 2-306", "en")
+    assert "2-306" in feats
+    feats = hash_features("output under 2-306", "en", query=True)
     assert "2-306" in feats
     # no char-ngram bleed onto neighboring sections
     assert not any("2-30" in f and f != "2-306" for f in feats)
