@@ -288,19 +288,42 @@ def bench_spec(args, cfg, params, rng) -> None:
 
     oracle = None
     if args.spec_oracle:
-        # --spec-oracle: build the corpus n-gram table FROM the plain
-        # run's own greedy output. Greedy decoding is deterministic, so
-        # table drafts now match the verify targets — this measures the
-        # speculation machinery's CEILING at near-full acceptance, the
-        # deployment case where answers quote provisions that are in the
-        # corpus draft table (random-init weights can't quote their
-        # prompt, so default acceptance is ~0 and says nothing about the
-        # machinery — see BENCH r04 notes).
-        from legalrag_tpu.models.ngram_draft import NgramDraftTable
+        # --spec-oracle: build the corpus n-gram table FROM the SPEC
+        # engine's own greedy output (a preliminary run with no table).
+        # Greedy decoding is deterministic PER PROGRAM, so the table
+        # then predicts the re-run exactly — measuring the speculation
+        # machinery's CEILING at near-full acceptance, the deployment
+        # case where answers quote provisions in the corpus table.
+        # Round-4 lesson: building the table from the PLAIN run's
+        # output broke on real TPUs — the plain chunk program and the
+        # [1, k+1] verify program sum bf16 matmuls in different orders,
+        # one near-tied argmax flipped (same index every run), and the
+        # table stopped predicting from that token on, capping measured
+        # acceptance at ~1.3/round. Cross-program bf16 token identity
+        # is NOT the engine contract; per-program determinism is.
+        import numpy as _np
 
+        from legalrag_tpu.models.ngram_draft import NgramDraftTable
+        from legalrag_tpu.models.spec_decode import SpecLookupDecoderLM
+
+        # the preliminary run uses an EMPTY table of the same shape so
+        # both runs trace the IDENTICAL program (a with-table vs
+        # no-table program pair could tie-flip again); table contents
+        # cannot change emitted tokens (used verify positions see the
+        # same value prefix whichever draft source produced it)
+        size = 1 << 16
+        empty = NgramDraftTable(_np.full(size, -1, _np.int32),
+                                _np.full(size, -1, _np.int32),
+                                _np.zeros((size, k), _np.int32))
+        pre = SpecLookupDecoderLM(params, cfg, max_len=args.max_len,
+                                  spec_k=k, spec_steps=4,
+                                  kv_quant=args.kv_quant,
+                                  ngram_draft=empty)
+        spec_own = list(pre.generate_stream(prompt,
+                                            max_new_tokens=args.new))
         oracle = NgramDraftTable.from_streams(
-            [list(prompt) + plain_out], k=k)
-        log(f"[oracle] n-gram table from the plain output: "
+            [list(prompt) + spec_own], k=k)
+        log(f"[oracle] n-gram table from the spec engine's own output: "
             f"{oracle.stats()}")
 
     draft = None
@@ -329,10 +352,23 @@ def bench_spec(args, cfg, params, rng) -> None:
         if best is None or dt < best:
             best, stats = dt, dict(spec.last_stats)
     n_spec = len(spec_out)
-    if spec_out != plain_out:  # greedy spec is token-identical by contract
-        div = next((i for i, (a, b) in enumerate(zip(spec_out, plain_out))
-                    if a != b), min(len(spec_out), len(plain_out)))
-        log(f"WARNING: spec/plain output DIVERGED at {div}")
+    diverged_at = None
+    if spec_out != plain_out:
+        # The token-identity CONTRACT is per-program-pair with bit-equal
+        # logits (held exactly in the CPU suite). On real TPUs the plain
+        # chunk program and the spec verify program sum bf16 matmuls in
+        # different orders, so a near-tied argmax can flip — report the
+        # index rather than pretend bit-identity across programs.
+        diverged_at = next(
+            (i for i, (a, b) in enumerate(zip(spec_out, plain_out))
+             if a != b), min(len(spec_out), len(plain_out)))
+        log(f"NOTE: spec/plain outputs differ from index {diverged_at} "
+            "(cross-program bf16 argmax tie-flip; per-program greedy "
+            "decoding is deterministic)")
+    if args.spec_oracle and spec_out != spec_own:
+        # SAME program, same inputs — this one would be a real bug
+        log("ERROR: spec output differs from its own preliminary run "
+            "(per-program determinism violated)")
     spec_tps = n_spec / best
     rounds = max(stats.get("spec_rounds", 1), 1)
     accept = (stats["tokens"] - 1) / rounds  # tokens per speculation round
@@ -348,6 +384,7 @@ def bench_spec(args, cfg, params, rng) -> None:
         "speedup_vs_plain": round(spec_tps / plain_tps, 2),
         "accepted_per_round": round(accept, 2),
         "oracle_table": bool(args.spec_oracle),
+        "diverged_from_plain_at": diverged_at,
         "launches": stats["launches"],
         "prompt_len": args.prompt_len,
         "new_tokens": args.new,
