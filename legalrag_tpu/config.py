@@ -220,6 +220,16 @@ class LLMConfig(BaseModel):
     # decoding. Single-stream (models/spec_decode.py), batched
     # (batch_slots > 1), and paged (paged_kv) engines all support it.
     spec_k: int = 0
+    # local-jax, single-stream speculative engine: adaptive speculation —
+    # the engine measures its own acceptance over the first 2·spec_steps
+    # rounds and, when emitted tokens/round drops below this threshold,
+    # stops speculating and finishes the stream with the plain chunked
+    # decode program (same output, worst case ≈ plain decode minus one
+    # probe). Speculation pays only when generation quotes draftable
+    # text — a model/workload property best measured live (round-5
+    # on-chip: acceptance 1.01/round on non-quoting output = 0.14×
+    # plain; the oracle ceiling 8.47/round = 1.05×). 0 disables.
+    spec_adaptive: float = 2.0
     # local-jax: int8 weight quantization of the decoder projections +
     # LM head (models/decoder.py quantize_weights_int8, W8A8) — decode
     # is weights-bandwidth-bound, so int8 weights halve the dominant HBM

@@ -343,6 +343,8 @@ class LLMClient:
 
                     engine_cls = SpecLookupDecoderLM
                     kw["spec_k"] = spec_k
+                    kw["spec_adaptive"] = getattr(
+                        self.cfg, "spec_adaptive", 2.0)
                     dm = getattr(self.cfg, "draft_model", "")
                     if dm:
                         kw["draft_model"] = dm

@@ -66,7 +66,7 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                  spec_k: int = 8, spec_steps: int = 4,
                  prefix_cache: int = 0, prefill_chunk: int = 1024,
                  kv_quant: bool = False, json_constraint=None,
-                 ngram_draft=None, draft=None):
+                 ngram_draft=None, draft=None, spec_adaptive: float = 0.0):
         super().__init__(params, cfg, tokenizer, device=device,
                          max_len=max_len, decode_chunk=decode_chunk,
                          prefix_cache=prefix_cache,
@@ -74,6 +74,18 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                          json_constraint=json_constraint)
         self.spec_k = spec_k
         self.spec_steps = spec_steps
+        # Adaptive speculation (round-5, after the on-chip 0.14×
+        # measurement): speculation only pays when accepted drafts beat
+        # the extra verify launches, which depends on how quotable the
+        # generation is — a model property the engine can't know ahead
+        # of time. With ``spec_adaptive > 0`` the engine measures its own
+        # acceptance over the first ``2·spec_steps`` rounds and, if
+        # emitted tokens/round < the threshold, STOPS speculating and
+        # finishes the stream with the parent's chunked decode program —
+        # worst case converges to plain chunk decode minus one probe.
+        # Greedy output is unchanged either way (the chunk program is the
+        # plain engine's). 0 disables (always speculate).
+        self.spec_adaptive = float(spec_adaptive)
         # corpus-level bigram → continuation drafts (models/ngram_draft.py):
         # probed when the in-sequence lookup misses — first quotes of
         # corpus text not present in the prompt still draft-accelerate
@@ -532,36 +544,88 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                 pos_h = int(st[3])
                 if hit_eos or produced >= max_new_tokens:
                     return
-            # within spec_k of capacity — finish with per-token steps
-            # the final pending token was emitted but never forwarded;
-            # its logits are `last` only after a forward — run it now
-            last, cache = self._decode_step(
-                self.params, jnp.asarray([[int(pending)]], jnp.int32),
-                jnp.int32(pos_h), cache)
-            pos_h += 1
-            while produced < max_new_tokens and pos_h < self.max_len:
-                scored = apply_repetition_penalty(last, rep[None, :], pen_j)
-                if jc is not None:
-                    row = jc.table[cs]
-                    allowed = jnp.where(jnp.arange(row.shape[0]) == ceos,
-                                        jc.accepting[cs], row >= 0)
-                    scored = jnp.where(allowed[None, :], scored, -1e30)
-                if greedy:
-                    tok = int(np.argmax(np.asarray(scored[0])))
-                else:
-                    key, sub = jax.random.split(key)
-                    tok = int(_sample_top_p(scored / temp_j, tp_j, sub,
-                                            tk_j, mp_j)[0])
-                rep = rep.at[tok].set(True)
-                if eos_id is not None and tok == eos_id:
+                if self.spec_adaptive > 0.0:
+                    rounds = stats["spec_rounds"]
+                    per_round = (stats["tokens"] - 1) / max(rounds, 1)
+                    if (rounds >= 2 * self.spec_steps
+                            and per_round < self.spec_adaptive):
+                        stats["adaptive_bailed"] = True
+                        log.info(
+                            "speculation off after %d rounds: %.2f "
+                            "tokens/round < %.2f threshold; finishing "
+                            "with chunk-%d decode", rounds, per_round,
+                            self.spec_adaptive, self.decode_chunk)
+                        break
+            # Adaptive bail-out OR within spec_k of capacity — either way
+            # finish the stream with the parent's chunked decode program
+            # (same greedy/sampling semantics, budget-forced constraint).
+            yield from self._finish_chunked(
+                cache, int(pending), pos_h, rep, cs, key, produced,
+                max_new_tokens, temp_j, tp_j, tk_j, mp_j, eos_id, pen_j,
+                jc, greedy, stats)
+
+    def _finish_chunked(self, cache, pending_h: int, pos_h: int, rep, cs,
+                        key, produced: int, max_new_tokens: int, temp, tp,
+                        tk, mp, eos_id, pen, jc, greedy: bool,
+                        stats: Dict) -> Iterator[int]:
+        """Continue a partially-generated stream with the parent's chunked
+        decode program. State contract on entry: cache rows ``0..pos_h-1``
+        are valid, ``pending_h`` (= the token at ``pos_h``) was emitted
+        but never forwarded, ``rep [V]`` marks seen tokens, ``cs`` is the
+        constraint DFA state. Used by the adaptive speculation bail-out
+        and the near-capacity tail (both previously per-token)."""
+        ceos = jnp.int32(-1 if eos_id is None else eos_id)
+        # the final pending token was emitted but never forwarded; its
+        # logits exist only after a forward — run it now
+        last, cache = self._decode_step(
+            self.params, jnp.asarray([[pending_h]], jnp.int32),
+            jnp.int32(pos_h), cache)
+        stats["launches"] += 1
+        pos = pos_h + 1
+        rep2 = rep[None, :]
+        ctable = jc.table if jc else None
+        cacc = jc.accepting if jc else None
+        cdist = jc.dist if jc else None
+        climit = jnp.int32(pos + (max_new_tokens - produced))
+        while (produced + self.decode_chunk <= max_new_tokens
+               and pos + self.decode_chunk <= self.max_len):
+            toks, last, cache, key, rep2, cs = self._decode_chunk_fn(
+                self.params, last, pos, cache, key, temp, tp, tk, mp,
+                rep2, pen, cs, ctable, cacc, ceos, cdist, climit,
+                n_steps=self.decode_chunk, greedy=greedy)
+            stats["launches"] += 1
+            pos += self.decode_chunk
+            produced += self.decode_chunk
+            for tok_host in np.asarray(toks)[:, 0].tolist():
+                if eos_id is not None and tok_host == eos_id:
                     return
-                if jc is not None:
-                    cs = jnp.maximum(jc.table[cs, tok], 0)
-                yield tok
-                produced += 1
+                yield int(tok_host)
                 stats["tokens"] += 1
-                if produced < max_new_tokens and pos_h < self.max_len:
-                    last, cache = self._decode_step(
-                        self.params, jnp.asarray([[tok]], jnp.int32),
-                        jnp.int32(pos_h), cache)
-                    pos_h += 1
+        for i in range(max_new_tokens - produced):
+            if pos + i >= self.max_len:
+                return
+            scored = apply_repetition_penalty(last, rep2, pen)
+            if jc is not None:
+                row = jc.table[cs]
+                eos_col = jnp.arange(row.shape[0]) == ceos
+                allowed = jnp.where(eos_col, jc.accepting[cs], row >= 0)
+                allowed = budget_force(allowed, row, cdist,
+                                       climit - (pos + i), eos_col)
+                scored = jnp.where(allowed[None, :], scored, -1e30)
+            if greedy:
+                tok = int(np.argmax(np.asarray(scored[0])))
+            else:
+                key, sub = jax.random.split(key)
+                tok = int(_sample_top_p(scored / temp, tp, sub, tk, mp)[0])
+            rep2 = rep2.at[0, tok].set(True)
+            if eos_id is not None and tok == eos_id:
+                return
+            if jc is not None:
+                cs = jnp.maximum(jc.table[cs, tok], 0)
+            yield tok
+            stats["tokens"] += 1
+            if produced + i + 1 < max_new_tokens and pos + i + 1 < self.max_len:
+                last, cache = self._decode_step(
+                    self.params, jnp.asarray([[tok]], jnp.int32),
+                    jnp.int32(pos + i), cache)
+                stats["launches"] += 1

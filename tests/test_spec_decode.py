@@ -163,6 +163,102 @@ def test_sampled_spec_is_distribution_exact(tiny):
     assert tv < 0.2, (tv, cp, cs)
 
 
+def test_adaptive_bailout_matches_plain(tiny):
+    """Round-5: with ``spec_adaptive`` set, an engine whose measured
+    acceptance is below the threshold must STOP speculating after
+    2*spec_steps rounds and finish with the parent's chunked program —
+    same tokens, fewer launches than per-token tailing."""
+    cfg, params = tiny
+    ref = JaxDecoderLM(params, cfg, max_len=96, decode_chunk=1)
+    # threshold above the k+1 per-round maximum -> always bails once the
+    # probe window (2*spec_steps rounds) has run
+    spec = SpecLookupDecoderLM(params, cfg, max_len=96, spec_k=4,
+                               spec_steps=2, spec_adaptive=10.0,
+                               decode_chunk=8)
+    for p in PROMPTS:
+        want = list(ref.generate_stream(p, max_new_tokens=40))
+        got = list(spec.generate_stream(p, max_new_tokens=40))
+        assert got == want, p
+        assert spec.last_stats.get("adaptive_bailed") is True
+        assert spec.last_stats["tokens"] == len(got)
+
+
+def test_adaptive_bailout_respects_eos(tiny):
+    cfg, params = tiny
+    ref = JaxDecoderLM(params, cfg, max_len=96, decode_chunk=1)
+    spec = SpecLookupDecoderLM(params, cfg, max_len=96, spec_k=4,
+                               spec_steps=2, spec_adaptive=10.0,
+                               decode_chunk=8)
+    p = PROMPTS[0]
+    full = list(ref.generate_stream(p, max_new_tokens=40))
+    eos = full[30]  # after the bail point (>= 2*spec_steps rounds in)
+    want = list(ref.generate_stream(p, max_new_tokens=40, eos_id=eos))
+    got = list(spec.generate_stream(p, max_new_tokens=40, eos_id=eos))
+    assert got == want
+
+
+def test_adaptive_keeps_speculating_when_accepting():
+    """High-acceptance stream + a realistic threshold -> no bail-out; the
+    adaptive knob must never turn off speculation that is paying."""
+    cfg = DecoderConfig(vocab_size=97, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        intermediate_size=64, max_position_embeddings=256,
+                        tie_word_embeddings=True)
+    rng = np.random.default_rng(3)
+
+    def mat(i, o, scale=0.04):  # weak init -> repetitive greedy stream
+        return jnp.asarray(rng.standard_normal((i, o)) * scale, jnp.float32)
+
+    h, ff, d = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim
+    hkv = cfg.num_key_value_heads
+    embed = mat(cfg.vocab_size, h, 0.1)
+    params = {
+        "embed": embed, "lm_head": embed.T,
+        "final_norm": jnp.ones(h, jnp.float32),
+        "layers": [
+            {"input_norm": jnp.ones(h, jnp.float32),
+             "q": {"kernel": mat(h, h), "bias": jnp.zeros(h)},
+             "k": {"kernel": mat(h, hkv * d), "bias": jnp.zeros(hkv * d)},
+             "v": {"kernel": mat(h, hkv * d), "bias": jnp.zeros(hkv * d)},
+             "o": {"kernel": mat(h, h)},
+             "post_norm": jnp.ones(h, jnp.float32),
+             "gate": {"kernel": mat(h, ff)},
+             "up": {"kernel": mat(h, ff)},
+             "down": {"kernel": mat(ff, h)}}
+            for _ in range(cfg.num_hidden_layers)
+        ],
+    }
+    prompt = rng.integers(1, cfg.vocab_size - 1, 24).tolist()
+    plain = JaxDecoderLM(params, cfg, max_len=256, decode_chunk=8)
+    plain_out = list(plain.generate_stream(prompt, max_new_tokens=64))
+    spec = SpecLookupDecoderLM(params, cfg, max_len=256, spec_k=8,
+                               spec_steps=4, spec_adaptive=2.0)
+    out = list(spec.generate_stream(prompt, max_new_tokens=64))
+    assert out == plain_out
+    st = spec.last_stats
+    assert not st.get("adaptive_bailed", False), st
+    assert (st["tokens"] - 1) / max(st["spec_rounds"], 1) >= 2.0
+
+
+def test_client_plumbs_spec_adaptive(monkeypatch):
+    from legalrag_tpu.config import LLMConfig
+    from legalrag_tpu.llm.client import LLMClient
+
+    captured = {}
+
+    def fake(name, **kw):
+        captured.update(kw, name=name)
+        return object()
+
+    monkeypatch.setattr(SpecLookupDecoderLM, "from_pretrained",
+                        staticmethod(fake))
+    c = LLMClient(LLMConfig(provider="local-jax", spec_k=4,
+                            spec_adaptive=1.5))
+    c._load_jax_lm()
+    assert captured["spec_k"] == 4
+    assert captured["spec_adaptive"] == 1.5
+
+
 def test_full_window_acceptance_near_k():
     """Round-5 regression for the round-4 on-chip finding (VERDICT r4 #2:
     oracle acceptance 1.27/round vs ~k expected).
