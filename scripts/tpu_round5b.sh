@@ -32,4 +32,13 @@ timeout 3600 python -m scripts.bench_decode --spec 8 --spec-adaptive 2.0 \
   && note "spec-adaptive ok: $(cat "$OUT/decode_spec_adaptive.json")" \
   || note "spec-adaptive FAILED"
 
+# batched re-run: the main round-5 queue measured 0.98x vs sequential
+# (r4: 1.35x, engine unchanged); settle whether that was process-local
+# relay variance (the int8 step's in-process dense baseline was 590
+# while the batched step's sequential was 418)
+timeout 3600 python -m scripts.bench_decode --batched 4 \
+  >"$OUT/decode_batched.json" 2>"$OUT/decode_batched.log" \
+  && note "batched ok: $(cat "$OUT/decode_batched.json")" \
+  || note "batched FAILED"
+
 note "round5b queue done"
