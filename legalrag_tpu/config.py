@@ -221,8 +221,8 @@ class LLMConfig(BaseModel):
     # (batch_slots > 1), and paged (paged_kv) engines all support it.
     spec_k: int = 0
     # local-jax, single-stream speculative engine: adaptive speculation —
-    # the engine measures its own acceptance over the first 2·spec_steps
-    # rounds and, when emitted tokens/round drops below this threshold,
+    # the engine measures its own acceptance over the first probe launch
+    # (spec_steps rounds) and, when emitted tokens/round drops below this,
     # stops speculating and finishes the stream with the plain chunked
     # decode program (same output, worst case ≈ plain decode minus one
     # probe). Speculation pays only when generation quotes draftable

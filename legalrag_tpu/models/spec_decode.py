@@ -79,7 +79,8 @@ class SpecLookupDecoderLM(JaxDecoderLM):
         # the extra verify launches, which depends on how quotable the
         # generation is — a model property the engine can't know ahead
         # of time. With ``spec_adaptive > 0`` the engine measures its own
-        # acceptance over the first ``2·spec_steps`` rounds and, if
+        # acceptance over the first probe launch (``spec_steps`` rounds)
+        # and, if
         # emitted tokens/round < the threshold, STOPS speculating and
         # finishes the stream with the parent's chunked decode program —
         # worst case converges to plain chunk decode minus one probe.
@@ -538,6 +539,8 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                         yield int(tok)
                         produced += 1
                         stats["tokens"] += 1
+                        stats["spec_tokens"] = \
+                            stats.get("spec_tokens", 0) + 1
                     if any_emit:
                         stats["spec_rounds"] += 1
                 hit_eos = bool(st[1])
@@ -546,15 +549,25 @@ class SpecLookupDecoderLM(JaxDecoderLM):
                     return
                 if self.spec_adaptive > 0.0:
                     rounds = stats["spec_rounds"]
-                    per_round = (stats["tokens"] - 1) / max(rounds, 1)
-                    if (rounds >= 2 * self.spec_steps
-                            and per_round < self.spec_adaptive):
+                    per_round = (stats.get("spec_tokens", 0)
+                                 / max(rounds, 1))
+                    # graduated probe: every probe launch a non-quoting
+                    # stream pays is ~pure overhead, but a QUOTING stream
+                    # may need one launch before in-sequence repetition
+                    # is established. So after one launch (spec_steps
+                    # rounds) bail only below the halfway bar (near-zero
+                    # acceptance); after two launches apply the full
+                    # threshold.
+                    bar = (self.spec_adaptive
+                           if rounds >= 2 * self.spec_steps
+                           else 1.0 + 0.5 * (self.spec_adaptive - 1.0))
+                    if rounds >= self.spec_steps and per_round < bar:
                         stats["adaptive_bailed"] = True
                         log.info(
                             "speculation off after %d rounds: %.2f "
-                            "tokens/round < %.2f threshold; finishing "
+                            "tokens/round < %.2f bar; finishing "
                             "with chunk-%d decode", rounds, per_round,
-                            self.spec_adaptive, self.decode_chunk)
+                            bar, self.decode_chunk)
                         break
             # Adaptive bail-out OR within spec_k of capacity — either way
             # finish the stream with the parent's chunked decode program
@@ -587,16 +600,23 @@ class SpecLookupDecoderLM(JaxDecoderLM):
         cacc = jc.accepting if jc else None
         cdist = jc.dist if jc else None
         climit = jnp.int32(pos + (max_new_tokens - produced))
-        while (produced + self.decode_chunk <= max_new_tokens
+        while (produced < max_new_tokens
                and pos + self.decode_chunk <= self.max_len):
+            # an arbitrary remainder (the bail point is data-dependent)
+            # must NOT fall to per-token launches — on a ~200 ms/dispatch
+            # relay that throws the whole bail-out away. Run the SAME
+            # compiled full-chunk program and discard the surplus: the
+            # discarded steps write cache rows we never attend again
+            # (the stream ends here) and sample tokens we never emit.
+            emit_n = min(self.decode_chunk, max_new_tokens - produced)
             toks, last, cache, key, rep2, cs = self._decode_chunk_fn(
                 self.params, last, pos, cache, key, temp, tp, tk, mp,
                 rep2, pen, cs, ctable, cacc, ceos, cdist, climit,
                 n_steps=self.decode_chunk, greedy=greedy)
             stats["launches"] += 1
             pos += self.decode_chunk
-            produced += self.decode_chunk
-            for tok_host in np.asarray(toks)[:, 0].tolist():
+            produced += emit_n
+            for tok_host in np.asarray(toks)[:emit_n, 0].tolist():
                 if eos_id is not None and tok_host == eos_id:
                     return
                 yield int(tok_host)

@@ -413,7 +413,9 @@ def bench_spec(args, cfg, params, rng) -> None:
             "(per-program determinism violated)")
     spec_tps = n_spec / best
     rounds = max(stats.get("spec_rounds", 1), 1)
-    accept = (stats["tokens"] - 1) / rounds  # tokens per speculation round
+    # tokens per speculation round — from the SPEC launches only (after
+    # an adaptive bail the chunked finish would otherwise inflate it)
+    accept = stats.get("spec_tokens", stats["tokens"] - 1) / rounds
     log(f"[spec k={k}] {n_spec} tokens in {best:.2f}s -> {spec_tps:.1f} "
         f"tok/s; {stats['launches']} launches, {rounds} rounds, "
         f"{accept:.2f} tokens/round accepted")

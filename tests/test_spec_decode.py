@@ -165,13 +165,13 @@ def test_sampled_spec_is_distribution_exact(tiny):
 
 def test_adaptive_bailout_matches_plain(tiny):
     """Round-5: with ``spec_adaptive`` set, an engine whose measured
-    acceptance is below the threshold must STOP speculating after
-    2*spec_steps rounds and finish with the parent's chunked program —
+    acceptance is below the threshold must STOP speculating after the
+    probe window and finish with the parent's chunked program —
     same tokens, fewer launches than per-token tailing."""
     cfg, params = tiny
     ref = JaxDecoderLM(params, cfg, max_len=96, decode_chunk=1)
     # threshold above the k+1 per-round maximum -> always bails once the
-    # probe window (2*spec_steps rounds) has run
+    # probe window (spec_steps rounds = one launch) has run
     spec = SpecLookupDecoderLM(params, cfg, max_len=96, spec_k=4,
                                spec_steps=2, spec_adaptive=10.0,
                                decode_chunk=8)
@@ -191,7 +191,7 @@ def test_adaptive_bailout_respects_eos(tiny):
                                decode_chunk=8)
     p = PROMPTS[0]
     full = list(ref.generate_stream(p, max_new_tokens=40))
-    eos = full[30]  # after the bail point (>= 2*spec_steps rounds in)
+    eos = full[30]  # after the bail point
     want = list(ref.generate_stream(p, max_new_tokens=40, eos_id=eos))
     got = list(spec.generate_stream(p, max_new_tokens=40, eos_id=eos))
     assert got == want
