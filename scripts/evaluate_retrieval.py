@@ -84,9 +84,12 @@ def main() -> None:
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--out-json", default=None)
     ap.add_argument("--out-csv", default=None)
+    ap.add_argument("--config", default=None,
+                    help="config overlay JSON/YAML (e.g. a tuned-fusion "
+                    "overlay from scripts.tune_fusion --out)")
     args = ap.parse_args()
 
-    cfg = AppConfig.load()
+    cfg = AppConfig.load(args.config)
     eval_path = Path(args.eval_file or Path(cfg.paths.eval_dir) / "law_qa.jsonl")
     if not eval_path.exists():
         log.error("eval set not found: %s (run scripts.generate_synthetic_data)",

